@@ -1,0 +1,193 @@
+"""Analyzer profiles — vectorized token pipelines mirroring xltsearch's set.
+
+The reference exposes four Lucene 4.6 analyzers via ``Config.java:72-78``
+(Standard, Classic, UAX29URLEmail, English) applied identically at index
+time (``IndexTask.java:54-55``) and query time (``SearchTask.java:59-60``).
+We re-express each as a *flat, batch-vectorized* pipeline over a pandas
+Series of texts: pandas ``.str`` kernels tokenize/normalize whole Arrow
+batches; the only per-element Python runs over the unique *vocabulary*
+(Porter stemming), never over rows/tokens. A fifth ``code`` profile (the
+north-star's code-aware analyzer) adds camelCase/snake_case sub-token
+expansion at the same position (Lucene-style posIncr=0 overlaps, discounted
+from doc length exactly as ``discountOverlaps=true`` does).
+
+Semantics reproduced (public Lucene 4.6 knowledge):
+
+* StandardTokenizer = UAX#29 word boundaries, maxTokenLength 255 (longer
+  tokens split into 255-char chunks); approximated for the ASCII-centric
+  corpus by the regex ``\\w+(?:[.']\\w+)*`` (MidNumLet ``.``/``'`` join
+  alphanumeric runs; ``_`` is ExtendNumLet and joins — ``snake_case`` is ONE
+  token in Lucene's StandardTokenizer).
+* LowerCaseFilter then StopFilter with the 33-word English default stop set;
+  stop removal leaves position *gaps* (enablePositionIncrements=true), so a
+  phrase across a stopped word does NOT match adjacent terms.
+* Classic = pre-3.1 grammar: acronyms (``I.B.M.`` -> ``ibm``), emails and
+  hosts kept whole; ClassicFilter strips acronym dots and trailing ``'s``.
+* UAX29URLEmail = Standard + full URLs/emails as single tokens.
+* English = Standard + EnglishPossessiveFilter (strip ``'s``) + PorterStem.
+
+Tokens are Lucene-style: positions are 0-based ordinals *before* stop
+removal; ``overlap`` marks posIncr==0 tokens (code sub-tokens).
+"""
+
+from __future__ import annotations
+
+import re
+from itertools import chain
+
+import numpy as np
+import pandas as pd
+
+from xltsearch_spark.analyzers.porter import stem as porter_stem
+
+# Lucene StopAnalyzer.ENGLISH_STOP_WORDS_SET (33 words) — the default stop
+# set of StandardAnalyzer/ClassicAnalyzer/EnglishAnalyzer in 4.6.
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+_STANDARD_PATTERN = r"\w+(?:[.']\w+)*"
+_EMAIL_PATTERN = r"\w+(?:[.+-]\w+)*@\w+(?:[.-]\w+)+"
+_ACRONYM_PATTERN = r"(?:[A-Za-z]\.){2,}"
+_URL_PATTERN = r"\w+://[^\s<>\"']+"
+
+_PATTERNS = {
+    "standard": re.compile(_STANDARD_PATTERN),
+    "english": re.compile(_STANDARD_PATTERN),
+    "code": re.compile(_STANDARD_PATTERN),
+    "classic": re.compile(f"{_EMAIL_PATTERN}|{_ACRONYM_PATTERN}|{_STANDARD_PATTERN}"),
+    "uax29urlemail": re.compile(f"{_URL_PATTERN}|{_EMAIL_PATTERN}|{_STANDARD_PATTERN}"),
+}
+
+# camelCase / digit-run sub-token splitter for the code profile
+_SUBTOKEN_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z]+[0-9]*|[0-9]+")
+_ACRONYM_FULL_RE = re.compile(r"^(?:[A-Za-z]\.)+$")
+_POSSESSIVE_RE = re.compile(r"'[sS]$")
+
+
+def profiles() -> tuple[str, ...]:
+    return tuple(_PATTERNS)
+
+
+def _explode(texts: pd.Series, pattern: re.Pattern, max_token_length: int):
+    """texts -> (row_idx int64[], tokens object[]) with long tokens chunked.
+
+    Vectorized: regex runs through pandas' cython str engine; chunk expansion
+    only loops over the (rare) >max-length tokens.
+    """
+    lists = texts.str.findall(pattern)
+    lengths = lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    n = len(texts)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    toks = np.array(list(chain.from_iterable(lists.dropna())), dtype=object)
+    if toks.size:
+        tok_len = np.frompyfunc(len, 1, 1)(toks).astype(np.int64)
+        long_mask = tok_len > max_token_length
+        if long_mask.any():
+            # split each long token into max_token_length-char chunks
+            # (StandardTokenizer continues a new token past maxTokenLength)
+            pieces_rows, pieces_toks = [], []
+            order = np.arange(toks.size)
+            for i in np.nonzero(long_mask)[0]:
+                t = toks[i]
+                chunks = [t[j:j + max_token_length] for j in range(0, len(t), max_token_length)]
+                pieces_rows.append(np.full(len(chunks), rows[i]))
+                pieces_toks.append(np.array(chunks, dtype=object))
+            keep = ~long_mask
+            # rebuild preserving document order: interleave by original index
+            all_rows = [rows[keep]] + pieces_rows
+            all_toks = [toks[keep]] + pieces_toks
+            all_order = [order[keep]] + [np.full(len(p), order[i], dtype=np.float64) + np.linspace(0, 0.9, len(p), endpoint=False)
+                                         for i, p in zip(np.nonzero(long_mask)[0], pieces_toks)]
+            rows = np.concatenate(all_rows)
+            toks = np.concatenate(all_toks)
+            sort = np.argsort(np.concatenate(all_order), kind="stable")
+            rows, toks = rows[sort], toks[sort]
+    return rows, toks
+
+
+def _positions(rows: np.ndarray) -> np.ndarray:
+    """Within-row ordinal for a row-sorted flat token stream."""
+    if rows.size == 0:
+        return np.zeros(0, dtype=np.int32)
+    starts = np.concatenate(([0], np.nonzero(np.diff(rows))[0] + 1))
+    counts = np.diff(np.concatenate((starts, [rows.size])))
+    return (np.arange(rows.size) - np.repeat(starts, counts)).astype(np.int32)
+
+
+def _stem_unique(terms: pd.Series) -> pd.Series:
+    """Porter-stem via the unique vocabulary (O(|vocab|) Python)."""
+    vocab = pd.unique(terms)
+    mapping = {t: porter_stem(t) for t in vocab}
+    return terms.map(mapping)
+
+
+def analyze_flat(texts: pd.Series, profile: str = "standard",
+                 max_token_length: int = 255) -> pd.DataFrame:
+    """Tokenize a batch of texts into a flat (row, term, pos, overlap) frame.
+
+    ``row`` indexes into ``texts`` positionally; ``pos`` is the Lucene token
+    position (gaps where stop words were removed); ``overlap`` is True for
+    posIncr==0 tokens (code-profile sub-tokens) which are excluded from doc
+    length (discountOverlaps=true, as Lucene's BM25/Default similarities do).
+    """
+    if profile not in _PATTERNS:
+        raise KeyError(f"unknown analyzer profile: {profile!r}")
+    rows, toks = _explode(texts.fillna("").astype(str), _PATTERNS[profile], max_token_length)
+    pos = _positions(rows)
+    s = pd.Series(toks, dtype=object)
+    overlap = np.zeros(rows.size, dtype=bool)
+
+    if profile == "classic":
+        # ClassicFilter: strip dots from acronyms, strip trailing 's
+        is_acro = s.str.match(_ACRONYM_FULL_RE).to_numpy(dtype=bool) if len(s) else np.zeros(0, bool)
+        if is_acro.any():
+            s = s.mask(pd.Series(is_acro), s.str.replace(".", "", regex=False))
+        s = s.str.replace(_POSSESSIVE_RE, "", regex=True)
+    elif profile == "english":
+        # EnglishPossessiveFilter (before lowercase in Lucene's chain)
+        s = s.str.replace(_POSSESSIVE_RE, "", regex=True)
+    elif profile == "code":
+        # sub-token expansion: identifiers with >=2 camel/snake parts emit
+        # each part at the SAME position as the parent (posIncr=0 overlap)
+        subs = s.str.findall(_SUBTOKEN_RE)
+        n_subs = subs.str.len().to_numpy(dtype=np.int64) if len(s) else np.zeros(0, np.int64)
+        expand = n_subs >= 2
+        if expand.any():
+            sub_rows = np.repeat(rows[expand], n_subs[expand])
+            sub_pos = np.repeat(pos[expand], n_subs[expand])
+            sub_toks = np.array(list(chain.from_iterable(subs[expand])), dtype=object)
+            rows = np.concatenate((rows, sub_rows))
+            pos = np.concatenate((pos, sub_pos))
+            s = pd.concat([s, pd.Series(sub_toks, dtype=object)], ignore_index=True)
+            overlap = np.concatenate((overlap, np.ones(sub_rows.size, dtype=bool)))
+            order = np.lexsort((overlap, pos, rows))
+            rows, pos, overlap = rows[order], pos[order], overlap[order]
+            s = s.iloc[order].reset_index(drop=True)
+
+    s = s.str.lower()
+
+    if profile == "english":
+        keep = ~s.isin(ENGLISH_STOP_WORDS).to_numpy(dtype=bool)
+        s, rows, pos, overlap = s[keep].reset_index(drop=True), rows[keep], pos[keep], overlap[keep]
+        s = _stem_unique(s)
+    else:
+        keep = ~s.isin(ENGLISH_STOP_WORDS).to_numpy(dtype=bool)
+        s, rows, pos, overlap = s[keep].reset_index(drop=True), rows[keep], pos[keep], overlap[keep]
+
+    return pd.DataFrame({"row": rows, "term": s.to_numpy(dtype=object),
+                         "pos": pos, "overlap": overlap})
+
+
+def doc_lengths(flat: pd.DataFrame, n_rows: int) -> np.ndarray:
+    """Per-row Lucene field length: emitted tokens minus overlaps."""
+    rows = flat.loc[~flat["overlap"], "row"].to_numpy(dtype=np.int64)
+    return np.bincount(rows, minlength=n_rows).astype(np.int64)
+
+
+def analyze_text(text: str, profile: str = "standard",
+                 max_token_length: int = 255) -> list[tuple[str, int]]:
+    """Query-side single-string analysis -> [(term, position)]."""
+    flat = analyze_flat(pd.Series([text]), profile, max_token_length)
+    return list(zip(flat["term"].tolist(), flat["pos"].tolist()))

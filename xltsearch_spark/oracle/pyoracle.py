@@ -1,0 +1,262 @@
+"""Brute-force in-memory IR oracle replicating Lucene 4.6 scoring semantics.
+
+This is the executable spec the Spark engine is gated against (SURVEY.md §5):
+dict-of-lists postings over the fixture corpus, BM25Similarity
+(k1=1.2, b=0.75, 8-bit floatToByte315 norm quantization — selected by the
+reference at ``Config.java:83``, applied ``IndexTask.java:57`` /
+``SearchTask.java:58``) and classic TF-IDF DefaultSimilarity
+(coord + queryNorm, ``Config.java:82``), with top-k ordered score desc then
+docID asc (``SearchTask.java:63`` collector semantics).
+
+Scoring formulas (public Lucene 4.6 knowledge):
+
+* BM25: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` with N = maxDoc;
+  ``score = boost * idf * (k1+1) * tf / (tf + k1*(1 - b + b*dl_q/avgdl))``
+  where ``dl_q`` is the 8-bit-quantized doc length and
+  ``avgdl = sumTotalTermFreq/maxDoc``; queryNorm = coord = 1.
+* TF-IDF: ``idf = 1 + ln(N/(df+1))``; ``score_t = sqrt(tf) * idf^2 * boost *
+  queryNorm * norm_d`` with ``norm_d`` the quantized ``1/sqrt(dl)``;
+  ``queryNorm = 1/sqrt(sumOfSquaredWeights)``; BooleanQuery multiplies
+  ``coord = overlap/maxOverlap``.
+* Multi-term queries: see ``plans/rewrite.py`` (shared with the engine).
+* Phrases: shared matcher ``functions/phrase.py``; phrase idf = sum of term
+  idfs, tf = phraseFreq.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from xltsearch_spark.analyzers import analyze_flat
+from xltsearch_spark.config import IndexConfig
+from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf_norm
+from xltsearch_spark.functions.phrase import phrase_freq
+from xltsearch_spark.plans.parser import (
+    BooleanQuery, MatchAllQuery, MUST, MUST_NOT, PhraseQuery, QueryParser,
+    SHOULD, TermQuery,
+)
+from xltsearch_spark.plans.rewrite import ConstScoreTerms, rewrite
+
+ANALYZED_FIELDS = ("content", "title")
+KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum")
+
+
+class OracleIndex:
+    def __init__(self, corpus: pd.DataFrame, config: IndexConfig | None = None):
+        self.config = config or IndexConfig()
+        df = corpus.sort_values(["repo", "path"]).reset_index(drop=True)
+        df["hashsum"] = df["content"].map(
+            lambda c: hashlib.sha256(str(c).encode("utf-8")).hexdigest())
+        self.docs = df
+        self.n_docs = len(df)
+        # postings[(field, term)] = {doc_id: positions int64[]}
+        self.postings: dict[tuple[str, str], dict[int, np.ndarray]] = {}
+        self.dl: dict[str, np.ndarray] = {}
+        self.sum_ttf: dict[str, int] = {}
+        for field in ANALYZED_FIELDS:
+            if field not in df.columns:
+                continue
+            flat = analyze_flat(df[field].fillna(""), self.config.analyzer,
+                                self.config.max_token_length)
+            self.sum_ttf[field] = len(flat)
+            from xltsearch_spark.analyzers import doc_lengths
+            self.dl[field] = doc_lengths(flat, self.n_docs)
+            for (term, row), grp in flat.groupby(["term", "row"], sort=True):
+                self.postings.setdefault((field, term), {})[int(row)] = \
+                    np.sort(grp["pos"].to_numpy(dtype=np.int64))
+        for field in KEYWORD_FIELDS:
+            if field not in df.columns:
+                continue
+            vals = df[field].fillna("")
+            self.sum_ttf[field] = int((vals != "").sum())
+            self.dl[field] = (vals != "").to_numpy().astype(np.int64)
+            for doc_id, v in vals.items():
+                if v != "":
+                    self.postings.setdefault((field, str(v)), {})[int(doc_id)] = \
+                        np.zeros(1, dtype=np.int64)
+        self.vocab = {}
+        for (field, term) in self.postings:
+            self.vocab.setdefault(field, []).append(term)
+        for field in self.vocab:
+            self.vocab[field].sort()
+        self._qdl = {f: self._quant_dl(self.dl[f]) for f in self.dl}
+        self._tfidf_norm = {f: self._tfidf_norms(self.dl[f]) for f in self.dl}
+
+    def _quant_dl(self, dl: np.ndarray) -> np.ndarray:
+        if self.config.quantize_norms:
+            return quantized_doc_length(np.maximum(dl, 0))
+        return dl.astype(np.float64)
+
+    def _tfidf_norms(self, dl: np.ndarray) -> np.ndarray:
+        if self.config.quantize_norms:
+            return decoded_tf_idf_norm(np.maximum(dl, 0))
+        with np.errstate(divide="ignore"):
+            return np.where(dl > 0, 1.0 / np.sqrt(dl), 0.0)
+
+    def _avgdl(self, field: str) -> float:
+        s = self.sum_ttf.get(field, 0)
+        return (s / self.n_docs) if s > 0 and self.n_docs > 0 else 1.0
+
+    def _bm25_idf(self, df: int) -> float:
+        return math.log(1 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def _tfidf_idf(self, df: int) -> float:
+        return 1 + math.log(self.n_docs / (df + 1))
+
+    # ---------------------------- search ----------------------------------
+    def search(self, query: str, limit: int = 100,
+               parser: QueryParser | None = None) -> list[dict]:
+        parser = parser or QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
+        ast = rewrite(parser.parse(query), self.vocab)
+        model = self.config.scoring_model
+        if model == "bm25":
+            scores = self._eval_bm25(ast, 1.0)
+        else:
+            ssw = self._sum_sq_weights(ast, 1.0)
+            qn = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
+            scores = self._eval_tfidf(ast, 1.0, qn)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        out = []
+        for rank, (doc_id, score) in enumerate(ranked, 1):
+            row = self.docs.iloc[doc_id]
+            out.append({"rank": rank, "doc_id": int(doc_id), "repo": row["repo"],
+                        "path": row["path"], "score": float(score)})
+        return out
+
+    # ---------------------------- BM25 -------------------------------------
+    def _term_bm25(self, field: str, term: str, mult: float) -> dict[int, float]:
+        posting = self.postings.get((field, term), {})
+        if not posting:
+            return {}
+        idf = self._bm25_idf(len(posting))
+        avgdl = self._avgdl(field)
+        k1, b = self.config.k1, self.config.b
+        out = {}
+        qdl = self._qdl[field]
+        for d, pos in posting.items():
+            tf = float(pos.size)
+            tfn = tf / (tf + k1 * (1 - b + b * qdl[d] / avgdl))
+            out[d] = mult * idf * (k1 + 1) * tfn
+        return out
+
+    def _phrase_docs(self, node: PhraseQuery) -> dict[int, float]:
+        """doc -> phraseFreq for docs containing all phrase terms."""
+        postings = [self.postings.get((node.field, t), {}) for t, _ in node.terms]
+        if any(not p for p in postings):
+            return {}
+        docs = set(postings[0])
+        for p in postings[1:]:
+            docs &= set(p)
+        offsets = [o for _, o in node.terms]
+        out = {}
+        for d in docs:
+            pf = phrase_freq([p[d] for p in postings], offsets, node.slop)
+            if pf > 0:
+                out[d] = pf
+        return out
+
+    def _eval_bm25(self, node, mult: float) -> dict[int, float]:
+        if isinstance(node, TermQuery):
+            return self._term_bm25(node.field, node.term, mult * node.boost)
+        if isinstance(node, PhraseQuery):
+            pfs = self._phrase_docs(node)
+            idf = sum(self._bm25_idf(len(self.postings.get((node.field, t), {})))
+                      for t, _ in node.terms)
+            avgdl = self._avgdl(node.field)
+            k1, b = self.config.k1, self.config.b
+            qdl = self._qdl[node.field]
+            return {d: mult * node.boost * idf * (k1 + 1) * pf
+                    / (pf + k1 * (1 - b + b * qdl[d] / avgdl))
+                    for d, pf in pfs.items()}
+        if isinstance(node, ConstScoreTerms):
+            docs = set()
+            for t in node.terms:
+                docs |= set(self.postings.get((node.field, t), {}))
+            return {d: mult * node.boost for d in docs}
+        if isinstance(node, MatchAllQuery):
+            return {d: mult * node.boost for d in range(self.n_docs)}
+        if isinstance(node, BooleanQuery):
+            return self._eval_boolean(node, mult, self._eval_bm25, coord=False, qn=1.0)
+        raise TypeError(type(node).__name__)
+
+    # ---------------------------- TF-IDF -----------------------------------
+    def _sum_sq_weights(self, node, mult: float) -> float:
+        if isinstance(node, TermQuery):
+            df = len(self.postings.get((node.field, node.term), {}))
+            return (self._tfidf_idf(df) * node.boost * mult) ** 2
+        if isinstance(node, PhraseQuery):
+            idf = sum(self._tfidf_idf(len(self.postings.get((node.field, t), {})))
+                      for t, _ in node.terms)
+            return (idf * node.boost * mult) ** 2
+        if isinstance(node, (ConstScoreTerms, MatchAllQuery)):
+            return (node.boost * mult) ** 2
+        if isinstance(node, BooleanQuery):
+            return sum(self._sum_sq_weights(sub, mult * node.boost)
+                       for occ, sub in node.clauses if occ != MUST_NOT)
+        raise TypeError(type(node).__name__)
+
+    def _eval_tfidf(self, node, mult: float, qn: float) -> dict[int, float]:
+        if isinstance(node, TermQuery):
+            posting = self.postings.get((node.field, node.term), {})
+            if not posting:
+                return {}
+            idf = self._tfidf_idf(len(posting))
+            norms = self._tfidf_norm[node.field]
+            return {d: math.sqrt(pos.size) * idf * idf * node.boost * mult * qn * norms[d]
+                    for d, pos in posting.items()}
+        if isinstance(node, PhraseQuery):
+            pfs = self._phrase_docs(node)
+            idf = sum(self._tfidf_idf(len(self.postings.get((node.field, t), {})))
+                      for t, _ in node.terms)
+            norms = self._tfidf_norm[node.field]
+            return {d: math.sqrt(pf) * idf * idf * node.boost * mult * qn * norms[d]
+                    for d, pf in pfs.items()}
+        if isinstance(node, ConstScoreTerms):
+            docs = set()
+            for t in node.terms:
+                docs |= set(self.postings.get((node.field, t), {}))
+            return {d: mult * node.boost * qn for d in docs}
+        if isinstance(node, MatchAllQuery):
+            return {d: mult * node.boost * qn for d in range(self.n_docs)}
+        if isinstance(node, BooleanQuery):
+            return self._eval_boolean(node, mult, lambda n, m: self._eval_tfidf(n, m, qn),
+                                      coord=True, qn=qn)
+        raise TypeError(type(node).__name__)
+
+    # ---------------------------- boolean ----------------------------------
+    def _eval_boolean(self, node: BooleanQuery, mult: float, ev, coord: bool,
+                      qn: float) -> dict[int, float]:
+        m2 = mult * node.boost
+        musts, shoulds, nots = [], [], []
+        for occ, sub in node.clauses:
+            scored = ev(sub, m2)
+            (musts if occ == MUST else shoulds if occ == SHOULD else nots).append(scored)
+        if not musts and not shoulds:
+            return {}  # pure-negative boolean matches nothing (Lucene semantics)
+        if musts:
+            docs = set(musts[0])
+            for m in musts[1:]:
+                docs &= set(m)
+        else:
+            docs = set()
+            for s in shoulds:
+                docs |= set(s)
+        for nmap in nots:
+            docs -= set(nmap)
+        scoring = musts + shoulds
+        max_overlap = len(scoring)
+        out = {}
+        for d in docs:
+            total, overlap = 0.0, 0
+            for smap in scoring:
+                if d in smap:
+                    total += smap[d]
+                    overlap += 1
+            if coord and max_overlap > 0:
+                total *= overlap / max_overlap
+            out[d] = total
+        return out

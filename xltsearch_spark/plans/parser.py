@@ -1,0 +1,320 @@
+"""Classic Lucene QueryParser grammar -> query AST.
+
+xltsearch hands user query strings to Lucene's classic ``QueryParser`` with
+default field ``content`` and the index-time analyzer
+(``SearchTask.java:59-61``; grammar advertised in README.md:23). We
+re-implement that public grammar as a small lexer + left-to-right clause
+parser (which is exactly how classic QP builds BooleanQueries: one level per
+parenthesized group, ``AND``/``OR``/``NOT``/``+``/``-`` set per-clause occur
+flags; default operator OR).
+
+Semantics reproduced:
+
+* ``term``, ``"phrase"``, ``"phrase"~slop``, ``field:term``, ``AND``/``&&``,
+  ``OR``/``||``, ``NOT``/``!``, ``+must``, ``-must_not``, ``(group)``,
+  ``term^boost``, ``wild*``/``wi?d``, ``fuzzy~``/``fuzzy~1``, ``[a TO b]``,
+  ``{a TO b}``, ``\\`` escapes, ``*:*`` match-all.
+* Term text is analyzed with the index analyzer; if it analyzes to multiple
+  tokens the result is an OR of term queries (autoGeneratePhraseQueries =
+  false, the 4.6 default). Phrases keep analyzed token positions, so a
+  stopped word inside a phrase leaves a position gap.
+* Wildcard/fuzzy/range terms are lowercased but not analyzed
+  (lowercaseExpandedTerms=true default).
+
+The AST is evaluated both by the Spark plan builder
+(``operators/search.py``) and the pure-Python oracle (``oracle/pyoracle.py``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dfield
+from typing import Optional
+
+from xltsearch_spark.analyzers import analyze_text
+
+SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
+
+DEFAULT_FIELD = "content"  # Config.java:111 / SearchTask.java:60
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    field: str
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    field: str
+    terms: tuple[tuple[str, int], ...]  # (term, position) with stop-word gaps
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery:
+    field: str
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery:
+    field: str
+    pattern: str  # raw pattern with * and ?
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    field: str
+    term: str
+    max_edits: int = 2
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RangeQuery:
+    field: str
+    lo: Optional[str]
+    hi: Optional[str]
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchAllQuery:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    clauses: tuple[tuple[str, object], ...]  # (occur, subquery)
+    boost: float = 1.0
+
+
+# ------------------------------- lexer -------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<and>AND\b|&&)
+      | (?P<or>OR\b|\|\|)
+      | (?P<not>NOT\b|!)
+      | (?P<plus>\+)
+      | (?P<minus>-)
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<phrase>"(?:[^"\\]|\\.)*")
+      | (?P<range>[\[{](?:[^\]}\\]|\\.)*?[\]}])
+      | (?P<atom>(?:[^\s()+\-!"^~\\\[{]|\\.)(?:[^\s()!"^~\\\[{]|\\.)*)
+      | (?P<caret>\^)
+      | (?P<tilde>~)
+    )""",
+    re.VERBOSE,
+)
+
+_NUM_RE = re.compile(r"\d+(?:\.\d+)?")
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+class _Lexer:
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    def peek_char(self) -> str:
+        return self.text[self.pos] if self.pos < len(self.text) else ""
+
+    def next_token(self):
+        if self.pos >= len(self.text):
+            return None, None
+        m = _TOKEN_RE.match(self.text, self.pos)
+        if not m or m.end() == self.pos:
+            raise QueryParseError(f"cannot lex at {self.pos}: {self.text[self.pos:]!r}")
+        self.pos = m.end()
+        kind = m.lastgroup
+        return kind, m.group(kind)
+
+
+# ------------------------------- parser ------------------------------------
+
+class QueryParser:
+    """parser = QueryParser(analyzer_profile); parser.parse("foo AND bar")."""
+
+    def __init__(self, analyzer: str = "standard", default_field: str = DEFAULT_FIELD,
+                 keyword_fields: tuple[str, ...] = ()):
+        self.analyzer = analyzer
+        self.default_field = default_field
+        # keyword (un-analyzed StringField-like) fields: query text matched verbatim
+        self.keyword_fields = frozenset(keyword_fields)
+
+    def parse(self, query: str):
+        lex = _Lexer(query)
+        q = self._parse_boolean(lex, depth=0, field=None)
+        if q is None:
+            raise QueryParseError(f"empty query: {query!r}")
+        return q
+
+    # -- boolean clause list (one BooleanQuery level, classic-QP style) --
+    def _parse_boolean(self, lex: _Lexer, depth: int, field: Optional[str] = None):
+        clauses: list[tuple[str, object]] = []
+        pending_occur: Optional[str] = None
+        conj_and = False  # saw AND between previous and next clause
+        while True:
+            save = lex.pos
+            kind, val = lex.next_token()
+            if kind is None:
+                break
+            if kind == "rparen":
+                if depth == 0:
+                    raise QueryParseError("unbalanced ')'")
+                break  # ')' consumed; caller resumes after the group
+            if kind == "and":
+                # classic QP: AND retroactively promotes the previous clause
+                conj_and = True
+                if clauses and clauses[-1][0] == SHOULD:
+                    clauses[-1] = (MUST, clauses[-1][1])
+                continue
+            if kind == "or":
+                # with default operator OR, OR leaves the previous clause as-is
+                conj_and = False
+                continue
+            if kind in ("not", "minus"):
+                pending_occur = MUST_NOT
+                continue
+            if kind == "plus":
+                pending_occur = MUST
+                continue
+            # an actual subquery token
+            sub = self._parse_sub(lex, kind, val, field)
+            if sub is None:
+                continue
+            occur = pending_occur if pending_occur else (MUST if conj_and else SHOULD)
+            clauses.append((occur, sub))
+            pending_occur = None
+            conj_and = False
+        if not clauses:
+            return None
+        if len(clauses) == 1 and clauses[0][0] == SHOULD:
+            return clauses[0][1]
+        return BooleanQuery(tuple(clauses))
+
+    # -- a single clause: [field:] atom/phrase/range/group [~f] [^boost] --
+    def _parse_sub(self, lex: _Lexer, kind: str, val: str,
+                   outer_field: Optional[str] = None):
+        field = outer_field or self.default_field
+        if kind == "atom":
+            # split off "field:" prefix (unescaped colon)
+            m = re.match(r"^((?:[^\\:]|\\.)+):(.*)$", val)
+            if m and m.group(2):
+                field = _unescape(m.group(1))
+                val = m.group(2)
+            elif m and not m.group(2):
+                field = _unescape(m.group(1))
+                kind2, val2 = lex.next_token()
+                kind, val = kind2, val2
+                if kind is None:
+                    raise QueryParseError(f"field {field!r} with no value")
+        if kind == "lparen":
+            # field:(...) propagates the field into the group (classic QP)
+            group_field = field if field != self.default_field or outer_field else None
+            sub = self._parse_boolean(lex, depth=1, field=group_field)
+            boost = self._parse_boost(lex)
+            if sub is None:
+                return None
+            return self._with_boost(sub, boost)
+        if kind == "phrase":
+            body = _unescape(val[1:-1])
+            slop = 0
+            if lex.peek_char() == "~":
+                lex.next_token()
+                m = _NUM_RE.match(lex.text, lex.pos)
+                if m:
+                    slop = int(float(m.group()))
+                    lex.pos = m.end()
+            boost = self._parse_boost(lex)
+            return self._make_phrase(field, body, slop, boost)
+        if kind == "range":
+            inc_lo = val[0] == "["
+            inc_hi = val[-1] == "]"
+            body = val[1:-1]
+            m = re.match(r"^\s*(\S+)\s+TO\s+(\S+)\s*$", body)
+            if not m:
+                raise QueryParseError(f"bad range: {val!r}")
+            lo = None if m.group(1) == "*" else _unescape(m.group(1)).lower()
+            hi = None if m.group(2) == "*" else _unescape(m.group(2)).lower()
+            boost = self._parse_boost(lex)
+            return RangeQuery(field, lo, hi, inc_lo, inc_hi, boost)
+        if kind == "atom":
+            return self._parse_atom(lex, field, val)
+        raise QueryParseError(f"unexpected token {val!r}")
+
+    def _parse_boost(self, lex: _Lexer) -> float:
+        if lex.peek_char() == "^":
+            lex.next_token()
+            m = _NUM_RE.match(lex.text, lex.pos)
+            if not m:
+                raise QueryParseError("^ with no boost number")
+            lex.pos = m.end()
+            return float(m.group())
+        return 1.0
+
+    def _parse_atom(self, lex: _Lexer, field: str, val: str):
+        fuzzy = None
+        if lex.peek_char() == "~":
+            lex.next_token()
+            m = _NUM_RE.match(lex.text, lex.pos)
+            if m:
+                fuzzy = min(int(float(m.group())), 2)
+                lex.pos = m.end()
+            else:
+                fuzzy = 2  # bare ~ defaults to max edits 2 in 4.6
+        boost = self._parse_boost(lex)
+        raw = val
+        text = _unescape(raw)
+        if text == "*:*" or (field == "*" and text == "*"):
+            return MatchAllQuery(boost)
+        has_wild = re.search(r"(?<!\\)[*?]", raw) is not None
+        if fuzzy is not None:
+            t = text if field in self.keyword_fields else text.lower()
+            return FuzzyQuery(field, t, fuzzy, boost)
+        if has_wild:
+            pat = text if field in self.keyword_fields else text.lower()
+            if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+                return PrefixQuery(field, pat[:-1], boost)
+            return WildcardQuery(field, pat, boost)
+        if field in self.keyword_fields:
+            return TermQuery(field, text, boost)
+        toks = [t for t, _ in analyze_text(text, self.analyzer)]
+        if not toks:
+            return None  # fully stopped-out term: classic QP drops the clause
+        if len(toks) == 1:
+            return TermQuery(field, toks[0], boost)
+        # multi-token analysis -> OR of terms (autoGeneratePhraseQueries=false)
+        return BooleanQuery(tuple((SHOULD, TermQuery(field, t)) for t in toks), boost)
+
+    def _make_phrase(self, field: str, body: str, slop: int, boost: float):
+        toks = analyze_text(body, self.analyzer)
+        toks = [(t, p) for t, p in toks]
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return TermQuery(field, toks[0][0], boost)
+        base = toks[0][1]
+        return PhraseQuery(field, tuple((t, p - base) for t, p in toks), slop, boost)
+
+    @staticmethod
+    def _with_boost(q, boost: float):
+        if boost == 1.0:
+            return q
+        return type(q)(**{**q.__dict__, "boost": q.boost * boost})

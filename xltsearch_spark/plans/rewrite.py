@@ -1,0 +1,129 @@
+"""Multi-term query rewrite — Lucene 4.6 MultiTermQuery semantics.
+
+Wildcard / prefix / range queries rewrite through
+``CONSTANT_SCORE_AUTO_REWRITE_DEFAULT``: every matching doc scores a
+constant ``boost`` (public Lucene 4.6 behavior). Fuzzy queries rewrite
+through ``TopTermsScoringBooleanQueryRewrite``: the top-50 closest terms
+become SHOULD TermQueries, each boosted by the 4.6 FuzzyTermsEnum
+similarity ``1 - edits / min(len(query), len(term))``.
+
+Rewrite happens at plan time on the driver against the (small) term
+dictionary — both the Spark engine and the pure-Python oracle share this
+code, so expansion order/limits are identical by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from xltsearch_spark.plans.parser import (
+    BooleanQuery, FuzzyQuery, MatchAllQuery, PhraseQuery, PrefixQuery,
+    RangeQuery, SHOULD, TermQuery, WildcardQuery,
+)
+
+FUZZY_TOP_TERMS = 50  # TopTermsScoringBooleanQueryRewrite size in FuzzyQuery 4.6
+
+
+@dataclass(frozen=True)
+class ConstScoreTerms:
+    """Rewritten multi-term query: constant score `boost` for any doc
+    containing at least one of `terms` in `field`."""
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def _wildcard_regex(pattern: str) -> re.Pattern:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$")
+
+
+def rewrite(ast, vocab):
+    """Expand multi-term nodes against ``vocab`` (field -> sorted term list).
+
+    Returns an AST containing only Term/Phrase/Boolean/ConstScoreTerms/
+    MatchAll nodes.
+    """
+    if isinstance(ast, BooleanQuery):
+        return BooleanQuery(tuple((occ, rewrite(sub, vocab)) for occ, sub in ast.clauses),
+                            ast.boost)
+    if isinstance(ast, PrefixQuery):
+        terms = tuple(t for t in vocab.get(ast.field, ()) if t.startswith(ast.prefix))
+        return ConstScoreTerms(ast.field, terms, ast.boost)
+    if isinstance(ast, WildcardQuery):
+        rx = _wildcard_regex(ast.pattern)
+        terms = tuple(t for t in vocab.get(ast.field, ()) if rx.match(t))
+        return ConstScoreTerms(ast.field, terms, ast.boost)
+    if isinstance(ast, RangeQuery):
+        terms = tuple(
+            t for t in vocab.get(ast.field, ())
+            if (ast.lo is None or (t >= ast.lo if ast.include_lo else t > ast.lo))
+            and (ast.hi is None or (t <= ast.hi if ast.include_hi else t < ast.hi))
+        )
+        return ConstScoreTerms(ast.field, terms, ast.boost)
+    if isinstance(ast, FuzzyQuery):
+        scored = []
+        for t in vocab.get(ast.field, ()):
+            d = _levenshtein_capped(ast.term, t, ast.max_edits)
+            if d <= ast.max_edits:
+                sim = 1.0 if d == 0 else 1.0 - d / min(len(ast.term), len(t))
+                scored.append((sim, t))
+        # top-N by boost desc, term asc (deterministic)
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        clauses = tuple(
+            (SHOULD, TermQuery(ast.field, t, ast.boost * sim))
+            for sim, t in scored[:FUZZY_TOP_TERMS]
+        )
+        if not clauses:
+            return ConstScoreTerms(ast.field, (), ast.boost)
+        return BooleanQuery(clauses) if len(clauses) > 1 else clauses[0][1]
+    if isinstance(ast, (TermQuery, PhraseQuery, MatchAllQuery, ConstScoreTerms)):
+        return ast
+    raise TypeError(f"cannot rewrite {type(ast).__name__}")
+
+
+def collect_terms(ast) -> list[tuple[str, str]]:
+    """All (field, term) pairs a rewritten AST touches (for pruned scans)."""
+    out: list[tuple[str, str]] = []
+    if isinstance(ast, BooleanQuery):
+        for _, sub in ast.clauses:
+            out.extend(collect_terms(sub))
+    elif isinstance(ast, TermQuery):
+        out.append((ast.field, ast.term))
+    elif isinstance(ast, PhraseQuery):
+        out.extend((ast.field, t) for t, _ in ast.terms)
+    elif isinstance(ast, ConstScoreTerms):
+        out.extend((ast.field, t) for t in ast.terms)
+    return out
+
+
+def needs_positions(ast) -> bool:
+    if isinstance(ast, PhraseQuery):
+        return True
+    if isinstance(ast, BooleanQuery):
+        return any(needs_positions(sub) for _, sub in ast.clauses)
+    return False
