@@ -1,0 +1,341 @@
+"""SPIMI-style distributed inverted-index build (SURVEY.md §2.2 B1-B5).
+
+Replaces the reference's single-node 3-thread pipeline
+(``Catalog.updateIndex`` -> Select/Parse/IndexTask, ``Catalog.java:97-128``;
+Lucene ``IndexWriter`` segment build at ``IndexTask.java:54-88``) with a
+Spark-first plan designed for 10^12-file scale:
+
+Stage 1  docs        corpus -> sha256(content) (built-in ``F.sha2``, B1) +
+                     deterministic dense doc_id in (repo, path) order
+                     (reproduces Lucene's docID-asc tie-break,
+                     ``SearchTask.java:63``).
+Stage 2  runs        ``mapInPandas`` partition-local SPIMI: tokenize with the
+                     configured analyzer (B4) and emit one row per
+                     (field, term, doc-range) = a sorted, delta+varint
+                     compressed posting RUN, plus per-doc length rows.
+                     Doc ranges are disjoint and ordered, so every term's
+                     runs concatenate into a globally doc-sorted posting
+                     list WITHOUT a comparison merge — the "two-level
+                     (partition-local then global) posting merge": level 1
+                     inside each partition, level 2 a concatenation.
+Stage 3  dictionary  groupBy(field, term) over run *summaries* (column-
+                     pruned: n_docs/sum_tf only) -> doc_freq/total_term_freq.
+                     Map-side partial agg keeps the hot-term shuffle tiny.
+Stage 4  postings    runs shuffled once by hash(field, term) bucket; inside
+                     each bucket partition all runs of a term are local, so
+                     df(term) and block encoding need NO further shuffle.
+                     Emits ≤block_size-doc blocks with skip pointers
+                     (first/last doc) and an exact per-block max BM25 score
+                     (block-max WAND metadata).
+
+Hot-term skew: a term appearing in every doc ("the", "def") is never a
+single reducer row — its postings stay split across doc-range runs and
+blocks; the only per-term single-point work is the tiny dictionary sum.
+
+Every stage writes parquet + a lineage manifest (checkpoint/resume — see
+``catalog.py``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from xltsearch_spark.analyzers import analyze_flat, doc_lengths
+from xltsearch_spark.config import IndexConfig
+from xltsearch_spark.functions.norms import quantized_doc_length
+from xltsearch_spark.functions.varint import (decode_deltas, decode_varint,
+                                              encode_deltas, encode_varint)
+
+ANALYZED_FIELDS = ("content", "title")
+KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum")
+
+RUN_SCHEMA = StructType([
+    StructField("field", StringType()),
+    StructField("term", StringType()),      # NULL => per-doc length row
+    StructField("range_id", LongType()),
+    StructField("bucket", IntegerType()),
+    StructField("n_docs", IntegerType()),
+    StructField("docs_bin", BinaryType()),  # delta+varint doc ids
+    StructField("tfs_bin", BinaryType()),   # varint term freqs (or dl for NULL-term rows)
+    StructField("dls_bin", BinaryType()),   # varint per-doc field lengths
+    StructField("pos_bin", BinaryType()),   # varint within-doc position deltas
+    StructField("sum_tf", LongType()),
+])
+
+POSTING_SCHEMA = StructType([
+    StructField("field", StringType()),
+    StructField("term", StringType()),
+    StructField("bucket", IntegerType()),
+    StructField("block_id", LongType()),
+    StructField("n_docs", IntegerType()),
+    StructField("skip_first_doc", LongType()),
+    StructField("skip_last_doc", LongType()),
+    StructField("block_max_score", DoubleType()),
+    StructField("docs_bin", BinaryType()),
+    StructField("tfs_bin", BinaryType()),
+    StructField("dls_bin", BinaryType()),
+    StructField("pos_bin", BinaryType()),
+])
+
+
+def term_bucket(term: pd.Series | np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic term -> bucket hash (stable across runs/languages)."""
+    s = pd.Series(term, dtype=object).fillna("")
+    # FNV-1a over utf-8 bytes, vectorized via python-level hashlib on uniques
+    uniq = pd.unique(s)
+    m = {t: int.from_bytes(hashlib.md5(str(t).encode("utf-8")).digest()[:4], "little") % n_buckets
+         for t in uniq}
+    return s.map(m).to_numpy(dtype=np.int32)
+
+
+def assign_doc_ids(df: DataFrame, key_cols=("repo", "path")) -> DataFrame:
+    """Deterministic dense doc_id in key sort order, without a global window.
+
+    Range-partition + sort, persist (pins the sampled range bounds), count
+    per partition (tiny collect), then add the per-partition offset inside a
+    mapInPandas — the scalable equivalent of sort + zipWithIndex. A single
+    ``row_number()`` window would serialize on one task at 10^12 rows.
+    """
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sorted_df = df.repartitionByRange(n_parts, *[F.col(c) for c in key_cols]) \
+                  .sortWithinPartitions(*key_cols).persist()
+    counts = {r["pid"]: r["cnt"] for r in
+              sorted_df.withColumn("pid", F.spark_partition_id())
+                       .groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = StructType(sorted_df.schema.fields + [StructField("doc_id", LongType())])
+
+    def add_ids(it):
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            base += len(pdf)
+            yield pdf
+
+    return sorted_df.mapInPandas(add_ids, schema=out_schema)
+
+
+@dataclass
+class BuildStats:
+    n_docs: int
+    avgdl: dict[str, float]
+    sum_ttf: dict[str, int]
+
+
+def _encode_group(doc_ids, tfs, dls, pos_deltas_bytes):
+    return (encode_deltas(doc_ids), encode_varint(tfs.astype(np.uint64)),
+            encode_varint(dls.astype(np.uint64)), pos_deltas_bytes)
+
+
+def make_tokenize_udf(config: IndexConfig, fields_present: list[str]):
+    """mapInPandas generator: doc batches -> posting runs + doc-length rows."""
+    range_size = config.doc_range_size
+    n_buckets = config.term_buckets
+    analyzed = [f for f in ANALYZED_FIELDS if f in fields_present]
+    keywords = [f for f in KEYWORD_FIELDS if f in fields_present]
+    profile = config.analyzer
+    max_tok = config.max_token_length
+
+    def tokenize(it):
+        for pdf in it:
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            out_rows = []
+            for field in analyzed:
+                flat = analyze_flat(pdf[field], profile, max_tok)
+                dl = doc_lengths(flat, len(pdf))
+                # per-doc length rows (term NULL), grouped by doc range
+                _emit_dl_rows(out_rows, field, doc_ids, dl, range_size)
+                if len(flat) == 0:
+                    continue
+                rows = flat["row"].to_numpy(dtype=np.int64)
+                terms = flat["term"].to_numpy(dtype=object)
+                pos = flat["pos"].to_numpy(dtype=np.int64)
+                _emit_runs(out_rows, field, terms, doc_ids[rows], pos, dl, rows,
+                           range_size, n_buckets)
+            for field in keywords:
+                vals = pdf[field].fillna("").astype(str).to_numpy(dtype=object)
+                mask = vals != ""
+                docs = doc_ids[mask]
+                dl1 = mask.astype(np.int64)
+                _emit_dl_rows(out_rows, field, doc_ids, dl1, range_size)
+                if docs.size:
+                    pos0 = np.zeros(docs.size, dtype=np.int64)
+                    dl_k = np.ones(len(pdf), dtype=np.int64)
+                    _emit_runs(out_rows, field, vals[mask], docs, pos0, dl_k,
+                               np.nonzero(mask)[0], range_size, n_buckets)
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=[f.name for f in RUN_SCHEMA.fields])
+
+    return tokenize
+
+
+def _emit_dl_rows(out_rows, field, doc_ids, dl, range_size):
+    ranges = doc_ids // range_size
+    for rid in np.unique(ranges):
+        m = ranges == rid
+        d, l = doc_ids[m], np.asarray(dl)[m]
+        out_rows.append((field, None, int(rid), int(rid % 2**31), int(d.size),
+                         encode_deltas(d), encode_varint(l.astype(np.uint64)),
+                         None, None, int(l.sum())))
+
+
+def _emit_runs(out_rows, field, terms, docs, pos, dl_per_row, rows,
+               range_size, n_buckets):
+    """Vectorized SPIMI: flat (term, doc, pos) -> one encoded run per
+    (term, doc-range). Python loops only over distinct (term, range) groups."""
+    dl_arr = np.asarray(dl_per_row, dtype=np.int64)
+    ranges = docs // range_size
+    buckets = term_bucket(terms, n_buckets)
+    order = np.lexsort((pos, docs, terms.astype(str)))
+    terms, docs, pos, ranges, buckets, rows = (terms[order], docs[order], pos[order],
+                                               ranges[order], buckets[order], rows[order])
+    # group boundaries at (term, range) change
+    t_str = terms.astype(str)
+    new_term = np.empty(len(t_str), dtype=bool)
+    new_term[0] = True
+    new_term[1:] = (t_str[1:] != t_str[:-1]) | (ranges[1:] != ranges[:-1])
+    grp_starts = np.nonzero(new_term)[0]
+    grp_ends = np.append(grp_starts[1:], len(t_str))
+    # per-token position deltas (reset at doc change)
+    pos_delta = np.empty(len(pos), dtype=np.uint64)
+    pos_delta[0] = pos[0]
+    same_doc = np.zeros(len(pos), dtype=bool)
+    same_doc[1:] = (docs[1:] == docs[:-1]) & ~new_term[1:]
+    pos_delta[1:] = np.where(same_doc[1:], pos[1:] - pos[:-1], pos[1:])
+    for s, e in zip(grp_starts, grp_ends):
+        d_slice = docs[s:e]
+        uniq_docs, first_idx, tf = np.unique(d_slice, return_index=True, return_counts=True)
+        dls = dl_arr[rows[s:e][first_idx]].astype(np.uint64)
+        pos_bytes = encode_varint(pos_delta[s:e])
+        docs_bin, tfs_bin, dls_bin, pos_bin = _encode_group(
+            uniq_docs, tf.astype(np.uint64), dls, pos_bytes)
+        out_rows.append((field, str(t_str[s]), int(ranges[s]), int(buckets[s]),
+                         int(uniq_docs.size), docs_bin, tfs_bin, dls_bin,
+                         pos_bin, int(tf.sum())))
+
+
+def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
+    """mapInPandas over bucket partitions: merge a term's (ordered, disjoint)
+    runs by concatenation and emit fixed-size blocks with exact block-max
+    BM25 metadata. All runs of a term are guaranteed local (bucket hash)."""
+    k1, b, quantize = config.k1, config.b, config.quantize_norms
+    block = config.block_size
+
+    def to_blocks(it):
+        for pdf in it:
+            pdf = pdf.sort_values(["field", "term", "range_id"], kind="mergesort")
+            out = []
+            for (field, term), grp in pdf.groupby(["field", "term"], sort=False):
+                doc_arrs, tf_arrs, dl_arrs, pos_arrs = [], [], [], []
+                for r in grp.itertuples(index=False):
+                    nd = int(r.n_docs)
+                    doc_arrs.append(decode_deltas(r.docs_bin, nd))
+                    tf_arrs.append(decode_varint(r.tfs_bin, nd).astype(np.int64))
+                    dl_arrs.append(decode_varint(r.dls_bin, nd).astype(np.int64))
+                    pos_arrs.append(r.pos_bin if r.pos_bin is not None else b"")
+                docs = np.concatenate(doc_arrs)
+                tfs = np.concatenate(tf_arrs)
+                dls = np.concatenate(dl_arrs)
+                all_pos = decode_varint(b"".join(pos_arrs)) if any(len(p) for p in pos_arrs) else np.zeros(0, np.uint64)
+                df_term = int(docs.size)
+                idf = float(np.log(1 + (n_docs - df_term + 0.5) / (df_term + 0.5)))
+                ad = avgdl.get(field, 1.0) or 1.0
+                dlq = quantized_doc_length(dls) if quantize else dls.astype(np.float64)
+                scores = idf * (k1 + 1) * tfs / (tfs + k1 * (1 - b + b * dlq / ad))
+                pos_offsets = np.concatenate(([0], np.cumsum(tfs)))
+                bucket = int(grp["bucket"].iloc[0])
+                for blk_id, start in enumerate(range(0, df_term, block)):
+                    end = min(start + block, df_term)
+                    p0, p1 = pos_offsets[start], pos_offsets[end]
+                    blk_pos = all_pos[p0:p1]
+                    # re-anchor: first position of each doc in block is absolute
+                    # already (deltas reset per doc), so the slice is valid as-is
+                    out.append((field, term, bucket, blk_id, end - start,
+                                int(docs[start]), int(docs[end - 1]),
+                                float(scores[start:end].max()),
+                                encode_deltas(docs[start:end]),
+                                encode_varint(tfs[start:end].astype(np.uint64)),
+                                encode_varint(dls[start:end].astype(np.uint64)),
+                                encode_varint(blk_pos)))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in POSTING_SCHEMA.fields])
+
+    return to_blocks
+
+
+class IndexBuilder:
+    """Orchestrates the staged build. Used directly (in-memory DataFrames)
+    or through ``catalog.IndexCatalog`` (persisted + checkpoint/resume)."""
+
+    def __init__(self, spark: SparkSession, config: IndexConfig | None = None):
+        self.spark = spark
+        self.config = config or IndexConfig()
+
+    def docs_stage(self, corpus: DataFrame) -> DataFrame:
+        """Stage 1: hashsum (B1, ``SelectTask.java:165-178`` w/ sha256 per
+        BASELINE.json) + deterministic doc ids. Pure built-in exprs."""
+        cols = corpus.columns
+        df = corpus
+        if "title" not in cols:
+            df = df.withColumn("title", F.lit(None).cast("string"))
+        df = df.withColumn("hashsum", F.sha2(F.col("content").cast("binary"), 256))
+        return assign_doc_ids(df)
+
+    def runs_stage(self, docs: DataFrame) -> DataFrame:
+        fields = docs.columns
+        udf = make_tokenize_udf(self.config, fields)
+        return docs.mapInPandas(udf, schema=RUN_SCHEMA)
+
+    def dictionary_stage(self, runs: DataFrame) -> DataFrame:
+        return (runs.filter(F.col("term").isNotNull())
+                .groupBy("field", "term")
+                .agg(F.first("bucket").alias("bucket"),
+                     F.sum("n_docs").cast("long").alias("doc_freq"),
+                     F.sum("sum_tf").cast("long").alias("total_term_freq")))
+
+    def stats_stage(self, docs: DataFrame, runs: DataFrame) -> BuildStats:
+        n_docs = docs.count()
+        ttf_rows = (runs.filter(F.col("term").isNotNull())
+                    .groupBy("field").agg(F.sum("sum_tf").alias("ttf")).collect())
+        sum_ttf = {r["field"]: int(r["ttf"]) for r in ttf_rows}
+        avgdl = {f: (v / n_docs if n_docs else 1.0) or 1.0 for f, v in sum_ttf.items()}
+        return BuildStats(n_docs=n_docs, avgdl=avgdl, sum_ttf=sum_ttf)
+
+    def postings_stage(self, runs: DataFrame, stats: BuildStats) -> DataFrame:
+        shuffled = (runs.filter(F.col("term").isNotNull())
+                    .repartition(self.config.term_buckets, F.col("field"), F.col("bucket")))
+        udf = make_block_udf(self.config, stats.n_docs, stats.avgdl)
+        return shuffled.mapInPandas(udf, schema=POSTING_SCHEMA)
+
+    def doc_norms(self, runs: DataFrame) -> DataFrame:
+        """Per-(field, doc) lengths from the NULL-term rows (doc_stats table)."""
+        dl_schema = StructType([
+            StructField("field", StringType()), StructField("doc_id", LongType()),
+            StructField("dl", LongType()),
+        ])
+
+        def explode_dl(it):
+            for pdf in it:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    d = decode_deltas(r.docs_bin, int(r.n_docs))
+                    l = decode_varint(r.tfs_bin, int(r.n_docs)).astype(np.int64)
+                    out.append(pd.DataFrame({"field": r.field, "doc_id": d, "dl": l}))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return runs.filter(F.col("term").isNull()).mapInPandas(explode_dl, schema=dl_schema)

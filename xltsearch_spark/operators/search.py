@@ -1,0 +1,335 @@
+"""Query-side engine: classic-QP AST -> DataFrame plan -> top-k (SURVEY.md §2.4).
+
+Mirrors ``SearchTask.java:49-100``: parse with the index analyzer
+(``SearchTask.java:59-61``), score with the configured similarity
+(``SearchTask.java:58``), collect top-k ordered score desc / docID asc
+(``SearchTask.java:63``), then fetch stored fields (``SearchTask.java:66-81``).
+
+Physical shape (shuffle-light; SURVEY.md §4):
+
+1. ONE pruned scan of the ``postings`` table covering every term the query
+   touches — partition pruning on (field, bucket) directories plus a term
+   IN-list that reaches the parquet row-group stats. Blocks are decoded and
+   scored inside a single ``mapInPandas`` (numpy varint decode + BM25/TF-IDF
+   kernels, Arrow in/out).
+2. Boolean algebra = one unionByName + groupBy(doc_id) per BooleanQuery
+   level (map-side partial agg; AQE handles skew). Conjunctions filter on
+   matched-MUST counts; MUST_NOT is a flag aggregated in the same pass — no
+   extra anti-join shuffle.
+3. Top-k via ``orderBy(score desc, doc_id asc).limit(k)`` — Spark's
+   TakeOrderedAndProject, a distributed heap, never a full sort.
+4. Stored-field fetch = broadcast join of the k result rows against ``docs``.
+
+Multi-term expansion (wildcard/fuzzy/range) filters the ``dictionary``
+table JVM-side (startswith/rlike/between/levenshtein) and reuses the shared
+rewrite semantics of ``plans/rewrite.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from xltsearch_spark.config import IndexConfig
+from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf_norm
+from xltsearch_spark.functions.phrase import phrase_freq
+from xltsearch_spark.functions.varint import decode_deltas, decode_varint
+from xltsearch_spark.operators.build import BuildStats, term_bucket
+from xltsearch_spark.plans import scoring
+from xltsearch_spark.plans.parser import (BooleanQuery, MatchAllQuery, MUST,
+                                          MUST_NOT, PhraseQuery, QueryParser,
+                                          SHOULD, TermQuery, PrefixQuery,
+                                          WildcardQuery, FuzzyQuery, RangeQuery)
+from xltsearch_spark.plans.rewrite import (ConstScoreTerms, FUZZY_TOP_TERMS,
+                                           _wildcard_regex, collect_terms,
+                                           needs_positions)
+
+DECODED_SCHEMA = StructType([
+    StructField("field", StringType()),
+    StructField("term", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("score", DoubleType()),   # per-term similarity contribution (boost excluded)
+    StructField("tf", LongType()),
+    StructField("dl", LongType()),
+    StructField("positions", StringType()),  # varint-hex when phrase eval needs them
+])
+
+
+@dataclass
+class SearchResult:
+    """Reference SearchResult {file, title, score, details} (SearchResult.java:19-31)."""
+    doc_id: int
+    repo: str
+    path: str
+    title: str
+    score: float
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, postings: DataFrame, docs: DataFrame,
+                 dictionary: DataFrame, stats: BuildStats,
+                 config: IndexConfig | None = None):
+        self.spark = spark
+        self.postings = postings
+        self.docs = docs
+        self.dictionary = dictionary
+        self.stats = stats
+        self.config = config or IndexConfig()
+        from xltsearch_spark.operators.build import KEYWORD_FIELDS
+        self.parser = QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
+
+    # ------------------------- public API ----------------------------------
+    def search(self, query: str, limit: int = 100) -> DataFrame:
+        """Top-k hits with stored fields, ordered (score desc, doc_id asc)."""
+        topk = self.search_scores(query, limit)
+        joined = (F.broadcast(topk).join(self.docs.select(
+                      "doc_id", "repo", "path", "commit", "lang", "title", "hashsum"),
+                      "doc_id", "inner")
+                  .withColumn("title", F.coalesce(F.col("title"), F.lit(""))))
+        return joined.orderBy(F.desc("score"), F.asc("doc_id"))
+
+    def search_scores(self, query: str, limit: int = 100) -> DataFrame:
+        """(doc_id, score) top-k without the stored-field join."""
+        scored = self.score_all(query)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+    def score_all(self, query: str) -> DataFrame:
+        """(doc_id, score) for EVERY matching doc (no limit) — oracle checks."""
+        ast = self._rewrite(self.parser.parse(query))
+        terms = sorted(set(collect_terms(ast)))
+        idf_map = self._doc_freqs(terms)
+        decoded = self._decode_postings(terms, idf_map, needs_positions(ast))
+        if self.config.scoring_model == "bm25":
+            return self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=None)
+        ssw = scoring.tfidf_sum_sq_weights(
+            ast, 1.0, lambda f, t: scoring.tfidf_idf(self.stats.n_docs, idf_map.get((f, t), 0)))
+        return self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=scoring.query_norm(ssw))
+
+    # --------------------- multi-term expansion ----------------------------
+    def _rewrite(self, ast):
+        if isinstance(ast, BooleanQuery):
+            return BooleanQuery(tuple((o, self._rewrite(s)) for o, s in ast.clauses), ast.boost)
+        d = self.dictionary
+        if isinstance(ast, PrefixQuery):
+            rows = d.filter((F.col("field") == ast.field) &
+                            F.col("term").startswith(ast.prefix)).select("term").collect()
+            return ConstScoreTerms(ast.field, tuple(sorted(r["term"] for r in rows)), ast.boost)
+        if isinstance(ast, WildcardQuery):
+            rx = _wildcard_regex(ast.pattern).pattern
+            rows = d.filter((F.col("field") == ast.field) &
+                            F.col("term").rlike(rx)).select("term").collect()
+            return ConstScoreTerms(ast.field, tuple(sorted(r["term"] for r in rows)), ast.boost)
+        if isinstance(ast, RangeQuery):
+            cond = F.col("field") == ast.field
+            if ast.lo is not None:
+                cond &= (F.col("term") >= ast.lo) if ast.include_lo else (F.col("term") > ast.lo)
+            if ast.hi is not None:
+                cond &= (F.col("term") <= ast.hi) if ast.include_hi else (F.col("term") < ast.hi)
+            rows = d.filter(cond).select("term").collect()
+            return ConstScoreTerms(ast.field, tuple(sorted(r["term"] for r in rows)), ast.boost)
+        if isinstance(ast, FuzzyQuery):
+            rows = (d.filter((F.col("field") == ast.field) &
+                             (F.levenshtein(F.col("term"), F.lit(ast.term)) <= ast.max_edits))
+                    .select("term", F.levenshtein(F.col("term"), F.lit(ast.term)).alias("ed"))
+                    .collect())
+            scored = []
+            for r in rows:
+                dd, t = int(r["ed"]), r["term"]
+                sim = 1.0 if dd == 0 else 1.0 - dd / min(len(ast.term), len(t))
+                scored.append((sim, t))
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            clauses = tuple((SHOULD, TermQuery(ast.field, t, ast.boost * sim))
+                            for sim, t in scored[:FUZZY_TOP_TERMS])
+            if not clauses:
+                return ConstScoreTerms(ast.field, (), ast.boost)
+            return BooleanQuery(clauses) if len(clauses) > 1 else clauses[0][1]
+        return ast
+
+    # --------------------- pruned posting scan + decode --------------------
+    def _doc_freqs(self, terms: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        if not terms:
+            return {}
+        cond = self._terms_cond(terms)
+        rows = self.dictionary.filter(cond).select("field", "term", "doc_freq").collect()
+        return {(r["field"], r["term"]): int(r["doc_freq"]) for r in rows}
+
+    def _terms_cond(self, terms):
+        buckets = sorted({int(term_bucket(np.array([t], dtype=object),
+                                          self.config.term_buckets)[0]) for _, t in terms})
+        cond = F.col("bucket").isin(buckets)
+        per_field: dict[str, list[str]] = {}
+        for f, t in terms:
+            per_field.setdefault(f, []).append(t)
+        field_cond = None
+        for f, ts in per_field.items():
+            c = (F.col("field") == f) & F.col("term").isin(sorted(set(ts)))
+            field_cond = c if field_cond is None else (field_cond | c)
+        return cond & field_cond if field_cond is not None else F.lit(False)
+
+    def _decode_postings(self, terms, idf_map, with_positions: bool) -> DataFrame:
+        """One scan + mapInPandas decode of all query-term blocks."""
+        if not terms:
+            return self.spark.createDataFrame([], DECODED_SCHEMA)
+        scan = self.postings.filter(self._terms_cond(terms))
+        cfg = self.config
+        n_docs = self.stats.n_docs
+        avgdl = self.stats.avgdl
+        model = cfg.scoring_model
+        k1, b, quantize = cfg.k1, cfg.b, cfg.quantize_norms
+
+        def decode(it):
+            for pdf in it:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    nd = int(r.n_docs)
+                    docs = decode_deltas(r.docs_bin, nd)
+                    tfs = decode_varint(r.tfs_bin, nd).astype(np.int64)
+                    dls = decode_varint(r.dls_bin, nd).astype(np.int64)
+                    df_t = idf_map.get((r.field, r.term), 0)
+                    ad = avgdl.get(r.field, 1.0) or 1.0
+                    dlq = quantized_doc_length(dls) if quantize else dls.astype(np.float64)
+                    if model == "bm25":
+                        idf = scoring.bm25_idf(n_docs, df_t)
+                        sc = idf * (k1 + 1) * scoring.bm25_tf_norm(tfs, dlq, ad, k1, b)
+                    else:
+                        idf = scoring.tfidf_idf(n_docs, df_t)
+                        nrm = (decoded_tf_idf_norm(dls) if quantize
+                               else np.where(dls > 0, 1.0 / np.sqrt(np.maximum(dls, 1)), 0.0))
+                        sc = np.sqrt(tfs.astype(np.float64)) * idf * idf * nrm
+                    if with_positions and r.pos_bin is not None:
+                        pos_all = decode_varint(r.pos_bin)
+                        offs = np.concatenate(([0], np.cumsum(tfs)))
+                        pos_hex = [pos_all[offs[i]:offs[i + 1]].astype(np.int64)
+                                   for i in range(nd)]
+                        pos_col = [np.cumsum(p).tobytes().hex() for p in pos_hex]
+                    else:
+                        pos_col = [None] * nd
+                    out.append(pd.DataFrame({
+                        "field": r.field, "term": r.term, "doc_id": docs,
+                        "score": sc, "tf": tfs, "dl": dls, "positions": pos_col}))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return scan.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+    # --------------------------- evaluation --------------------------------
+    def _eval(self, node, decoded: DataFrame, mult: float, idf_map, tfidf_qn) -> DataFrame:
+        """Recursive AST -> DataFrame(doc_id, score)."""
+        qn = tfidf_qn if tfidf_qn is not None else 1.0
+        if isinstance(node, TermQuery):
+            return (decoded.filter((F.col("field") == node.field) &
+                                   (F.col("term") == node.term))
+                    .select("doc_id", (F.col("score") * F.lit(mult * node.boost * qn))
+                            .alias("score")))
+        if isinstance(node, ConstScoreTerms):
+            if not node.terms:
+                return self._empty_scores()
+            return (decoded.filter((F.col("field") == node.field) &
+                                   F.col("term").isin(list(node.terms)))
+                    .select("doc_id").distinct()
+                    .withColumn("score", F.lit(mult * node.boost * qn)))
+        if isinstance(node, MatchAllQuery):
+            return self.docs.select("doc_id").withColumn(
+                "score", F.lit(mult * node.boost * qn))
+        if isinstance(node, PhraseQuery):
+            return self._eval_phrase(node, decoded, mult, idf_map, tfidf_qn)
+        if isinstance(node, BooleanQuery):
+            return self._eval_boolean(node, decoded, mult, idf_map, tfidf_qn)
+        raise TypeError(type(node).__name__)
+
+    def _empty_scores(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], StructType([StructField("doc_id", LongType()),
+                            StructField("score", DoubleType())]))
+
+    def _eval_phrase(self, node: PhraseQuery, decoded, mult, idf_map, tfidf_qn):
+        """Position-list intersection via groupBy(doc_id) + applyInPandas.
+
+        Only docs containing ALL phrase terms reach the pandas stage (count
+        filter first), so the grouped work is proportional to the candidate
+        set, not the posting lists."""
+        terms = [t for t, _ in node.terms]
+        offsets = [o for _, o in node.terms]
+        n_terms_distinct = len(set(terms))
+        cand = (decoded.filter((F.col("field") == node.field) &
+                               F.col("term").isin(terms)))
+        cfg = self.config
+        n_docs, avgdl = self.stats.n_docs, self.stats.avgdl.get(node.field, 1.0) or 1.0
+        if cfg.scoring_model == "bm25":
+            idf = sum(scoring.bm25_idf(n_docs, idf_map.get((node.field, t), 0)) for t in terms)
+        else:
+            idf = sum(scoring.tfidf_idf(n_docs, idf_map.get((node.field, t), 0)) for t in terms)
+        k1, b, quantize, model = cfg.k1, cfg.b, cfg.quantize_norms, cfg.scoring_model
+        slop = node.slop
+        final_mult = mult * node.boost * (tfidf_qn if tfidf_qn is not None else 1.0)
+        out_schema = StructType([StructField("doc_id", LongType()),
+                                 StructField("score", DoubleType())])
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term = {}
+            dl = int(pdf["dl"].iloc[0])
+            for r in pdf.itertuples(index=False):
+                if r.positions is None:
+                    return pd.DataFrame({"doc_id": [], "score": []})
+                by_term[r.term] = np.frombuffer(bytes.fromhex(r.positions), dtype=np.int64)
+            if len(by_term) < n_terms_distinct:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            pf = phrase_freq([by_term[t] for t in terms], offsets, slop)
+            if pf <= 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            dlq = float(quantized_doc_length(np.array([dl]))[0]) if quantize else float(dl)
+            if model == "bm25":
+                s = final_mult * idf * (k1 + 1) * pf / (pf + k1 * (1 - b + b * dlq / avgdl))
+            else:
+                nrm = (float(decoded_tf_idf_norm(np.array([dl]))[0]) if quantize
+                       else (1.0 / np.sqrt(dl) if dl > 0 else 0.0))
+                s = final_mult * np.sqrt(pf) * idf * idf * nrm
+            return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "score": [float(s)]})
+
+        # pre-filter docs that contain all distinct terms (cheap agg) before
+        # the per-doc pandas stage
+        ok = (cand.groupBy("doc_id")
+              .agg(F.countDistinct("term").alias("nt"))
+              .filter(F.col("nt") >= n_terms_distinct).select("doc_id"))
+        return (cand.join(ok, "doc_id", "left_semi")
+                .groupBy("doc_id").applyInPandas(score_group, schema=out_schema))
+
+    def _eval_boolean(self, node: BooleanQuery, decoded, mult, idf_map, tfidf_qn):
+        m2 = mult * node.boost
+        tagged = []
+        n_must = 0
+        n_scoring = 0
+        for i, (occ, sub) in enumerate(node.clauses):
+            child = self._eval(sub, decoded, m2, idf_map, tfidf_qn)
+            if occ == MUST:
+                n_must += 1
+            if occ != MUST_NOT:
+                n_scoring += 1
+            tagged.append(child.select(
+                "doc_id",
+                F.when(F.lit(occ == MUST_NOT), F.lit(0.0)).otherwise(F.col("score")).alias("score"),
+                F.lit(1 if occ == MUST else 0).alias("is_must"),
+                F.lit(1 if occ == MUST_NOT else 0).alias("is_not"),
+                F.lit(1 if occ != MUST_NOT else 0).alias("is_scoring")))
+        if n_scoring == 0:
+            return self._empty_scores()  # pure-negative matches nothing
+        unioned = tagged[0]
+        for t in tagged[1:]:
+            unioned = unioned.unionByName(t)
+        agg = (unioned.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("is_must").alias("must_hits"),
+            F.max("is_not").alias("excluded"),
+            F.sum("is_scoring").alias("overlap")))
+        cond = (F.col("excluded") == 0) & (F.col("must_hits") == n_must)
+        if n_must == 0:
+            cond &= F.col("overlap") >= 1
+        out = agg.filter(cond)
+        if self.config.scoring_model != "bm25":
+            out = out.withColumn("score", F.col("score") * F.col("overlap") / F.lit(float(n_scoring)))
+        return out.select("doc_id", "score")

@@ -39,6 +39,7 @@ from xltsearch_spark.plans.parser import (
     BooleanQuery, MatchAllQuery, MUST, MUST_NOT, PhraseQuery, QueryParser,
     SHOULD, TermQuery,
 )
+from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.rewrite import ConstScoreTerms, rewrite
 
 ANALYZED_FIELDS = ("content", "title")
@@ -102,10 +103,10 @@ class OracleIndex:
         return (s / self.n_docs) if s > 0 and self.n_docs > 0 else 1.0
 
     def _bm25_idf(self, df: int) -> float:
-        return math.log(1 + (self.n_docs - df + 0.5) / (df + 0.5))
+        return scoring.bm25_idf(self.n_docs, df)
 
     def _tfidf_idf(self, df: int) -> float:
-        return 1 + math.log(self.n_docs / (df + 1))
+        return scoring.tfidf_idf(self.n_docs, df)
 
     # ---------------------------- search ----------------------------------
     def search(self, query: str, limit: int = 100,
@@ -185,19 +186,9 @@ class OracleIndex:
 
     # ---------------------------- TF-IDF -----------------------------------
     def _sum_sq_weights(self, node, mult: float) -> float:
-        if isinstance(node, TermQuery):
-            df = len(self.postings.get((node.field, node.term), {}))
-            return (self._tfidf_idf(df) * node.boost * mult) ** 2
-        if isinstance(node, PhraseQuery):
-            idf = sum(self._tfidf_idf(len(self.postings.get((node.field, t), {})))
-                      for t, _ in node.terms)
-            return (idf * node.boost * mult) ** 2
-        if isinstance(node, (ConstScoreTerms, MatchAllQuery)):
-            return (node.boost * mult) ** 2
-        if isinstance(node, BooleanQuery):
-            return sum(self._sum_sq_weights(sub, mult * node.boost)
-                       for occ, sub in node.clauses if occ != MUST_NOT)
-        raise TypeError(type(node).__name__)
+        return scoring.tfidf_sum_sq_weights(
+            node, mult,
+            lambda f, t: self._tfidf_idf(len(self.postings.get((f, t), {}))))
 
     def _eval_tfidf(self, node, mult: float, qn: float) -> dict[int, float]:
         if isinstance(node, TermQuery):
