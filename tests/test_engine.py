@@ -1,0 +1,105 @@
+"""End-to-end: Spark engine vs pure-Python oracle — rank-identical top-k
+with scores equal to 1e-6 (SURVEY.md §5.2-5.3; north-rule gate)."""
+
+import pytest
+
+from xltsearch_spark.config import IndexConfig
+from xltsearch_spark.operators.build import IndexBuilder
+from xltsearch_spark.operators.search import SearchEngine
+from xltsearch_spark.oracle.pyoracle import OracleIndex
+
+QUERIES = [
+    "needle_17", "graded", "common_token AND graded", "alpha OR beta",
+    "graded NOT alpha", "+graded -beta", '"alpha beta"', '"alpha beta"~1',
+    "title:Module", "graded^2 OR alpha", "need*", "gradd~1",
+    "[needle_10 TO needle_20]", "(alpha OR beta) AND common_token",
+    "CamelCaseIdentifier", "*:*", '"alpha the beta"',
+]
+
+
+def build_engine(spark, corpus_pd, cfg):
+    builder = IndexBuilder(spark, cfg)
+    corpus = spark.createDataFrame(corpus_pd)
+    docs = builder.docs_stage(corpus).persist()
+    runs = builder.runs_stage(docs).persist()
+    stats = builder.stats_stage(docs, runs)
+    dictionary = builder.dictionary_stage(runs).persist()
+    postings = builder.postings_stage(runs, stats).persist()
+    return SearchEngine(spark, postings, docs, dictionary, stats, cfg), stats
+
+
+def assert_rank_identical(engine, oracle, queries, limit=100):
+    for q in queries:
+        exp = [(h["doc_id"], h["score"]) for h in oracle.search(q, limit)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_scores(q, limit).collect()]
+        assert len(got) == len(exp), f"{q}: {len(got)} vs {len(exp)} hits"
+        for (gd, gs), (ed, es) in zip(got, exp):
+            assert gd == ed, f"{q}: rank order differs ({got[:5]} vs {exp[:5]})"
+            assert gs == pytest.approx(es, rel=1e-6, abs=1e-9), f"{q}: score {gs} vs {es}"
+
+
+@pytest.fixture(scope="module")
+def bm25_setup(spark, tiny_corpus):
+    cfg = IndexConfig(scoring_model="bm25", doc_range_size=16, block_size=8,
+                      term_buckets=8)
+    engine, stats = build_engine(spark, tiny_corpus, cfg)
+    return engine, OracleIndex(tiny_corpus, cfg), stats
+
+
+def test_bm25_rank_identical(bm25_setup):
+    engine, oracle, _ = bm25_setup
+    assert_rank_identical(engine, oracle, QUERIES)
+
+
+def test_tfidf_rank_identical(spark, tiny_corpus):
+    cfg = IndexConfig(scoring_model="default", doc_range_size=16, block_size=8,
+                      term_buckets=8)
+    engine, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle = OracleIndex(tiny_corpus, cfg)
+    assert_rank_identical(engine, oracle, QUERIES[:10])
+
+
+def test_english_analyzer_end_to_end(spark, tiny_corpus):
+    cfg = IndexConfig(analyzer="english", doc_range_size=16, block_size=8,
+                      term_buckets=8)
+    engine, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle = OracleIndex(tiny_corpus, cfg)
+    assert_rank_identical(engine, oracle, ["running", "graded", "alpha OR beta"])
+
+
+def test_stats_match_oracle(bm25_setup, tiny_corpus):
+    _, oracle, stats = bm25_setup
+    assert stats.n_docs == oracle.n_docs
+    assert stats.sum_ttf["content"] == oracle.sum_ttf["content"]
+
+
+def test_stored_field_join(bm25_setup):
+    engine, _, _ = bm25_setup
+    rows = engine.search("needle_17", 10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 17 and r["repo"] and r["path"] and len(r["hashsum"]) == 64
+    assert r["title"] == ""  # doc 17 has no title -> '' (SearchTask.java:70-73)
+
+
+def test_block_max_is_upper_bound(bm25_setup, spark):
+    """block_max_score must dominate every per-doc score in its block."""
+    engine, _, _ = bm25_setup
+    from pyspark.sql import functions as F
+    blocks = engine.postings.filter(F.col("field") == "content").limit(50).collect()
+    import numpy as np
+    from xltsearch_spark.functions.varint import decode_varint
+    from xltsearch_spark.functions.norms import quantized_doc_length
+    from xltsearch_spark.plans import scoring
+    stats = engine.stats
+    for blk in blocks:
+        tfs = decode_varint(blk["tfs_bin"], blk["n_docs"]).astype(np.int64)
+        dls = decode_varint(blk["dls_bin"], blk["n_docs"]).astype(np.int64)
+        df = engine.dictionary.filter(
+            (F.col("field") == "content") & (F.col("term") == blk["term"])
+        ).collect()[0]["doc_freq"]
+        idf = scoring.bm25_idf(stats.n_docs, df)
+        dlq = quantized_doc_length(dls)
+        sc = idf * 2.2 * scoring.bm25_tf_norm(tfs, dlq, stats.avgdl["content"], 1.2, 0.75)
+        assert blk["block_max_score"] >= sc.max() - 1e-12
