@@ -1,0 +1,159 @@
+"""Training-pipeline operator tests: dedup, similarity, text stats, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from xltsearch_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 0
+        (3, "der schnelle braune fuchs springt und das ist ein test mit der sache"),
+        (4, "completely different content about spark inverted index engines here now"),
+        (5, "el zorro marron salta sobre el perro y es una prueba de la cosa"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs_df):
+    groups = dedup.exact_dedup_groups(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keep_doc_id"] == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    sigs = dedup.minhash_signatures(docs_df, num_hashes=64, shingle_n=3)
+    pairs = {(r["a"], r["b"]): r["est_jaccard"]
+             for r in dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4,
+                                              threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical text
+    assert (0, 2) in pairs or (1, 2) in pairs        # near dup caught
+    assert all(4 not in p for p in pairs)            # distinct doc never pairs
+
+
+def test_minhash_estimates_jaccard(spark):
+    # 38 trigrams each, 19 shared -> true jaccard = 19/57 = 1/3
+    base = [f"tok{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:21] + [f"other{i}" for i in range(19)])
+    df = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, num_hashes=128, shingle_n=3)
+    # 64 bands x 2 rows: collision prob per band (1/3)^2 -> pair found w.h.p.
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=64, rows_per_band=2,
+                                    threshold=0.15).collect()
+    est = [p["est_jaccard"] for p in pairs if {p["a"], p["b"]} == {0, 1}]
+    assert est and 0.15 < est[0] < 0.55
+
+
+def test_simhash_near_pairs(docs_df):
+    fps = dedup.simhash_fingerprints(docs_df)
+    rows = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert rows[0] == rows[1]  # identical docs -> identical simhash
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=16, bands=4).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) in got  # one-word change -> small hamming distance
+
+
+def test_ngram_jaccard_exact_value(docs_df):
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.1).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    # doc 0 vs 2: 14 tokens -> 12 trigrams each; the word at index 12 differs,
+    # breaking the 2 trigrams containing it: |inter|=10, |union|=14
+    assert pairs[(0, 2)] == pytest.approx(10 / 14)
+
+
+def test_cosine_topk_bruteforce_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((50, 8))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(50)], ["vec_id", "embedding"])
+    q = mat[3].tolist()
+    got = similarity.cosine_topk_bruteforce(df, q, k=5).collect()
+    sims = mat @ mat[3] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[3]))
+    exp = np.argsort(-sims)[:5]
+    assert [r["vec_id"] for r in got] == exp.tolist()
+    assert got[0]["vec_id"] == 3 and got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_cosine_topk_batch_matches_bruteforce(spark):
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((60, 8))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)], ["vec_id", "embedding"])
+    queries = mat[[0, 10, 20]]
+    batch = similarity.cosine_topk_batch(df, queries, k=4).collect()
+    for qi, qvec in enumerate(queries):
+        exp = [r["vec_id"] for r in
+               similarity.cosine_topk_bruteforce(df, qvec.tolist(), k=4).collect()]
+        got = [r["vec_id"] for r in sorted(
+            (r for r in batch if r["query_id"] == qi), key=lambda r: r["rank"])]
+        assert got == exp
+
+
+def test_cosine_lsh_recalls_identical_vector(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((80, 16))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(80)], ["vec_id", "embedding"])
+    got = similarity.cosine_topk_lsh(df, mat[7].tolist(), k=3, n_planes=8).collect()
+    assert got and got[0]["vec_id"] == 7 and got[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(0, "Hello, world! foo_bar baz"), (1, "")],
+                               ["doc_id", "text"])
+    rows = {r["doc_id"]: (r["n_tokens"], r["n_ws_tokens"])
+            for r in textstats.token_count(df).collect()}
+    assert rows[0] == (4, 4)
+    assert rows[1] == (0, 0)
+
+
+def test_quality_scores(docs_df):
+    rows = {r["doc_id"]: r for r in textstats.quality_scores(docs_df).collect()}
+    assert 0 < rows[0]["quality"] <= 1
+    assert rows[0]["stopword_ratio"] > 0.2  # English prose has stopwords
+    assert rows[0]["alpha_ratio"] > 0.7
+
+
+def test_language_id(docs_df):
+    rows = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(docs_df).collect()}
+    assert rows[0] == "en" and rows[3] == "de" and rows[5] == "es"
+
+
+def test_fingerprint_whitespace_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "Foo  bar\tbaz"), (1, "foo bar baz"), (2, "foo bar qux")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+
+
+def test_multimodal_features_and_stub(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    feats = multimodal.extract_features(media, fake=True, feature_dim=8).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 and r["decode_ok"] == 1 for r in feats)
+    # real decode path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", fake=False)
+    # fake=False flows degrade to decode_ok=0 for images, never raise
+    degraded = multimodal.extract_features(media, fake=False).collect()
+    img = [r for r in degraded if r["kind"] == "image"]
+    assert img and all(r["decode_ok"] == 0 for r in img)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, 12)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    vids = media.filter("kind = 'video'").collect()
+    expected = sum(int(v["duration_ms"] // 1000) + 1 for v in vids)
+    assert len(rows) == expected

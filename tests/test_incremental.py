@@ -1,0 +1,120 @@
+"""Incremental update tests (SURVEY.md §5.4): change-diff statuses, segment
+update vs a segment-history oracle, compaction == fresh rebuild."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from xltsearch_spark.catalog import IndexCatalog
+from xltsearch_spark.config import IndexConfig
+from xltsearch_spark.operators.incremental import change_diff, diff_summary
+from xltsearch_spark.oracle.pyoracle import OracleIndex
+from xltsearch_spark.sources.corpus import generate_corpus
+
+CFG = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+QUERIES = ["common_token", "graded", "common_token AND graded",
+           '"alpha beta"', "fresh_needle_0", "needle_3"]
+
+
+def _key_hash(df):
+    return {(r.repo, r.path): hashlib.sha256(r.content.encode()).hexdigest()
+            for r in df.itertuples(index=False)}
+
+
+def segment_history(v1: pd.DataFrame, v2: pd.DataFrame):
+    """Replicate Lucene updateDocument semantics in pandas: v1 docs keep ids
+    0..N-1; changed/new v2 rows get fresh ids in (repo,path) order; old
+    versions + deletions are tombstones. Returns (history_df, deleted_ids)."""
+    v1s = v1.sort_values(["repo", "path"]).reset_index(drop=True).copy()
+    v1s["doc_id"] = range(len(v1s))
+    h1, h2 = _key_hash(v1), _key_hash(v2)
+    changed_keys = {k for k, h in h2.items() if h1.get(k) != h}
+    dead_keys = ({k for k in h1 if k not in h2} |
+                 {k for k in h2 if k in h1 and h1[k] != h2[k]})
+    deleted = set(v1s[v1s.apply(lambda r: (r["repo"], r["path"]) in dead_keys,
+                                axis=1)]["doc_id"])
+    seg = (v2[v2.apply(lambda r: (r["repo"], r["path"]) in changed_keys, axis=1)]
+           .sort_values(["repo", "path"]).reset_index(drop=True).copy())
+    seg["doc_id"] = range(len(v1s), len(v1s) + len(seg))
+    return pd.concat([v1s, seg], ignore_index=True), deleted
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    return generate_corpus(64), generate_corpus(64, version=2)
+
+
+def test_change_diff_statuses(spark, corpora):
+    v1, v2 = corpora
+    docs = spark.createDataFrame(
+        v1.assign(hashsum=v1["content"].map(
+            lambda c: hashlib.sha256(c.encode()).hexdigest()),
+            doc_id=range(len(v1))))
+    diff = change_diff(spark.createDataFrame(v2), docs)
+    s = diff_summary(diff)
+    # generator v2: ~5% modified, 5% deleted, 5% added of 64 docs -> 3 each
+    assert s["update"] == 3 and s["delete"] == 3 and s["insert"] == 3
+    assert s["unchanged"] == 64 - 6
+    # delete rows carry the old doc id and no new content
+    from pyspark.sql import functions as F
+    assert diff.filter((F.col("change_status") == "delete") &
+                       F.col("old_doc_id").isNull()).count() == 0
+
+
+def test_update_matches_segment_oracle(spark, corpora, tmp_path):
+    v1, v2 = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    summary = cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    assert summary["insert"] == 3 and summary["update"] == 3 and summary["delete"] == 3
+    history, deleted = segment_history(v1, v2)
+    oracle = OracleIndex(history, CFG, deleted=deleted)
+    engine = cat.engine()
+    for q in QUERIES:
+        exp = [(h["doc_id"], h["score"]) for h in oracle.search(q, 50)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_scores(q, 50).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], f"{q}: ranks differ"
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-6), f"{q} doc {gd}"
+
+
+def test_update_noop_when_unchanged(spark, corpora, tmp_path):
+    v1, _ = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    n_seg_before = len(cat.read_meta()["segments"])
+    s = cat.update(spark.createDataFrame(v1), fingerprint="v1b")
+    assert s["insert"] == s["update"] == s["delete"] == 0
+    assert len(cat.read_meta()["segments"]) == n_seg_before
+
+
+def test_compact_equals_fresh_build(spark, corpora, tmp_path):
+    v1, v2 = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    cat.compact(spark.createDataFrame(v2), fingerprint="v2c")
+    fresh = IndexCatalog(spark, str(tmp_path / "wh2"), CFG)
+    fresh.build(spark.createDataFrame(v2), fingerprint="v2")
+    for q in QUERIES:
+        a = [(r["doc_id"], round(r["score"], 9))
+             for r in cat.engine().search_scores(q, 50).collect()]
+        b = [(r["doc_id"], round(r["score"], 9))
+             for r in fresh.engine().search_scores(q, 50).collect()]
+        assert a == b, q
+
+
+def test_updated_content_searchable_old_not(spark, corpora, tmp_path):
+    v1, v2 = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    engine = cat.engine()
+    # the v2 modification marker must hit every updated doc
+    assert engine.search_scores("modified_marker_v2", 20).count() == 3
+    # added docs searchable
+    assert engine.search_scores("fresh_needle_0", 10).count() == 1
+    # live docs = v2 row count
+    assert engine.docs.count() == len(v2)

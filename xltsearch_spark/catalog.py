@@ -1,25 +1,30 @@
-"""Index catalog: persisted index tables + lineage manifests + resume.
+"""Index catalog: segmented persisted index + lineage manifests + resume.
 
 Mirrors the reference's catalog/lifecycle machinery Spark-first:
 
 * ``Catalog`` manages N named configs = N indices per corpus
-  (``Catalog.java:61-95``); here each config owns a warehouse namespace
-  ``<warehouse>/<config-name>/`` holding the ``docs``, ``doc_stats``,
-  ``dictionary``, ``postings`` and ``stats`` tables as parquet (Iceberg-shaped
-  layout: ``postings`` is directory-partitioned by (field, bucket) so term
-  lookups prune partitions, exactly the role Iceberg's bucket(term)
-  partition transform would play on a cluster with a real catalog).
-* The build state machine follows ``Config.java:52-54,237-250`` /
-  ``Catalog.java:104-122``: ``last_updated`` is set to UPDATE_FAILED(-1)
-  when a build starts and only replaced by the build-start timestamp after
-  EVERY stage commits; NEVER_CREATED(-2) before first build; INVALIDATED(-3)
-  when the stored config hash no longer matches (any config change
-  invalidates the index, ``Config.java:289-297``).
-* Checkpoint/resume (north-rule mandate): every stage writes to
-  ``_stage=<name>`` with a ``_manifest.json`` recording the stage input
-  fingerprint, row/token metrics and wall time. A re-run with the same
-  fingerprint skips completed stages (per-stage lineage); a crashed build
-  resumes at the first incomplete stage.
+  (``Catalog.java:61-95``); each config owns a warehouse namespace
+  ``<warehouse>/<config-name>/`` holding SEGMENTS — exactly Lucene's index
+  architecture (``IndexTask.java:54-58`` opens an IndexWriter whose flushes
+  create immutable segments). Each segment holds ``docs``, ``runs``,
+  ``dictionary``, ``doc_stats`` and ``postings`` parquet tables; ``postings``
+  is directory-partitioned by (field, bucket) so term lookups prune
+  partitions (the role Iceberg's bucket(term) transform plays on a cluster).
+* Incremental update (``updateDocument``/``deleteDocuments``,
+  ``IndexTask.java:83,87-88``): changed/new rows become a NEW segment with
+  doc ids appended after maxDoc; replaced/deleted rows become tombstones.
+  Collection stats (maxDoc, docFreq, sumTotalTermFreq) keep counting
+  tombstoned docs until compaction — Lucene 4.6's exact pre-merge behavior.
+  ``compact()`` = forceMerge: full rebuild restoring the dense
+  (repo, path)-ordered docid layout.
+* Build state machine follows ``Config.java:52-54,237-250`` /
+  ``Catalog.java:104-122``: ``last_updated`` = UPDATE_FAILED(-1) while a
+  build runs, the build-start timestamp only after every stage commits;
+  NEVER_CREATED(-2) before first build; INVALIDATED(-3) on config-hash
+  mismatch (any config change invalidates, ``Config.java:289-297``).
+* Checkpoint/resume (north-rule mandate): every stage directory carries a
+  ``_manifest.json`` with the stage's input fingerprint + row/wall metrics;
+  a re-run with the same fingerprint skips completed stages.
 """
 
 from __future__ import annotations
@@ -34,9 +39,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from xltsearch_spark.config import (INDEX_INVALIDATED, INDEX_NEVER_CREATED,
                                     INDEX_UPDATE_FAILED, IndexConfig)
 from xltsearch_spark.operators.build import BuildStats, IndexBuilder
+from xltsearch_spark.operators.incremental import change_diff, diff_summary
 from xltsearch_spark.operators.search import SearchEngine
 
 STAGES = ("docs", "runs", "dictionary", "doc_stats", "postings")
+CORPUS_COLS = ("repo", "path", "commit", "lang", "content", "title")
 
 
 class IndexCatalog:
@@ -54,7 +61,8 @@ class IndexCatalog:
     def read_meta(self) -> dict:
         p = self._meta_path()
         if not os.path.exists(p):
-            return {"last_updated": INDEX_NEVER_CREATED, "config_hash": None}
+            return {"last_updated": INDEX_NEVER_CREATED, "config_hash": None,
+                    "segments": [], "tombstones": []}
         with open(p) as f:
             return json.load(f)
 
@@ -79,94 +87,187 @@ class IndexCatalog:
         os.makedirs(self.root, exist_ok=True)
 
     # --------------------------- stage plumbing -----------------------------
-    def _stage_dir(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
+    def _seg_dir(self, seg: str) -> str:
+        return os.path.join(self.root, "segments", seg)
 
-    def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self._stage_dir(stage), "_manifest.json")
+    def _stage_dir(self, seg: str, stage: str) -> str:
+        return os.path.join(self._seg_dir(seg), stage)
 
-    def stage_complete(self, stage: str, fingerprint: str) -> bool:
-        p = self._manifest_path(stage)
+    def _manifest_path(self, seg: str, stage: str) -> str:
+        return os.path.join(self._stage_dir(seg, stage), "_manifest.json")
+
+    def stage_complete(self, seg: str, stage: str, fingerprint: str) -> bool:
+        p = self._manifest_path(seg, stage)
         if not os.path.exists(p):
             return False
         with open(p) as f:
             m = json.load(f)
         return m.get("status") == "success" and m.get("input_fingerprint") == fingerprint
 
-    def _commit_stage(self, stage: str, fingerprint: str, metrics: dict) -> None:
-        m = {"stage": stage, "input_fingerprint": fingerprint, "status": "success",
-             "config_hash": self.config.config_hash(), **metrics}
-        with open(self._manifest_path(stage), "w") as f:
-            json.dump(m, f, indent=1, sort_keys=True)
-
-    def _write_stage(self, stage: str, df: DataFrame, fingerprint: str,
+    def _write_stage(self, seg: str, stage: str, df: DataFrame, fingerprint: str,
                      partition_by: tuple[str, ...] = ()) -> None:
         t0 = time.time()
-        out = self._stage_dir(stage)
+        out = self._stage_dir(seg, stage)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
         rows = self.spark.read.parquet(out).count()
-        self._commit_stage(stage, fingerprint,
-                           {"rows": rows, "wall_ms": int((time.time() - t0) * 1000)})
+        with open(self._manifest_path(seg, stage), "w") as f:
+            json.dump({"stage": stage, "segment": seg, "status": "success",
+                       "input_fingerprint": fingerprint, "rows": rows,
+                       "wall_ms": int((time.time() - t0) * 1000),
+                       "config_hash": self.config.config_hash()},
+                      f, indent=1, sort_keys=True)
 
-    def _read_stage(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._stage_dir(stage))
+    def _read_stage(self, seg: str, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_dir(seg, stage))
 
-    # ------------------------------ build -----------------------------------
-    def build(self, corpus: DataFrame, fingerprint: str | None = None,
-              build_time_ms: int | None = None, fail_after: str | None = None) -> BuildStats:
-        """Full (re)build with per-stage checkpoint/resume.
+    def _read_all(self, stage: str, meta: dict | None = None) -> DataFrame:
+        """Union view over all segments (each read separately: the stages are
+        directory-partitioned per segment, so a single multi-root read would
+        conflict)."""
+        meta = meta or self.read_meta()
+        dfs = [self.spark.read.parquet(self._stage_dir(s["name"], stage))
+               for s in meta["segments"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
-        ``fingerprint`` identifies the corpus snapshot (e.g. its path +
-        version); same fingerprint + completed manifest => stage skipped.
-        ``fail_after`` injects a crash after the named stage (resume tests).
-        """
-        fingerprint = fingerprint or "adhoc"
-        meta = self.read_meta()
-        start_ms = build_time_ms if build_time_ms is not None else int(time.time() * 1000)
-        # crash marker first, like Catalog.java:104-105
-        self._write_meta({**meta, "last_updated": INDEX_UPDATE_FAILED,
-                          "config_hash": self.config.config_hash()})
+    # --------------------------- segment build ------------------------------
+    def _build_segment(self, seg: str, corpus: DataFrame, fingerprint: str,
+                       id_base: int, prior: BuildStats | None,
+                       fail_after: str | None = None) -> tuple[BuildStats, int]:
+        """Run the 5 build stages for one segment; returns (combined stats,
+        segment doc count). ``prior`` carries stats of existing segments so
+        block-max metadata is exact for the post-update collection."""
         builder = IndexBuilder(self.spark, self.config)
 
-        if not self.stage_complete("docs", fingerprint):
-            self._write_stage("docs", builder.docs_stage(corpus), fingerprint)
+        if not self.stage_complete(seg, "docs", fingerprint):
+            self._write_stage(seg, "docs", builder.docs_stage(corpus, id_base), fingerprint)
         if fail_after == "docs":
             raise RuntimeError("injected failure after stage docs")
-        docs = self._read_stage("docs")
+        docs = self._read_stage(seg, "docs")
 
-        if not self.stage_complete("runs", fingerprint):
-            self._write_stage("runs", builder.runs_stage(docs), fingerprint)
+        if not self.stage_complete(seg, "runs", fingerprint):
+            self._write_stage(seg, "runs", builder.runs_stage(docs), fingerprint)
         if fail_after == "runs":
             raise RuntimeError("injected failure after stage runs")
-        runs = self._read_stage("runs")
+        runs = self._read_stage(seg, "runs")
 
-        stats = builder.stats_stage(docs, runs)
-        if not self.stage_complete("dictionary", fingerprint):
-            self._write_stage("dictionary", builder.dictionary_stage(runs),
+        seg_stats = builder.stats_stage(docs, runs)
+        combined = seg_stats
+        if prior is not None:
+            n = prior.n_docs + seg_stats.n_docs
+            ttf = dict(prior.sum_ttf)
+            for k, v in seg_stats.sum_ttf.items():
+                ttf[k] = ttf.get(k, 0) + v
+            combined = BuildStats(
+                n_docs=n, sum_ttf=ttf,
+                avgdl={k: (v / n if n else 1.0) or 1.0 for k, v in ttf.items()})
+
+        if not self.stage_complete(seg, "dictionary", fingerprint):
+            self._write_stage(seg, "dictionary", builder.dictionary_stage(runs),
                               fingerprint, partition_by=("bucket",))
         if fail_after == "dictionary":
             raise RuntimeError("injected failure after stage dictionary")
 
-        if not self.stage_complete("doc_stats", fingerprint):
-            self._write_stage("doc_stats", builder.doc_norms(runs), fingerprint)
+        if not self.stage_complete(seg, "doc_stats", fingerprint):
+            self._write_stage(seg, "doc_stats", builder.doc_norms(runs), fingerprint)
 
-        if not self.stage_complete("postings", fingerprint):
-            self._write_stage("postings", builder.postings_stage(runs, stats),
+        if not self.stage_complete(seg, "postings", fingerprint):
+            self._write_stage(seg, "postings", builder.postings_stage(runs, combined),
                               fingerprint, partition_by=("field", "bucket"))
         if fail_after == "postings":
             raise RuntimeError("injected failure after stage postings")
+        return combined, seg_stats.n_docs
 
+    # ------------------------------ build -----------------------------------
+    def build(self, corpus: DataFrame, fingerprint: str | None = None,
+              build_time_ms: int | None = None, fail_after: str | None = None) -> BuildStats:
+        """Full (re)build into segment 0, with per-stage resume on the same
+        fingerprint. Mirrors Configurator 'Rebuild' (Configurator.java:270-290)."""
+        fingerprint = fingerprint or "adhoc"
+        start_ms = build_time_ms if build_time_ms is not None else int(time.time() * 1000)
+        meta = self.read_meta()
+        # crash marker first, like Catalog.java:104-105
+        self._write_meta({**meta, "last_updated": INDEX_UPDATE_FAILED,
+                          "config_hash": self.config.config_hash()})
+        seg = "seg_000000"
+        # a fresh build invalidates later segments from any previous history
+        for s in meta.get("segments", []):
+            if s["name"] != seg and os.path.exists(self._seg_dir(s["name"])):
+                shutil.rmtree(self._seg_dir(s["name"]))
+        stats, seg_docs = self._build_segment(seg, corpus, fingerprint, 0, None,
+                                              fail_after)
         self._write_meta({
             "last_updated": start_ms, "config_hash": self.config.config_hash(),
+            "segments": [{"name": seg, "n_docs": seg_docs,
+                          "fingerprint": fingerprint}],
+            "tombstones": [],
             "n_docs": stats.n_docs, "avgdl": stats.avgdl, "sum_ttf": stats.sum_ttf,
-            "input_fingerprint": fingerprint,
         })
         return stats
 
+    # ----------------------------- update -----------------------------------
+    def update(self, new_corpus: DataFrame, fingerprint: str | None = None,
+               build_time_ms: int | None = None) -> dict:
+        """Incremental update: diff -> new segment + tombstones (B2+B6+B7).
+
+        Returns the diff summary. Unchanged docs cost one join; only
+        changed/new rows are re-tokenized."""
+        fingerprint = fingerprint or "update-adhoc"
+        meta = self.read_meta()
+        if not meta["segments"]:
+            self.build(new_corpus, fingerprint, build_time_ms)
+            return {"insert": self.load_stats().n_docs, "update": 0,
+                    "unchanged": 0, "delete": 0}
+        start_ms = build_time_ms if build_time_ms is not None else int(time.time() * 1000)
+        live = self.live_docs(meta)
+        diff = change_diff(new_corpus, live).persist()
+        summary = diff_summary(diff)
+        changed = (diff.filter(F.col("change_status").isin("insert", "update"))
+                   .select(*[c for c in CORPUS_COLS if c in diff.columns]))
+        dead_ids = [int(r["old_doc_id"]) for r in
+                    diff.filter(F.col("change_status").isin("update", "delete"))
+                    .select("old_doc_id").collect()]
+        self._write_meta({**meta, "last_updated": INDEX_UPDATE_FAILED})
+        prior = BuildStats(n_docs=int(meta["n_docs"]),
+                           avgdl={k: float(v) for k, v in meta["avgdl"].items()},
+                           sum_ttf={k: int(v) for k, v in meta["sum_ttf"].items()})
+        if summary["insert"] + summary["update"] > 0:
+            seg = f"seg_{len(meta['segments']):06d}"
+            stats, seg_docs = self._build_segment(seg, changed, fingerprint,
+                                                  id_base=prior.n_docs, prior=prior)
+            meta["segments"].append({"name": seg, "n_docs": seg_docs,
+                                     "fingerprint": fingerprint})
+        else:
+            stats = prior
+        meta["tombstones"] = sorted(set(meta.get("tombstones", [])) | set(dead_ids))
+        meta.update({"last_updated": start_ms, "n_docs": stats.n_docs,
+                     "avgdl": stats.avgdl, "sum_ttf": stats.sum_ttf})
+        self._write_meta(meta)
+        diff.unpersist()
+        return summary
+
+    def compact(self, corpus: DataFrame, fingerprint: str | None = None,
+                build_time_ms: int | None = None) -> BuildStats:
+        """forceMerge equivalent: drop tombstones/segments, rebuild dense
+        docid layout from the live corpus. After compact the index is
+        byte-equivalent to a from-scratch build."""
+        self.delete_index()
+        return self.build(corpus, fingerprint, build_time_ms)
+
     # ------------------------------ open ------------------------------------
+    def live_docs(self, meta: dict | None = None) -> DataFrame:
+        meta = meta or self.read_meta()
+        docs = self._read_all("docs", meta)
+        tomb = meta.get("tombstones", [])
+        if tomb:
+            docs = docs.filter(~F.col("doc_id").isin(tomb))
+        return docs
+
     def load_stats(self) -> BuildStats:
         meta = self.read_meta()
         if meta.get("last_updated", INDEX_NEVER_CREATED) < 0:
@@ -178,18 +279,19 @@ class IndexCatalog:
     def engine(self) -> SearchEngine:
         if self.status() == INDEX_INVALIDATED:
             raise RuntimeError("index invalidated by config change; rebuild required")
+        meta = self.read_meta()
         stats = self.load_stats()
-        return SearchEngine(self.spark, self._read_stage("postings"),
-                            self._read_stage("docs"), self._read_stage("dictionary"),
-                            stats, self.config)
+        return SearchEngine(self.spark, self._read_all("postings", meta),
+                            self.live_docs(meta), self._read_all("dictionary", meta),
+                            stats, self.config,
+                            tombstones=meta.get("tombstones", []))
 
     # --------------------------- invariants ---------------------------------
     def verify_hashsums(self, manifest: DataFrame) -> int:
         """Per-row sha256 invariant (BASELINE.json): count of mismatches
-        between the indexed hashsum and an externally provided manifest
-        (repo, path, hashsum). Mirrors SelectTask.computeHashSum comparison."""
-        docs = self._read_stage("docs").select("repo", "path",
-                                               F.col("hashsum").alias("h_idx"))
+        between live indexed hashsums and an external (repo, path, hashsum)
+        manifest. Mirrors SelectTask.computeHashSum comparison."""
+        docs = self.live_docs().select("repo", "path", F.col("hashsum").alias("h_idx"))
         joined = docs.join(manifest, ["repo", "path"], "full_outer")
         return joined.filter((F.col("h_idx").isNull()) | (F.col("hashsum").isNull()) |
                              (F.col("h_idx") != F.col("hashsum"))).count()

@@ -79,6 +79,11 @@ POSTING_SCHEMA = StructType([
     StructField("skip_first_doc", LongType()),
     StructField("skip_last_doc", LongType()),
     StructField("block_max_score", DoubleType()),
+    # stats-independent bound ingredients: an upper bound that stays valid
+    # after incremental updates shift N/df/avgdl (block_max_score is exact
+    # only for the stats at build time)
+    StructField("max_tf", LongType()),
+    StructField("min_dl", LongType()),
     StructField("docs_bin", BinaryType()),
     StructField("tfs_bin", BinaryType()),
     StructField("dls_bin", BinaryType()),
@@ -96,7 +101,7 @@ def term_bucket(term: pd.Series | np.ndarray, n_buckets: int) -> np.ndarray:
     return s.map(m).to_numpy(dtype=np.int32)
 
 
-def assign_doc_ids(df: DataFrame, key_cols=("repo", "path")) -> DataFrame:
+def assign_doc_ids(df: DataFrame, key_cols=("repo", "path"), id_base: int = 0) -> DataFrame:
     """Deterministic dense doc_id in key sort order, without a global window.
 
     Range-partition + sort, persist (pins the sampled range bounds), count
@@ -111,7 +116,7 @@ def assign_doc_ids(df: DataFrame, key_cols=("repo", "path")) -> DataFrame:
               sorted_df.withColumn("pid", F.spark_partition_id())
                        .groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
-    acc = 0
+    acc = id_base
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
@@ -267,6 +272,7 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
                     out.append((field, term, bucket, blk_id, end - start,
                                 int(docs[start]), int(docs[end - 1]),
                                 float(scores[start:end].max()),
+                                int(tfs[start:end].max()), int(dls[start:end].min()),
                                 encode_deltas(docs[start:end]),
                                 encode_varint(tfs[start:end].astype(np.uint64)),
                                 encode_varint(dls[start:end].astype(np.uint64)),
@@ -285,15 +291,18 @@ class IndexBuilder:
         self.spark = spark
         self.config = config or IndexConfig()
 
-    def docs_stage(self, corpus: DataFrame) -> DataFrame:
+    def docs_stage(self, corpus: DataFrame, id_base: int = 0) -> DataFrame:
         """Stage 1: hashsum (B1, ``SelectTask.java:165-178`` w/ sha256 per
-        BASELINE.json) + deterministic doc ids. Pure built-in exprs."""
-        cols = corpus.columns
+        BASELINE.json) + deterministic doc ids (dense from ``id_base`` in
+        (repo, path) order — incremental segments pass maxDoc as the base,
+        replicating Lucene's append-docids-at-the-end updateDocument).
+        Pure built-in exprs."""
         df = corpus
-        if "title" not in cols:
+        if "title" not in df.columns:
             df = df.withColumn("title", F.lit(None).cast("string"))
-        df = df.withColumn("hashsum", F.sha2(F.col("content").cast("binary"), 256))
-        return assign_doc_ids(df)
+        if "hashsum" not in df.columns:
+            df = df.withColumn("hashsum", F.sha2(F.col("content").cast("binary"), 256))
+        return assign_doc_ids(df, id_base=id_base)
 
     def runs_stage(self, docs: DataFrame) -> DataFrame:
         fields = docs.columns

@@ -136,8 +136,11 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
                 hs = np.array([hash_str64(t) for t in uniq], dtype=np.uint64)
                 bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
                 v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                out.append(int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
-                               - (1 << 63)))  # store as signed int64
+                packed = int(((v > 0).astype(np.uint64)
+                              << np.arange(64, dtype=np.uint64)).sum())
+                # store the uint64 pattern as signed int64 (flip bit 63 for
+                # every doc uniformly -> hamming distances preserved)
+                out.append(packed - (1 << 63))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "simhash": out})
 
     return df.select("doc_id", text_col).mapInPandas(compute, schema=schema)

@@ -73,13 +73,17 @@ class SearchResult:
 class SearchEngine:
     def __init__(self, spark: SparkSession, postings: DataFrame, docs: DataFrame,
                  dictionary: DataFrame, stats: BuildStats,
-                 config: IndexConfig | None = None):
+                 config: IndexConfig | None = None,
+                 tombstones: list[int] | None = None):
         self.spark = spark
         self.postings = postings
-        self.docs = docs
+        self.docs = docs  # live docs only (tombstoned rows already excluded)
         self.dictionary = dictionary
         self.stats = stats
         self.config = config or IndexConfig()
+        # Lucene liveDocs: tombstoned docs are filtered from RESULTS but still
+        # counted in collection stats until compaction (4.6 pre-merge behavior)
+        self.tombstones = sorted(tombstones or [])
         from xltsearch_spark.operators.build import KEYWORD_FIELDS
         self.parser = QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
 
@@ -105,10 +109,15 @@ class SearchEngine:
         idf_map = self._doc_freqs(terms)
         decoded = self._decode_postings(terms, idf_map, needs_positions(ast))
         if self.config.scoring_model == "bm25":
-            return self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=None)
-        ssw = scoring.tfidf_sum_sq_weights(
-            ast, 1.0, lambda f, t: scoring.tfidf_idf(self.stats.n_docs, idf_map.get((f, t), 0)))
-        return self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=scoring.query_norm(ssw))
+            out = self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=None)
+        else:
+            ssw = scoring.tfidf_sum_sq_weights(
+                ast, 1.0,
+                lambda f, t: scoring.tfidf_idf(self.stats.n_docs, idf_map.get((f, t), 0)))
+            out = self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=scoring.query_norm(ssw))
+        if self.tombstones:
+            out = out.filter(~F.col("doc_id").isin(self.tombstones))
+        return out
 
     # --------------------- multi-term expansion ----------------------------
     def _rewrite(self, ast):
@@ -118,12 +127,12 @@ class SearchEngine:
         if isinstance(ast, PrefixQuery):
             rows = d.filter((F.col("field") == ast.field) &
                             F.col("term").startswith(ast.prefix)).select("term").collect()
-            return ConstScoreTerms(ast.field, tuple(sorted(r["term"] for r in rows)), ast.boost)
+            return ConstScoreTerms(ast.field, tuple(sorted({r["term"] for r in rows})), ast.boost)
         if isinstance(ast, WildcardQuery):
             rx = _wildcard_regex(ast.pattern).pattern
             rows = d.filter((F.col("field") == ast.field) &
                             F.col("term").rlike(rx)).select("term").collect()
-            return ConstScoreTerms(ast.field, tuple(sorted(r["term"] for r in rows)), ast.boost)
+            return ConstScoreTerms(ast.field, tuple(sorted({r["term"] for r in rows})), ast.boost)
         if isinstance(ast, RangeQuery):
             cond = F.col("field") == ast.field
             if ast.lo is not None:
@@ -131,15 +140,19 @@ class SearchEngine:
             if ast.hi is not None:
                 cond &= (F.col("term") <= ast.hi) if ast.include_hi else (F.col("term") < ast.hi)
             rows = d.filter(cond).select("term").collect()
-            return ConstScoreTerms(ast.field, tuple(sorted(r["term"] for r in rows)), ast.boost)
+            return ConstScoreTerms(ast.field, tuple(sorted({r["term"] for r in rows})), ast.boost)
         if isinstance(ast, FuzzyQuery):
             rows = (d.filter((F.col("field") == ast.field) &
                              (F.levenshtein(F.col("term"), F.lit(ast.term)) <= ast.max_edits))
                     .select("term", F.levenshtein(F.col("term"), F.lit(ast.term)).alias("ed"))
                     .collect())
             scored = []
+            seen = set()
             for r in rows:
                 dd, t = int(r["ed"]), r["term"]
+                if t in seen:
+                    continue
+                seen.add(t)
                 sim = 1.0 if dd == 0 else 1.0 - dd / min(len(ast.term), len(t))
                 scored.append((sim, t))
             scored.sort(key=lambda x: (-x[0], x[1]))
@@ -155,7 +168,9 @@ class SearchEngine:
         if not terms:
             return {}
         cond = self._terms_cond(terms)
-        rows = self.dictionary.filter(cond).select("field", "term", "doc_freq").collect()
+        # sum across segments (a term's df is split over segment dictionaries)
+        rows = (self.dictionary.filter(cond).groupBy("field", "term")
+                .agg(F.sum("doc_freq").alias("doc_freq")).collect())
         return {(r["field"], r["term"]): int(r["doc_freq"]) for r in rows}
 
     def _terms_cond(self, terms):

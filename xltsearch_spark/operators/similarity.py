@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (training-pipeline extension).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane signature) variant as the scale path: at 10^9+ vectors the
+LSH pre-filter turns the all-pairs scan into per-bucket candidate scans.
+
+Everything stays JVM-side where the built-ins allow (``F.zip_with`` /
+``F.aggregate`` dot products); the batched numpy path is used for the
+many-queries case where a (Q x D) matmul per Arrow batch beats per-row
+expression evaluation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+
+def _norm_expr(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def cosine_topk_bruteforce(vectors: DataFrame, query_vec: list[float], k: int = 10,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine for ONE query vector, fully built-in:
+    zip_with/aggregate dot product -> TakeOrdered(k). No shuffle at all."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(np.dot(q, q))) or 1.0
+    dot = F.aggregate(F.zip_with(F.col(vec_col), F.array(*[F.lit(x) for x in q]),
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    sim = dot / (_norm_expr(F.col(vec_col)) * F.lit(qn))
+    return (vectors.select(F.col(id_col), sim.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
+def cosine_topk_batch(vectors: DataFrame, queries: np.ndarray, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k for a BATCH of query vectors: per-partition (Q x D) numpy
+    matmul + local top-k heap, then global TakeOrdered per query. Shuffles
+    only Q*k*partitions candidate rows."""
+    qm = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    schema = StructType([StructField("query_id", IntegerType()),
+                         StructField(id_col, LongType()),
+                         StructField("cosine", DoubleType())])
+
+    def score(it):
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy())
+            vn = np.linalg.norm(mat, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (qm @ mat.T) / (qn[:, None] * vn[None, :])
+            kk = min(k, sims.shape[1])
+            # local top-k per query (argpartition), global merge via TakeOrdered
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(np.arange(qm.shape[0], dtype=np.int32), kk),
+                id_col: ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql.window import Window
+    local = vectors.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k).select("query_id", id_col, "cosine", "rank"))
+
+
+def hyperplane_signatures(vectors: DataFrame, n_planes: int = 16, seed: int = 42,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int = 64) -> DataFrame:
+    """(id, bucket) random-hyperplane LSH signature (sign bits packed to int).
+    Cosine-similar vectors collide with prob 1 - theta/pi per bit."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    schema = StructType([StructField(id_col, LongType()),
+                         StructField("bucket", LongType())])
+
+    def sig(it):
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].to_numpy())
+            bits = (mat @ planes.T) > 0
+            bucket = (bits.astype(np.uint64) <<
+                      np.arange(n_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "bucket": bucket.astype(np.int64)})
+
+    return vectors.select(id_col, vec_col).mapInPandas(sig, schema=schema)
+
+
+def cosine_topk_lsh(vectors: DataFrame, query_vec: list[float], k: int = 10,
+                    n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket (plus hamming-1
+    neighbor buckets), exact cosine within candidates. The scale path: the
+    bucket column is a partition/cluster key at 10^12 rows."""
+    dim = len(query_vec)
+    sigs = hyperplane_signatures(vectors, n_planes, seed, id_col, vec_col, dim)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
+    qbucket = int((qbits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum())
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+    cand = (vectors.join(sigs.filter(F.col("bucket").isin(probes)), id_col, "left_semi"))
+    return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,91 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting (training-pipeline extensions).
+
+All four are pure built-in column expressions (JVM-side, whole-stage
+codegen) — no Python in the hot path. That is deliberate: at 100 TB these
+run as map-only stages fused into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
+
+# tiny per-language marker lexicons (deterministic heuristic language-ID;
+# real models would be a broadcast lookup or an Arrow UDF over a fastText
+# model — the Spark plumbing is identical)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es": ("el", "la", "los", "las", "es", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "les", "est", "et", "que", "des", "une", "dans", "pour"),
+}
+
+
+def tokens_expr(col: Column) -> Column:
+    """Whitespace+punctuation tokens, lowercased (BPE-ish regex splitter)."""
+    return F.filter(F.split(F.lower(col), r"[^\w']+"), lambda t: t != "")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_ws_tokens): regex tokens + raw whitespace split."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_expr(F.col(text_col))).alias("n_tokens"),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+        .alias("n_ws_tokens"))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in one projection:
+    doc length, mean word length, stopword ratio, punctuation density,
+    alpha ratio, repetition (distinct/total tokens)."""
+    toks = tokens_expr(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    out = df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (n_chars / safe_tok).alias("mean_token_len"),
+        (n_stop / safe_tok).alias("stopword_ratio"),
+        (n_punct / safe_chars).alias("punct_ratio"),
+        (n_alpha / safe_chars).alias("alpha_ratio"),
+        (n_distinct / safe_tok).alias("distinct_ratio"),
+    )
+    score = (F.when(F.col("n_tokens") < 5, 0.0).otherwise(
+        0.25 * F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
+        + 0.25 * F.col("alpha_ratio")
+        + 0.25 * F.col("distinct_ratio")
+        + 0.25 * (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(5.0), F.lit(1.0)))))
+    return out.withColumn("quality", F.round(score, 6))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score): argmax of marker-word hit ratios.
+    Deterministic tie-break on language code."""
+    toks = tokens_expr(F.col(text_col))
+    safe = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        marr = F.array(*[F.lit(m) for m in markers])
+        ratio = F.size(F.filter(toks, lambda t: F.array_contains(marr, t))) / safe
+        scores.append(F.struct(ratio.alias("s"), F.lit(lang).alias("l")))
+    best = F.array_max(F.array(*scores))
+    return df.select("doc_id", best["l"].alias("pred_lang"),
+                     F.round(best["s"], 6).alias("lang_score"))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): 64-bit content fingerprint = xxhash64 of the
+    token-normalized text (whitespace/case canonicalized) — the cheap
+    near-exact-dup key (formatting-insensitive, content-sensitive)."""
+    canon = F.array_join(tokens_expr(F.col(text_col)), " ")
+    return df.select("doc_id", F.xxhash64(canon).alias("fingerprint"))

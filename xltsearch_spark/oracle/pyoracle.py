@@ -47,9 +47,21 @@ KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum")
 
 
 class OracleIndex:
-    def __init__(self, corpus: pd.DataFrame, config: IndexConfig | None = None):
+    def __init__(self, corpus: pd.DataFrame, config: IndexConfig | None = None,
+                 deleted: set[int] | None = None):
+        """``corpus`` may carry an explicit dense ``doc_id`` column (segment
+        history: old versions of updated docs keep their ids). ``deleted``
+        doc ids are filtered from RESULTS but still count in collection
+        stats — Lucene's pre-merge tombstone semantics."""
         self.config = config or IndexConfig()
-        df = corpus.sort_values(["repo", "path"]).reset_index(drop=True)
+        self.deleted = frozenset(deleted or ())
+        if "doc_id" in corpus.columns:
+            df = corpus.sort_values("doc_id").reset_index(drop=True)
+            assert (df["doc_id"].to_numpy() == np.arange(len(df))).all(), \
+                "explicit doc_ids must be dense 0..N-1"
+            df = df.drop(columns=["doc_id"])
+        else:
+            df = corpus.sort_values(["repo", "path"]).reset_index(drop=True)
         df["hashsum"] = df["content"].map(
             lambda c: hashlib.sha256(str(c).encode("utf-8")).hexdigest())
         self.docs = df
@@ -120,6 +132,8 @@ class OracleIndex:
             ssw = self._sum_sq_weights(ast, 1.0)
             qn = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
             scores = self._eval_tfidf(ast, 1.0, qn)
+        if self.deleted:
+            scores = {d: s for d, s in scores.items() if d not in self.deleted}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
         out = []
         for rank, (doc_id, score) in enumerate(ranked, 1):
