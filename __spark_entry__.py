@@ -1,38 +1,352 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship BM25 search end-to-end on sf0.001.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2 + the training-pipeline extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL over the same parquet views.
+
+The full-text entries build an in-memory inverted index (RAM directory mode,
+``Config.java:86-98``) over the ``documents`` table mapped to the corpus
+schema, then run the classic-QP query through the engine. For these
+SQL-checkable entries the index runs with ``quantize_norms=False`` so the
+BM25 math is exactly expressible in ANSI SQL; the Lucene-4.6 8-bit-norm
+parity path is exercised by ``python -m pytest`` against the pure-Python
+oracle (tests/test_engine.py) instead, since the quantization table is not
+SQL-expressible.
+
+Scores are rounded to 4 decimals on BOTH sides (last-ulp ln() differences
+between the JVM and DuckDB would otherwise break value-hash equality).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
+from xltsearch_spark.config import IndexConfig
+from xltsearch_spark.operators import dedup, similarity, textstats
+from xltsearch_spark.operators.build import IndexBuilder
+from xltsearch_spark.operators.search import SearchEngine
+
+ENTRY_CFG = IndexConfig(name="entry", quantize_norms=False, analyzer="standard",
+                        term_buckets=8, doc_range_size=1 << 14, block_size=128)
+
+_ENGINE_CACHE: dict[tuple[str, int], SearchEngine] = {}
+
+_STOPS = sorted(ENGLISH_STOP_WORDS)
+_STOPS_SQL = "(" + ",".join(f"'{w}'" for w in _STOPS) + ")"
+
+# shared DuckDB CTE prologue: tokenization identical to the 'standard'
+# analyzer on this corpus (plain lowercase [a-z0-9_ ] text), positions are
+# pre-stop ordinals so stop removal leaves gaps exactly like Lucene
+_TOK_CTE = f"""
+tok_all AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS term,
+           unnest(range(len(regexp_extract_all(text, '[a-z0-9_]+')))) AS pos
+    FROM documents
+),
+tok AS (SELECT * FROM tok_all WHERE term NOT IN {_STOPS_SQL}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT count(*) FROM tok) * 1.0 / (SELECT count(*) FROM documents) AS avgdl)
+"""
 
 
+def _bm25_sql(term: str) -> str:
+    """Per-term BM25 score subquery body (k1=1.2, b=0.75, exact dl)."""
+    return f"""
+    SELECT t.doc_id,
+           ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS score
+    FROM (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id) t
+    JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{term}') d ON true
+    JOIN dl ON t.doc_id = dl.doc_id
+    CROSS JOIN st
+    """
+
+
+def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("path"),
+        F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("string").alias("title"),
+        F.col("doc_id").alias("src_doc_id"),
+    )
+
+
+def _get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    key = (sf_dir, id(spark))
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
+    corpus = _corpus_from_documents(spark, sf_dir)
+    builder = IndexBuilder(spark, ENTRY_CFG)
+    docs = builder.docs_stage(corpus.drop("src_doc_id")).persist()
+    runs = builder.runs_stage(docs).persist()
+    runs.count()
+    stats = builder.stats_stage(docs, runs)
+    dictionary = builder.dictionary_stage(runs).persist()
+    postings = builder.postings_stage(runs, stats).persist()
+    postings.count()
+    engine = SearchEngine(spark, postings, docs, dictionary, stats, ENTRY_CFG)
+    _ENGINE_CACHE[key] = engine
+    return engine
+
+
+def _orig_ids(engine: SearchEngine):
+    """Map engine doc_id back to the documents table's doc_id (the engine
+    key 'path' is the zero-padded source doc_id)."""
+    return engine.docs.select(F.col("doc_id"),
+                              F.col("path").cast("long").alias("src_doc_id"))
+
+
+def _ft(spark: SparkSession, sf_dir: str, query: str, limit: int | None):
+    engine = _get_engine(spark, sf_dir)
+    scored = engine.score_all(query)
+    if limit is not None:
+        scored = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+    out = (scored.join(_orig_ids(engine), "doc_id")
+           .select(F.col("src_doc_id").alias("doc_id"),
+                   F.round("score", 4).alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-100 for 'merge AND vector' on sf0.001 documents,
+    with stored fields (the reference's search result shape)."""
+    engine = _get_engine(spark, "/root/testdata/sf0.001")
+    return engine.search("merge AND vector", 100)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- full-text query algebra (SURVEY.md §2.4 Q2-Q15) ----
+    q["ft_term_topk"] = lambda s, d: _ft(s, d, "merge", 20)
+    q["ft_bool_and"] = lambda s, d: _ft(s, d, "merge AND vector", 20)
+    q["ft_or_boost"] = lambda s, d: _ft(s, d, "merge^2 OR vector", 20)
+    q["ft_must_not"] = lambda s, d: _ft(s, d, "merge -vector", None)
+    q["ft_phrase"] = lambda s, d: _ft(s, d, '"merge vector"', None)
+    q["ft_prefix"] = lambda s, d: _ft(s, d, "mer*", None)
+
+    def ft_matchall(s, d):
+        return (_get_engine(s, d).score_all("*:*")
+                .agg(F.count("*").alias("n_docs")))
+    q["ft_matchall_count"] = ft_matchall
+
+    # ---- dedup suite ----
+    def dedup_exact(s, d):
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        g = (docs.groupBy("text").agg(F.count("*").alias("c"),
+                                      F.min("doc_id").alias("keep")))
+        return g.agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+            F.sum(F.col("c") - 1).alias("n_redundant_docs"))
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash(s, d):
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        sigs = dedup.minhash_signatures(docs, num_hashes=64, shingle_n=3)
+        return (dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4,
+                                        threshold=0.5)
+                .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+                .orderBy("a", "b"))
+    q["dedup_minhash_lsh"] = dedup_minhash
+
+    def dedup_simhash(s, d):
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        fps = dedup.simhash_fingerprints(docs)
+        return dedup.simhash_near_pairs(fps, max_hamming=3, bands=4).orderBy("a", "b")
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_jaccard(s, d):
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return (dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+                .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+                .orderBy("a", "b"))
+    q["dedup_ngram_jaccard"] = dedup_jaccard
+
+    # ---- text analysis ----
+    def token_count(s, d):
+        out = textstats.token_count(s.read.parquet(f"{d}/documents.parquet"))
+        return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                          F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"))
+    q["text_token_count"] = token_count
+
+    def quality(s, d):
+        out = textstats.quality_scores(s.read.parquet(f"{d}/documents.parquet"))
+        return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                          *[F.round(c, 6).alias(c) for c in
+                            ("mean_token_len", "stopword_ratio", "punct_ratio",
+                             "alpha_ratio", "distinct_ratio", "quality")])
+    q["text_quality"] = quality
+
+    def lang_id(s, d):
+        return textstats.language_id(s.read.parquet(f"{d}/documents.parquet"))
+    q["text_lang_id"] = lang_id
+
+    def fingerprint(s, d):
+        return textstats.fingerprints(s.read.parquet(f"{d}/documents.parquet"))
+    q["text_fingerprint"] = fingerprint
+
+    # ---- similarity search ----
+    def ann_brute(s, d):
+        emb = (s.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+        qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        out = similarity.cosine_topk_bruteforce(emb, qvec, k=10)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    q["ann_cosine_topk"] = ann_brute
+
+    def ann_lsh(s, d):
+        emb = (s.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+        qvec = emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]
+        out = similarity.cosine_topk_lsh(emb, qvec, k=5, n_planes=8)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    q["ann_cosine_lsh"] = ann_lsh
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    def topk(body: str, k: int | None) -> str:
+        lim = f"LIMIT {k}" if k else ""
+        return f"""WITH {_TOK_CTE}
+        SELECT doc_id, round(score, 4) AS score FROM (
+            SELECT doc_id, sum(score) AS score FROM ({body}) GROUP BY doc_id
+            ORDER BY score DESC, doc_id {lim})"""
+
+    o["ft_term_topk"] = topk(_bm25_sql("merge"), 20)
+
+    o["ft_bool_and"] = f"""WITH {_TOK_CTE}
+    SELECT doc_id, round(score, 4) AS score FROM (
+        SELECT doc_id, sum(score) AS score, count(*) AS nc
+        FROM ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')})
+        GROUP BY doc_id HAVING count(*) = 2
+        ORDER BY score DESC, doc_id LIMIT 20)"""
+
+    o["ft_or_boost"] = f"""WITH {_TOK_CTE}
+    SELECT doc_id, round(score, 4) AS score FROM (
+        SELECT doc_id, sum(score) AS score
+        FROM (SELECT doc_id, score * 2.0 AS score FROM ({_bm25_sql('merge')})
+              UNION ALL {_bm25_sql('vector')})
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20)"""
+
+    o["ft_must_not"] = f"""WITH {_TOK_CTE}
+    SELECT doc_id, round(score, 4) AS score FROM ({_bm25_sql('merge')})
+    WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+    ORDER BY score DESC, doc_id"""
+
+    # phrase: adjacency on pre-stop positions; phrase idf = sum of term idfs,
+    # tf = number of adjacent (merge, vector) position pairs
+    o["ft_phrase"] = f"""WITH {_TOK_CTE},
+    pf AS (SELECT a.doc_id, count(*) AS pf
+           FROM tok_all a JOIN tok_all b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE a.term = 'merge' AND b.term = 'vector'
+           GROUP BY a.doc_id),
+    idfs AS (SELECT ln(1 + (st.n - d1.df + 0.5) / (d1.df + 0.5))
+                  + ln(1 + (st.n - d2.df + 0.5) / (d2.df + 0.5)) AS idf
+             FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='merge') d1,
+                  (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='vector') d2,
+                  st)
+    SELECT pf.doc_id,
+           round(idfs.idf * 2.2 * pf.pf
+                 / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
+    FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN idfs CROSS JOIN st
+    ORDER BY score DESC, pf.doc_id"""
+
+    o["ft_prefix"] = f"""WITH {_TOK_CTE}
+    SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE 'mer%'
+    ORDER BY doc_id"""
+
+    o["ft_matchall_count"] = "SELECT count(*) AS n_docs FROM documents"
+
+    o["dedup_exact"] = """
+    SELECT count(*) AS n_groups,
+           sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+           sum(c - 1)::BIGINT AS n_redundant_docs
+    FROM (SELECT count(*) AS c FROM documents GROUP BY text)"""
+
+    o["text_token_count"] = """
+    SELECT doc_id,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'), x -> x <> '')) AS n_tokens,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens
+    FROM documents"""
+
+    o["text_quality"] = f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'), x -> x <> '') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^\\x00-\\x7F]|[a-zA-Z0-9_\\s]', '', 'g')) AS _unused,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             n_chars * 1.0 / greatest(len(toks), 1) AS mean_token_len,
+             len(list_filter(toks, x -> x IN {_STOPS_SQL})) * 1.0 / greatest(len(toks), 1) AS stopword_ratio,
+             n_punct * 1.0 / greatest(n_chars, 1) AS punct_ratio,
+             n_alpha * 1.0 / greatest(n_chars, 1) AS alpha_ratio,
+             len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS distinct_ratio
+      FROM f)
+    SELECT doc_id, n_tokens, round(mean_token_len, 6) AS mean_token_len,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(distinct_ratio, 6) AS distinct_ratio,
+           round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+             0.25 * least(stopword_ratio * 4.0, 1.0)
+           + 0.25 * alpha_ratio
+           + 0.25 * distinct_ratio
+           + 0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) END, 6) AS quality
+    FROM g"""
+
+    marker = {
+        "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+        "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+        "es": ("el", "la", "los", "las", "es", "de", "que", "y", "en", "un"),
+        "fr": ("le", "la", "les", "est", "et", "que", "des", "une", "dans", "pour"),
+    }
+    lang_rows = " UNION ALL ".join(
+        f"""SELECT doc_id, '{lang}' AS l,
+            len(list_filter(toks, x -> x IN ({','.join(repr(m) for m in ms)}))) * 1.0
+              / greatest(len(toks), 1) AS s FROM f"""
+        for lang, ms in sorted(marker.items()))
+    o["text_lang_id"] = f"""
+    WITH f AS (SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'), x -> x <> '') AS toks
+               FROM documents),
+    sc AS ({lang_rows}),
+    r AS (SELECT doc_id, l, s,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
+          FROM sc)
+    SELECT doc_id, l AS pred_lang, round(s, 6) AS lang_score FROM r WHERE rn = 1"""
+
+    o["ann_cosine_topk"] = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    z AS (SELECT e.vec_id,
+                 unnest(e.embedding)::DOUBLE AS x,
+                 unnest(q.qe)::DOUBLE AS y
+          FROM embeddings e CROSS JOIN q),
+    s AS (SELECT vec_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM z GROUP BY vec_id)
+    SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
+    FROM s ORDER BY dot / (nx * ny) DESC, vec_id LIMIT 10"""
+
+    # dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
+    # text_fingerprint / ann_cosine_lsh: hash-family / LSH internals are not
+    # SQL-expressible -> rows-only checks (driver contract allows omission)
+    return o

@@ -1,0 +1,136 @@
+"""Headline benchmark: index-build throughput + query latencies + pipeline ops.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "build_docs_per_sec": ..., "query_p95_sec": ...}
+
+The BASELINE.json metric is index-build docs/sec + top-k p95 latency; both
+are reported as extra keys. The build-throughput corpus is the deterministic
+fixture corpus (FIXTURES.md 'bench' family) at a size scaled by sf so the
+number reflects tokenization+shuffle work, not per-job overhead; query
+latencies run against the sf documents index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    build_docs = int(os.environ.get("BENCH_BUILD_DOCS", "20000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+    from xltsearch_spark.config import IndexConfig
+    from xltsearch_spark.operators import dedup, similarity, textstats
+    from xltsearch_spark.operators.build import IndexBuilder
+    from xltsearch_spark.operators.search import SearchEngine
+    from xltsearch_spark.session import get_spark
+    from xltsearch_spark.sources.corpus import generate_corpus
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+
+    # ---- 1. index-build throughput (docs/sec) on the fixture corpus ----
+    corpus_pd = generate_corpus(build_docs)
+    cfg = IndexConfig(name="bench", doc_range_size=2048, block_size=128,
+                      term_buckets=max(cores, 16))
+    corpus = spark.createDataFrame(corpus_pd).repartition(cores)
+    corpus.persist().count()  # materialize input outside the timed section
+    builder = IndexBuilder(spark, cfg)
+    t0 = time.time()
+    docs = builder.docs_stage(corpus).persist()
+    runs = builder.runs_stage(docs).persist()
+    runs.count()
+    stats = builder.stats_stage(docs, runs)
+    dictionary = builder.dictionary_stage(runs).persist()
+    dictionary.count()
+    postings = builder.postings_stage(runs, stats).persist()
+    postings.count()
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    build_docs_per_sec = build_docs / build_sec
+
+    fixture_engine = SearchEngine(spark, postings, docs, dictionary, stats, cfg)
+
+    # ---- 2. top-k query latency over the sf documents index ----
+    doc_engine = entry_mod._get_engine(spark, sf_dir)
+    q_specs = {
+        "q_term": (fixture_engine, "common_token"),           # 90%-df hot term
+        "q_and": (fixture_engine, "common_token AND graded"),
+        "q_or": (fixture_engine, "alpha OR beta OR graded"),
+        "q_phrase": (fixture_engine, '"alpha beta"'),
+        "q_prefix": (fixture_engine, "needle_1*"),
+        "q_doc_term": (doc_engine, "merge"),
+        "q_doc_bool": (doc_engine, "merge AND vector NOT column"),
+    }
+    lat_samples = []
+    for name, (eng, qs) in q_specs.items():
+        eng.search_scores(qs, 100).collect()  # warm (plans, code paths)
+        runs_sec = []
+        for _ in range(3):
+            tq = time.time()
+            eng.search_scores(qs, 100).collect()
+            runs_sec.append(time.time() - tq)
+        timings[name] = round(min(runs_sec), 3)
+        lat_samples.extend(runs_sec)
+    query_p95 = float(np.percentile(lat_samples, 95))
+
+    # ---- 3. training-pipeline ops on the sf tables ----
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    documents.count()
+    embeddings = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                  .select("vec_id", F.col("embedding").cast("array<double>")
+                          .alias("embedding")).persist())
+    embeddings.count()
+
+    t0 = time.time()
+    sigs = dedup.minhash_signatures(documents, num_hashes=64, shingle_n=3)
+    dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, threshold=0.5).count()
+    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    fps = dedup.simhash_fingerprints(documents)
+    dedup.simhash_near_pairs(fps, max_hamming=3, bands=4).count()
+    timings["dedup_simhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    textstats.quality_scores(documents).count()
+    textstats.language_id(documents).count()
+    timings["text_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    qvecs = np.stack([r["embedding"] for r in embeddings.limit(8).collect()])
+    similarity.cosine_topk_batch(embeddings, qvecs, k=10).count()
+    timings["ann_batch_topk"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_total0
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "build_docs": build_docs,
+        "build_docs_per_sec": round(build_docs_per_sec, 1),
+        "query_p95_sec": round(query_p95, 4),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
