@@ -70,6 +70,34 @@ class SearchResult:
     score: float
 
 
+@dataclass(frozen=True)
+class ConstScorePred:
+    """Engine-side constant-score multi-term node: instead of materializing
+    the (possibly huge) term expansion on the driver, the predicate itself
+    is pushed into the postings scan (term LIKE/rlike/range reach the
+    parquet reader). Semantically identical to plans.rewrite.ConstScoreTerms
+    — every matching doc scores `boost` (CONSTANT_SCORE rewrite) — but O(1)
+    driver state and no giant IN-lists in the plan."""
+    field: str
+    kind: str               # 'prefix' | 'regex' | 'range'
+    payload: tuple
+    boost: float = 1.0
+
+    def term_cond(self):
+        t = F.col("term")
+        if self.kind == "prefix":
+            return t.startswith(self.payload[0])
+        if self.kind == "regex":
+            return t.rlike(self.payload[0])
+        lo, hi, ilo, ihi = self.payload
+        c = F.lit(True)
+        if lo is not None:
+            c = c & ((t >= lo) if ilo else (t > lo))
+        if hi is not None:
+            c = c & ((t <= hi) if ihi else (t < hi))
+        return c
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, postings: DataFrame, docs: DataFrame,
                  dictionary: DataFrame, stats: BuildStats,
@@ -105,9 +133,9 @@ class SearchEngine:
     def score_all(self, query: str) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks."""
         ast = self._rewrite(self.parser.parse(query))
-        terms = sorted(set(collect_terms(ast)))
+        terms, preds = self._collect_leaves(ast)
         idf_map = self._doc_freqs(terms)
-        decoded = self._decode_postings(terms, idf_map, needs_positions(ast))
+        decoded = self._decode_postings(terms, preds, idf_map, needs_positions(ast))
         if self.config.scoring_model == "bm25":
             out = self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=None)
         else:
@@ -124,23 +152,17 @@ class SearchEngine:
         if isinstance(ast, BooleanQuery):
             return BooleanQuery(tuple((o, self._rewrite(s)) for o, s in ast.clauses), ast.boost)
         d = self.dictionary
+        # prefix/wildcard/range: constant-score — push the predicate into the
+        # postings scan instead of expanding terms on the driver
         if isinstance(ast, PrefixQuery):
-            rows = d.filter((F.col("field") == ast.field) &
-                            F.col("term").startswith(ast.prefix)).select("term").collect()
-            return ConstScoreTerms(ast.field, tuple(sorted({r["term"] for r in rows})), ast.boost)
+            return ConstScorePred(ast.field, "prefix", (ast.prefix,), ast.boost)
         if isinstance(ast, WildcardQuery):
-            rx = _wildcard_regex(ast.pattern).pattern
-            rows = d.filter((F.col("field") == ast.field) &
-                            F.col("term").rlike(rx)).select("term").collect()
-            return ConstScoreTerms(ast.field, tuple(sorted({r["term"] for r in rows})), ast.boost)
+            return ConstScorePred(ast.field, "regex",
+                                  (_wildcard_regex(ast.pattern).pattern,), ast.boost)
         if isinstance(ast, RangeQuery):
-            cond = F.col("field") == ast.field
-            if ast.lo is not None:
-                cond &= (F.col("term") >= ast.lo) if ast.include_lo else (F.col("term") > ast.lo)
-            if ast.hi is not None:
-                cond &= (F.col("term") <= ast.hi) if ast.include_hi else (F.col("term") < ast.hi)
-            rows = d.filter(cond).select("term").collect()
-            return ConstScoreTerms(ast.field, tuple(sorted({r["term"] for r in rows})), ast.boost)
+            return ConstScorePred(ast.field, "range",
+                                  (ast.lo, ast.hi, ast.include_lo, ast.include_hi),
+                                  ast.boost)
         if isinstance(ast, FuzzyQuery):
             rows = (d.filter((F.col("field") == ast.field) &
                              (F.levenshtein(F.col("term"), F.lit(ast.term)) <= ast.max_edits))
@@ -164,33 +186,62 @@ class SearchEngine:
         return ast
 
     # --------------------- pruned posting scan + decode --------------------
+    def _collect_leaves(self, ast):
+        """(exact (field, term) list, ConstScorePred list) for the scan."""
+        terms, preds = [], []
+
+        def walk(node):
+            if isinstance(node, BooleanQuery):
+                for _, sub in node.clauses:
+                    walk(sub)
+            elif isinstance(node, TermQuery):
+                terms.append((node.field, node.term))
+            elif isinstance(node, PhraseQuery):
+                terms.extend((node.field, t) for t, _ in node.terms)
+            elif isinstance(node, ConstScoreTerms):
+                terms.extend((node.field, t) for t in node.terms)
+            elif isinstance(node, ConstScorePred):
+                preds.append(node)
+
+        walk(ast)
+        return sorted(set(terms)), preds
+
     def _doc_freqs(self, terms: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
         if not terms:
             return {}
-        cond = self._terms_cond(terms)
+        cond = self._terms_cond(terms, [])
         # sum across segments (a term's df is split over segment dictionaries)
         rows = (self.dictionary.filter(cond).groupBy("field", "term")
                 .agg(F.sum("doc_freq").alias("doc_freq")).collect())
         return {(r["field"], r["term"]): int(r["doc_freq"]) for r in rows}
 
-    def _terms_cond(self, terms):
-        buckets = sorted({int(term_bucket(np.array([t], dtype=object),
-                                          self.config.term_buckets)[0]) for _, t in terms})
-        cond = F.col("bucket").isin(buckets)
-        per_field: dict[str, list[str]] = {}
-        for f, t in terms:
-            per_field.setdefault(f, []).append(t)
-        field_cond = None
-        for f, ts in per_field.items():
-            c = (F.col("field") == f) & F.col("term").isin(sorted(set(ts)))
-            field_cond = c if field_cond is None else (field_cond | c)
-        return cond & field_cond if field_cond is not None else F.lit(False)
+    def _terms_cond(self, terms, preds):
+        """Scan predicate: exact terms prune on (bucket, term); predicate
+        leaves (prefix/regex/range) prune on field only — pushed to the
+        parquet reader where min/max row-group stats on `term` apply."""
+        cond = None
+        if terms:
+            buckets = sorted({int(term_bucket(np.array([t], dtype=object),
+                                              self.config.term_buckets)[0])
+                              for _, t in terms})
+            per_field: dict[str, list[str]] = {}
+            for f, t in terms:
+                per_field.setdefault(f, []).append(t)
+            field_cond = None
+            for f, ts in per_field.items():
+                c = (F.col("field") == f) & F.col("term").isin(sorted(set(ts)))
+                field_cond = c if field_cond is None else (field_cond | c)
+            cond = F.col("bucket").isin(buckets) & field_cond
+        for p in preds:
+            c = (F.col("field") == p.field) & p.term_cond()
+            cond = c if cond is None else (cond | c)
+        return cond if cond is not None else F.lit(False)
 
-    def _decode_postings(self, terms, idf_map, with_positions: bool) -> DataFrame:
+    def _decode_postings(self, terms, preds, idf_map, with_positions: bool) -> DataFrame:
         """One scan + mapInPandas decode of all query-term blocks."""
-        if not terms:
+        if not terms and not preds:
             return self.spark.createDataFrame([], DECODED_SCHEMA)
-        scan = self.postings.filter(self._terms_cond(terms))
+        scan = self.postings.filter(self._terms_cond(terms, preds))
         cfg = self.config
         n_docs = self.stats.n_docs
         avgdl = self.stats.avgdl
@@ -248,6 +299,10 @@ class SearchEngine:
                                    F.col("term").isin(list(node.terms)))
                     .select("doc_id").distinct()
                     .withColumn("score", F.lit(mult * node.boost * qn)))
+        if isinstance(node, ConstScorePred):
+            return (decoded.filter((F.col("field") == node.field) & node.term_cond())
+                    .select("doc_id").distinct()
+                    .withColumn("score", F.lit(mult * node.boost * qn)))
         if isinstance(node, MatchAllQuery):
             return self.docs.select("doc_id").withColumn(
                 "score", F.lit(mult * node.boost * qn))
@@ -263,16 +318,16 @@ class SearchEngine:
                             StructField("score", DoubleType())]))
 
     def _eval_phrase(self, node: PhraseQuery, decoded, mult, idf_map, tfidf_qn):
-        """Position-list intersection via groupBy(doc_id) + applyInPandas.
-
-        Only docs containing ALL phrase terms reach the pandas stage (count
-        filter first), so the grouped work is proportional to the candidate
-        set, not the posting lists."""
+        """Position-list intersection: ONE repartition(doc_id) of the phrase
+        terms' decoded rows, then a partition-level mapInPandas that
+        intersects candidates with pandas/numpy kernels. (A per-doc-group
+        applyInPandas would pay Arrow batch overhead per document.)"""
         terms = [t for t, _ in node.terms]
         offsets = [o for _, o in node.terms]
         n_terms_distinct = len(set(terms))
         cand = (decoded.filter((F.col("field") == node.field) &
-                               F.col("term").isin(terms)))
+                               F.col("term").isin(terms))
+                .select("doc_id", "term", "positions", "dl"))
         cfg = self.config
         n_docs, avgdl = self.stats.n_docs, self.stats.avgdl.get(node.field, 1.0) or 1.0
         if cfg.scoring_model == "bm25":
@@ -285,34 +340,45 @@ class SearchEngine:
         out_schema = StructType([StructField("doc_id", LongType()),
                                  StructField("score", DoubleType())])
 
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            by_term = {}
-            dl = int(pdf["dl"].iloc[0])
-            for r in pdf.itertuples(index=False):
-                if r.positions is None:
-                    return pd.DataFrame({"doc_id": [], "score": []})
-                by_term[r.term] = np.frombuffer(bytes.fromhex(r.positions), dtype=np.int64)
-            if len(by_term) < n_terms_distinct:
-                return pd.DataFrame({"doc_id": [], "score": []})
-            pf = phrase_freq([by_term[t] for t in terms], offsets, slop)
-            if pf <= 0:
-                return pd.DataFrame({"doc_id": [], "score": []})
-            dlq = float(quantized_doc_length(np.array([dl]))[0]) if quantize else float(dl)
+        def score_partition(it):
+            chunks = list(it)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            # keep only docs containing every distinct phrase term
+            nuniq = pdf.groupby("doc_id")["term"].nunique()
+            live = nuniq[nuniq >= n_terms_distinct].index
+            pdf = pdf[pdf["doc_id"].isin(live)]
+            if pdf.empty:
+                return
+            doc_ids, pfs, dls = [], [], []
+            for doc_id, grp in pdf.groupby("doc_id", sort=False):
+                by_term = {r.term: np.frombuffer(bytes.fromhex(r.positions), dtype=np.int64)
+                           for r in grp.itertuples(index=False) if r.positions is not None}
+                if len(by_term) < n_terms_distinct:
+                    continue
+                pf = phrase_freq([by_term[t] for t in terms], offsets, slop)
+                if pf > 0:
+                    doc_ids.append(int(doc_id))
+                    pfs.append(pf)
+                    dls.append(int(grp["dl"].iloc[0]))
+            if not doc_ids:
+                return
+            pf_arr = np.array(pfs, dtype=np.float64)
+            dl_arr = np.array(dls, dtype=np.int64)
+            dlq = quantized_doc_length(dl_arr) if quantize else dl_arr.astype(np.float64)
             if model == "bm25":
-                s = final_mult * idf * (k1 + 1) * pf / (pf + k1 * (1 - b + b * dlq / avgdl))
+                sc = final_mult * idf * (k1 + 1) * pf_arr / (
+                    pf_arr + k1 * (1 - b + b * dlq / avgdl))
             else:
-                nrm = (float(decoded_tf_idf_norm(np.array([dl]))[0]) if quantize
-                       else (1.0 / np.sqrt(dl) if dl > 0 else 0.0))
-                s = final_mult * np.sqrt(pf) * idf * idf * nrm
-            return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "score": [float(s)]})
+                nrm = (decoded_tf_idf_norm(dl_arr) if quantize
+                       else np.where(dl_arr > 0, 1.0 / np.sqrt(np.maximum(dl_arr, 1)), 0.0))
+                sc = final_mult * np.sqrt(pf_arr) * idf * idf * nrm
+            yield pd.DataFrame({"doc_id": doc_ids, "score": sc})
 
-        # pre-filter docs that contain all distinct terms (cheap agg) before
-        # the per-doc pandas stage
-        ok = (cand.groupBy("doc_id")
-              .agg(F.countDistinct("term").alias("nt"))
-              .filter(F.col("nt") >= n_terms_distinct).select("doc_id"))
-        return (cand.join(ok, "doc_id", "left_semi")
-                .groupBy("doc_id").applyInPandas(score_group, schema=out_schema))
+        n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
+        return (cand.repartition(n_parts, "doc_id")
+                .mapInPandas(score_partition, schema=out_schema))
 
     def _eval_boolean(self, node: BooleanQuery, decoded, mult, idf_map, tfidf_qn):
         m2 = mult * node.boost
