@@ -64,6 +64,32 @@ def decode_varint(buf: bytes, count: int | None = None) -> np.ndarray:
     return values
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for _ in range(_MAX_VARINT_BYTES):
+        live = tmp > 0
+        if not live.any():
+            break
+        nbits[live] += 1
+        tmp >>= np.uint64(7)
+    return np.maximum(nbits, 1)
+
+
+def encode_varint_grouped(values: np.ndarray, group_starts: np.ndarray):
+    """Encode ONE concatenated varint stream and return (buffer, byte_offsets)
+    where byte_offsets[i] is the byte position of values[group_starts[i]] —
+    so per-group payloads are zero-copy slices of the single buffer. This is
+    the batch path of the SPIMI build: one numpy encode for a whole
+    partition's runs instead of one call per (term, doc-range) group."""
+    buf = encode_varint(values)
+    lens = varint_lengths(values)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    return buf, cum[np.asarray(group_starts, dtype=np.int64)]
+
+
 def encode_deltas(sorted_ids: np.ndarray) -> bytes:
     """Delta-encode a strictly increasing int64/uint64 array, then varint."""
     a = np.asarray(sorted_ids, dtype=np.uint64)

@@ -52,7 +52,8 @@ from xltsearch_spark.analyzers import analyze_flat, doc_lengths
 from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.functions.norms import quantized_doc_length
 from xltsearch_spark.functions.varint import (decode_deltas, decode_varint,
-                                              encode_deltas, encode_varint)
+                                              encode_deltas, encode_varint,
+                                              encode_varint_grouped)
 
 ANALYZED_FIELDS = ("content", "title")
 KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum")
@@ -141,11 +142,6 @@ class BuildStats:
     sum_ttf: dict[str, int]
 
 
-def _encode_group(doc_ids, tfs, dls, pos_deltas_bytes):
-    return (encode_deltas(doc_ids), encode_varint(tfs.astype(np.uint64)),
-            encode_varint(dls.astype(np.uint64)), pos_deltas_bytes)
-
-
 def make_tokenize_udf(config: IndexConfig, fields_present: list[str]):
     """mapInPandas generator: doc batches -> posting runs + doc-length rows."""
     range_size = config.doc_range_size
@@ -201,36 +197,64 @@ def _emit_dl_rows(out_rows, field, doc_ids, dl, range_size):
 def _emit_runs(out_rows, field, terms, docs, pos, dl_per_row, rows,
                range_size, n_buckets):
     """Vectorized SPIMI: flat (term, doc, pos) -> one encoded run per
-    (term, doc-range). Python loops only over distinct (term, range) groups."""
+    (term, doc-range). The entire partition is encoded with FOUR batched
+    varint calls (doc deltas / tfs / dls / position deltas); the only Python
+    loop slices per-group byte ranges out of the shared buffers."""
     dl_arr = np.asarray(dl_per_row, dtype=np.int64)
     ranges = docs // range_size
     buckets = term_bucket(terms, n_buckets)
     order = np.lexsort((pos, docs, terms.astype(str)))
     terms, docs, pos, ranges, buckets, rows = (terms[order], docs[order], pos[order],
                                                ranges[order], buckets[order], rows[order])
-    # group boundaries at (term, range) change
+    n = len(terms)
     t_str = terms.astype(str)
-    new_term = np.empty(len(t_str), dtype=bool)
-    new_term[0] = True
-    new_term[1:] = (t_str[1:] != t_str[:-1]) | (ranges[1:] != ranges[:-1])
-    grp_starts = np.nonzero(new_term)[0]
-    grp_ends = np.append(grp_starts[1:], len(t_str))
-    # per-token position deltas (reset at doc change)
-    pos_delta = np.empty(len(pos), dtype=np.uint64)
+    # group boundaries at (term, range) change — token-stream index space
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (t_str[1:] != t_str[:-1]) | (ranges[1:] != ranges[:-1])
+    grp_starts = np.nonzero(new_grp)[0]
+    grp_ends = np.append(grp_starts[1:], n)
+    # doc-entry boundaries (a (group, doc) pair) — token-stream index space
+    new_doc = new_grp.copy()
+    new_doc[1:] |= docs[1:] != docs[:-1]
+    doc_starts = np.nonzero(new_doc)[0]
+    doc_ends = np.append(doc_starts[1:], n)
+    tf = (doc_ends - doc_starts).astype(np.uint64)          # per doc-entry
+    d_vals = docs[doc_starts]
+    d_dls = dl_arr[rows[doc_starts]].astype(np.uint64)
+    # group starts in doc-entry index space (every group start IS a doc start)
+    grp_doc_starts = np.searchsorted(doc_starts, grp_starts)
+    grp_doc_ends = np.append(grp_doc_starts[1:], doc_starts.size)
+    # doc-id deltas, reset to absolute at each group start
+    deltas = np.empty(d_vals.size, dtype=np.int64)
+    deltas[0] = d_vals[0]
+    deltas[1:] = d_vals[1:] - d_vals[:-1]
+    deltas[grp_doc_starts] = d_vals[grp_doc_starts]
+    # per-token position deltas, reset to absolute at each doc-entry start
+    pos_delta = np.empty(n, dtype=np.int64)
     pos_delta[0] = pos[0]
-    same_doc = np.zeros(len(pos), dtype=bool)
-    same_doc[1:] = (docs[1:] == docs[:-1]) & ~new_term[1:]
-    pos_delta[1:] = np.where(same_doc[1:], pos[1:] - pos[:-1], pos[1:])
-    for s, e in zip(grp_starts, grp_ends):
-        d_slice = docs[s:e]
-        uniq_docs, first_idx, tf = np.unique(d_slice, return_index=True, return_counts=True)
-        dls = dl_arr[rows[s:e][first_idx]].astype(np.uint64)
-        pos_bytes = encode_varint(pos_delta[s:e])
-        docs_bin, tfs_bin, dls_bin, pos_bin = _encode_group(
-            uniq_docs, tf.astype(np.uint64), dls, pos_bytes)
+    pos_delta[1:] = pos[1:] - pos[:-1]
+    pos_delta[doc_starts] = pos[doc_starts]
+    # FOUR batched encodes for the whole partition
+    docs_buf, docs_off = encode_varint_grouped(deltas.astype(np.uint64), grp_doc_starts)
+    tfs_buf, tfs_off = encode_varint_grouped(tf, grp_doc_starts)
+    dls_buf, dls_off = encode_varint_grouped(d_dls, grp_doc_starts)
+    pos_buf, pos_off = encode_varint_grouped(pos_delta.astype(np.uint64), grp_starts)
+    docs_end = np.append(docs_off[1:], len(docs_buf))
+    tfs_end = np.append(tfs_off[1:], len(tfs_buf))
+    dls_end = np.append(dls_off[1:], len(dls_buf))
+    pos_end = np.append(pos_off[1:], len(pos_buf))
+    n_docs_g = grp_doc_ends - grp_doc_starts
+    sum_tf_g = grp_ends - grp_starts
+    for g in range(grp_starts.size):
+        s = grp_starts[g]
         out_rows.append((field, str(t_str[s]), int(ranges[s]), int(buckets[s]),
-                         int(uniq_docs.size), docs_bin, tfs_bin, dls_bin,
-                         pos_bin, int(tf.sum())))
+                         int(n_docs_g[g]),
+                         docs_buf[docs_off[g]:docs_end[g]],
+                         tfs_buf[tfs_off[g]:tfs_end[g]],
+                         dls_buf[dls_off[g]:dls_end[g]],
+                         pos_buf[pos_off[g]:pos_end[g]],
+                         int(sum_tf_g[g])))
 
 
 def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
