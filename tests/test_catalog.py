@@ -38,11 +38,11 @@ def test_crash_resume_skips_completed_stages(spark, tiny_corpus, warehouse):
         cat.build(corpus, fingerprint="v1", fail_after="runs")
     assert cat.status() == INDEX_UPDATE_FAILED  # crash marker (Catalog.java:104-105)
     # resume: docs+runs manifests exist and must not be rebuilt
-    docs_mtime = os.path.getmtime(cat._manifest_path("docs"))
-    runs_mtime = os.path.getmtime(cat._manifest_path("runs"))
+    docs_mtime = os.path.getmtime(cat._manifest_path("seg_000000", "docs"))
+    runs_mtime = os.path.getmtime(cat._manifest_path("seg_000000", "runs"))
     cat.build(corpus, fingerprint="v1", build_time_ms=999)
-    assert os.path.getmtime(cat._manifest_path("docs")) == docs_mtime
-    assert os.path.getmtime(cat._manifest_path("runs")) == runs_mtime
+    assert os.path.getmtime(cat._manifest_path("seg_000000", "docs")) == docs_mtime
+    assert os.path.getmtime(cat._manifest_path("seg_000000", "runs")) == runs_mtime
     assert cat.status() == 999
     # resumed index answers queries
     assert cat.engine().search_scores("graded", 10).count() > 0
@@ -66,7 +66,7 @@ def test_fingerprint_change_rebuilds(spark, tiny_corpus, warehouse):
     cat = IndexCatalog(spark, warehouse, CFG)
     corpus = spark.createDataFrame(tiny_corpus)
     cat.build(corpus, fingerprint="v1")
-    assert not cat.stage_complete("docs", "v2")  # new snapshot invalidates lineage
+    assert not cat.stage_complete("seg_000000", "docs", "v2")  # new snapshot invalidates lineage
 
 
 def test_config_change_invalidates(spark, tiny_corpus, warehouse):
@@ -94,7 +94,7 @@ def test_sha256_row_invariant(spark, tiny_corpus, warehouse):
 def test_manifest_records_lineage(spark, tiny_corpus, warehouse):
     cat = IndexCatalog(spark, warehouse, CFG)
     cat.build(spark.createDataFrame(tiny_corpus), fingerprint="v1")
-    with open(cat._manifest_path("postings")) as f:
+    with open(cat._manifest_path("seg_000000", "postings")) as f:
         m = json.load(f)
     assert m["status"] == "success"
     assert m["input_fingerprint"] == "v1"

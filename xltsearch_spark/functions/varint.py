@@ -90,6 +90,17 @@ def encode_varint_grouped(values: np.ndarray, group_starts: np.ndarray):
     return buf, cum[np.asarray(group_starts, dtype=np.int64)]
 
 
+def varint_value_starts(buf: bytes) -> np.ndarray:
+    """Byte offset of each value in a varint stream WITHOUT decoding —
+    terminator bytes have the high bit clear. Lets block encoders slice
+    per-group payloads out of a concatenated raw stream zero-copy."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.nonzero((raw & 0x80) == 0)[0]
+    return np.concatenate(([0], ends[:-1] + 1)).astype(np.int64)
+
+
 def encode_deltas(sorted_ids: np.ndarray) -> bytes:
     """Delta-encode a strictly increasing int64/uint64 array, then varint."""
     a = np.asarray(sorted_ids, dtype=np.uint64)

@@ -53,7 +53,8 @@ from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.functions.norms import quantized_doc_length
 from xltsearch_spark.functions.varint import (decode_deltas, decode_varint,
                                               encode_deltas, encode_varint,
-                                              encode_varint_grouped)
+                                              encode_varint_grouped,
+                                              varint_value_starts)
 
 ANALYZED_FIELDS = ("content", "title")
 KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum")
@@ -258,51 +259,123 @@ def _emit_runs(out_rows, field, terms, docs, pos, dl_per_row, rows,
 
 
 def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
-    """mapInPandas over bucket partitions: merge a term's (ordered, disjoint)
-    runs by concatenation and emit fixed-size blocks with exact block-max
-    BM25 metadata. All runs of a term are guaranteed local (bucket hash)."""
+    """mapInPandas over bucket partitions: merge each term's (ordered,
+    disjoint) runs by concatenation and emit fixed-size blocks with exact
+    block-max BM25 metadata. All runs of a term are guaranteed local
+    (bucket hash).
+
+    Fully batch-vectorized: ONE decode per stream kind for the whole
+    partition, segment-cumsum for absolute doc ids, ``reduceat`` for block
+    max/min metadata, byte-slicing (no re-encode) for tf/dl/pos payloads;
+    only doc-id deltas are re-encoded (blocks must restart at an absolute
+    id). The sole Python loop assembles output tuples."""
     k1, b, quantize = config.k1, config.b, config.quantize_norms
     block = config.block_size
 
     def to_blocks(it):
-        for pdf in it:
-            pdf = pdf.sort_values(["field", "term", "range_id"], kind="mergesort")
-            out = []
-            for (field, term), grp in pdf.groupby(["field", "term"], sort=False):
-                doc_arrs, tf_arrs, dl_arrs, pos_arrs = [], [], [], []
-                for r in grp.itertuples(index=False):
-                    nd = int(r.n_docs)
-                    doc_arrs.append(decode_deltas(r.docs_bin, nd))
-                    tf_arrs.append(decode_varint(r.tfs_bin, nd).astype(np.int64))
-                    dl_arrs.append(decode_varint(r.dls_bin, nd).astype(np.int64))
-                    pos_arrs.append(r.pos_bin if r.pos_bin is not None else b"")
-                docs = np.concatenate(doc_arrs)
-                tfs = np.concatenate(tf_arrs)
-                dls = np.concatenate(dl_arrs)
-                all_pos = decode_varint(b"".join(pos_arrs)) if any(len(p) for p in pos_arrs) else np.zeros(0, np.uint64)
-                df_term = int(docs.size)
-                idf = float(np.log(1 + (n_docs - df_term + 0.5) / (df_term + 0.5)))
-                ad = avgdl.get(field, 1.0) or 1.0
-                dlq = quantized_doc_length(dls) if quantize else dls.astype(np.float64)
-                scores = idf * (k1 + 1) * tfs / (tfs + k1 * (1 - b + b * dlq / ad))
-                pos_offsets = np.concatenate(([0], np.cumsum(tfs)))
-                bucket = int(grp["bucket"].iloc[0])
-                for blk_id, start in enumerate(range(0, df_term, block)):
-                    end = min(start + block, df_term)
-                    p0, p1 = pos_offsets[start], pos_offsets[end]
-                    blk_pos = all_pos[p0:p1]
-                    # re-anchor: first position of each doc in block is absolute
-                    # already (deltas reset per doc), so the slice is valid as-is
-                    out.append((field, term, bucket, blk_id, end - start,
-                                int(docs[start]), int(docs[end - 1]),
-                                float(scores[start:end].max()),
-                                int(tfs[start:end].max()), int(dls[start:end].min()),
-                                encode_deltas(docs[start:end]),
-                                encode_varint(tfs[start:end].astype(np.uint64)),
-                                encode_varint(dls[start:end].astype(np.uint64)),
-                                encode_varint(blk_pos)))
-            if out:
-                yield pd.DataFrame(out, columns=[f.name for f in POSTING_SCHEMA.fields])
+        chunks = list(it)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        del chunks
+        # sort runs by (field, term, range) — doc-range order = doc-id order
+        fields = pdf["field"].to_numpy(dtype=object)
+        terms = pdf["term"].to_numpy(dtype=object)
+        order = np.lexsort((pdf["range_id"].to_numpy(), terms.astype(str),
+                            fields.astype(str)))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        fields = pdf["field"].to_numpy(dtype=object)
+        terms = pdf["term"].to_numpy(dtype=object)
+        buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+        nd = pdf["n_docs"].to_numpy(dtype=np.int64)
+        R = len(pdf)
+        D = int(nd.sum())
+        if D == 0:
+            return
+        run_doc_starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
+        # ---- batch decode of all runs ----
+        docs_raw = b"".join(pdf["docs_bin"])
+        tfs_raw = b"".join(pdf["tfs_bin"])
+        dls_raw = b"".join(pdf["dls_bin"])
+        pos_raw = b"".join(x if x is not None else b"" for x in pdf["pos_bin"])
+        deltas = decode_varint(docs_raw, D).astype(np.int64)
+        tfs = decode_varint(tfs_raw, D).astype(np.int64)
+        dls = decode_varint(dls_raw, D).astype(np.int64)
+        # absolute doc ids: segment cumsum (deltas reset at each run start)
+        g = np.cumsum(deltas)
+        corr = np.repeat(g[run_doc_starts] - deltas[run_doc_starts], nd)
+        abs_ids = g - corr
+        # ---- term groups (runs are sorted; ranges disjoint & ordered) ----
+        fs = fields.astype(str)
+        ts = terms.astype(str)
+        new_term_run = np.empty(R, dtype=bool)
+        new_term_run[0] = True
+        new_term_run[1:] = (ts[1:] != ts[:-1]) | (fs[1:] != fs[:-1])
+        term_run_idx = np.nonzero(new_term_run)[0]
+        term_doc_starts = run_doc_starts[term_run_idx]
+        term_doc_counts = np.diff(np.append(term_doc_starts, D))
+        tidx = np.repeat(np.arange(term_run_idx.size), term_doc_counts)
+        # per-term scoring constants
+        df_term = term_doc_counts.astype(np.float64)
+        idf_t = np.log(1 + (n_docs - df_term + 0.5) / (df_term + 0.5))
+        uniq_fields = pd.unique(fields[term_run_idx])
+        ad_map = {f: (avgdl.get(f, 1.0) or 1.0) for f in uniq_fields}
+        ad_t = pd.Series(fields[term_run_idx]).map(ad_map).to_numpy(dtype=np.float64)
+        dlq = quantized_doc_length(dls) if quantize else dls.astype(np.float64)
+        scores = idf_t[tidx] * (k1 + 1) * tfs / (
+            tfs + k1 * (1 - b + b * dlq / ad_t[tidx]))
+        # ---- block boundaries (within-term, never spanning terms) ----
+        w = np.arange(D) - np.repeat(term_doc_starts, term_doc_counts)
+        blk_starts = np.nonzero(w % block == 0)[0]
+        blk_ends = np.append(blk_starts[1:], D)
+        blk_ids = w[blk_starts] // block
+        blk_tidx = tidx[blk_starts]
+        # block metadata via segment reductions
+        blk_max_score = np.maximum.reduceat(scores, blk_starts)
+        blk_max_tf = np.maximum.reduceat(tfs, blk_starts)
+        blk_min_dl = np.minimum.reduceat(dls, blk_starts)
+        skip_first = abs_ids[blk_starts]
+        skip_last = abs_ids[blk_ends - 1]
+        # doc-id deltas re-anchored at block starts, one grouped encode
+        bdeltas = np.empty(D, dtype=np.int64)
+        bdeltas[0] = abs_ids[0]
+        bdeltas[1:] = abs_ids[1:] - abs_ids[:-1]
+        bdeltas[blk_starts] = abs_ids[blk_starts]
+        docs_buf, docs_off = encode_varint_grouped(bdeltas.astype(np.uint64), blk_starts)
+        docs_end = np.append(docs_off[1:], len(docs_buf))
+        # tf/dl payloads: slice the RAW concatenated streams at value offsets
+        tf_starts_b = varint_value_starts(tfs_raw)
+        dl_starts_b = varint_value_starts(dls_raw)
+        tf_off = tf_starts_b[blk_starts]
+        tf_end = np.append(tf_off[1:], len(tfs_raw))
+        dl_off = dl_starts_b[blk_starts]
+        dl_end = np.append(dl_off[1:], len(dls_raw))
+        # position payloads: token-space offsets -> byte offsets
+        tok_starts = np.concatenate(([0], np.cumsum(tfs)))
+        pos_starts_b = varint_value_starts(pos_raw)
+        total_pos_bytes = len(pos_raw)
+        pos_tok0 = tok_starts[blk_starts]
+        pos_off = pos_starts_b[pos_tok0] if pos_starts_b.size else np.zeros(blk_starts.size, np.int64)
+        pos_end = np.append(pos_off[1:], total_pos_bytes)
+        # ---- assemble ----
+        run_fields = fields[term_run_idx]
+        run_terms = terms[term_run_idx]
+        run_buckets = buckets[term_run_idx]
+        out = []
+        for i in range(blk_starts.size):
+            t = blk_tidx[i]
+            out.append((run_fields[t], run_terms[t], int(run_buckets[t]),
+                        int(blk_ids[i]), int(blk_ends[i] - blk_starts[i]),
+                        int(skip_first[i]), int(skip_last[i]),
+                        float(blk_max_score[i]), int(blk_max_tf[i]),
+                        int(blk_min_dl[i]),
+                        docs_buf[docs_off[i]:docs_end[i]],
+                        tfs_raw[tf_off[i]:tf_end[i]],
+                        dls_raw[dl_off[i]:dl_end[i]],
+                        pos_raw[pos_off[i]:pos_end[i]]))
+        cols = [f.name for f in POSTING_SCHEMA.fields]
+        for j in range(0, len(out), 50000):
+            yield pd.DataFrame(out[j:j + 50000], columns=cols)
 
     return to_blocks
 
