@@ -14,7 +14,7 @@ import sys
 
 BUILD_SNIPPET = r"""
 import json, os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, sys.argv[3])
 from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.session import get_spark
@@ -22,7 +22,7 @@ from xltsearch_spark.sources.corpus import generate_corpus
 
 cores = int(sys.argv[1])
 n_docs = int(sys.argv[2])
-spark = get_spark(f"scaling-{{cores}}", cores=cores, shuffle_partitions=cores)
+spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
 corpus_pd = generate_corpus(n_docs)
 cfg = IndexConfig(name="scaling", doc_range_size=2048, block_size=128,
                   term_buckets=max(cores, 16))
@@ -44,8 +44,8 @@ spark.stop()
 
 
 def run_level(cores: int, n_docs: int, repo: str) -> dict:
-    code = BUILD_SNIPPET.format(repo=repo)
-    out = subprocess.run([sys.executable, "-c", code, str(cores), str(n_docs)],
+    out = subprocess.run([sys.executable, "-c", BUILD_SNIPPET, str(cores),
+                          str(n_docs), repo],
                          capture_output=True, text=True, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

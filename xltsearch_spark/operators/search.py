@@ -380,7 +380,65 @@ class SearchEngine:
         return (cand.repartition(n_parts, "doc_id")
                 .mapInPandas(score_partition, schema=out_schema))
 
+    def _eval_boolean_flat(self, node: BooleanQuery, decoded, mult, tfidf_qn):
+        """Fast path for booleans whose clauses are all simple leaves
+        (term / const-score): ONE pass over the decoded frame, conditional
+        aggregation per clause — the postings are scanned and decoded once
+        for the whole boolean instead of once per leaf."""
+        qn = tfidf_qn if tfidf_qn is not None else 1.0
+        m2 = mult * node.boost
+        aggs, post = [], []
+        n_must = 0
+        scoring_idx = []
+        for i, (occ, sub) in enumerate(node.clauses):
+            if isinstance(sub, TermQuery):
+                cond = (F.col("field") == sub.field) & (F.col("term") == sub.term)
+                w = m2 * sub.boost * qn
+                aggs.append(F.sum(F.when(cond, F.col("score")).otherwise(0.0))
+                            .alias(f"s{i}"))
+                post.append(("term", i, occ, w))
+            elif isinstance(sub, ConstScoreTerms):
+                cond = (F.col("field") == sub.field) & F.col("term").isin(list(sub.terms)) \
+                    if sub.terms else F.lit(False)
+                post.append(("const", i, occ, m2 * sub.boost * qn))
+            elif isinstance(sub, ConstScorePred):
+                cond = (F.col("field") == sub.field) & sub.term_cond()
+                post.append(("const", i, occ, m2 * sub.boost * qn))
+            else:
+                return None  # phrase / nested boolean / match-all -> general path
+            aggs.append(F.max(F.when(cond, 1).otherwise(0)).alias(f"m{i}"))
+            if occ == MUST:
+                n_must += 1
+            if occ != MUST_NOT:
+                scoring_idx.append(i)
+        if not scoring_idx:
+            return self._empty_scores()
+        agg = decoded.groupBy("doc_id").agg(*aggs)
+        score = F.lit(0.0)
+        gate = F.lit(True)
+        for kind, i, occ, w in post:
+            hit = F.col(f"m{i}") == 1
+            if occ == MUST_NOT:
+                gate &= ~hit
+                continue
+            if occ == MUST:
+                gate &= hit
+            contrib = (F.col(f"s{i}") * F.lit(w)) if kind == "term" \
+                else F.when(hit, F.lit(w)).otherwise(0.0)
+            score = score + contrib
+        if n_must == 0:
+            gate &= sum(F.col(f"m{i}") for i in scoring_idx) >= 1
+        out = agg.filter(gate).withColumn("score", score)
+        if self.config.scoring_model != "bm25":
+            overlap = sum(F.col(f"m{i}") for i in scoring_idx)
+            out = out.withColumn("score", F.col("score") * overlap
+                                 / F.lit(float(len(scoring_idx))))
+        return out.select("doc_id", "score")
+
     def _eval_boolean(self, node: BooleanQuery, decoded, mult, idf_map, tfidf_qn):
+        flat = self._eval_boolean_flat(node, decoded, mult, tfidf_qn)
+        if flat is not None:
+            return flat
         m2 = mult * node.boost
         tagged = []
         n_must = 0
