@@ -204,15 +204,19 @@ def _emit_runs(out_rows, field, terms, docs, pos, dl_per_row, rows,
     dl_arr = np.asarray(dl_per_row, dtype=np.int64)
     ranges = docs // range_size
     buckets = term_bucket(terms, n_buckets)
-    order = np.lexsort((pos, docs, terms.astype(str)))
-    terms, docs, pos, ranges, buckets, rows = (terms[order], docs[order], pos[order],
-                                               ranges[order], buckets[order], rows[order])
+    # sort/group on factorized int codes — NEVER materialize a numpy unicode
+    # array (itemsize = 4 x longest term would cost ~200MB per task and
+    # saturate memory bandwidth across 32 concurrent workers)
+    codes = pd.factorize(terms, use_na_sentinel=False)[0]
+    order = np.lexsort((pos, docs, codes))
+    terms, docs, pos, ranges, buckets, rows, codes = (
+        terms[order], docs[order], pos[order], ranges[order], buckets[order],
+        rows[order], codes[order])
     n = len(terms)
-    t_str = terms.astype(str)
     # group boundaries at (term, range) change — token-stream index space
     new_grp = np.empty(n, dtype=bool)
     new_grp[0] = True
-    new_grp[1:] = (t_str[1:] != t_str[:-1]) | (ranges[1:] != ranges[:-1])
+    new_grp[1:] = (codes[1:] != codes[:-1]) | (ranges[1:] != ranges[:-1])
     grp_starts = np.nonzero(new_grp)[0]
     grp_ends = np.append(grp_starts[1:], n)
     # doc-entry boundaries (a (group, doc) pair) — token-stream index space
@@ -249,7 +253,7 @@ def _emit_runs(out_rows, field, terms, docs, pos, dl_per_row, rows,
     sum_tf_g = grp_ends - grp_starts
     for g in range(grp_starts.size):
         s = grp_starts[g]
-        out_rows.append((field, str(t_str[s]), int(ranges[s]), int(buckets[s]),
+        out_rows.append((field, terms[s], int(ranges[s]), int(buckets[s]),
                          int(n_docs_g[g]),
                          docs_buf[docs_off[g]:docs_end[g]],
                          tfs_buf[tfs_off[g]:tfs_end[g]],
@@ -278,12 +282,15 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
             return
         pdf = pd.concat(chunks, ignore_index=True)
         del chunks
-        # sort runs by (field, term, range) — doc-range order = doc-id order
+        # sort runs grouped by (field, term) with ranges ascending (doc-range
+        # order = doc-id order). Factorized int codes, never unicode arrays.
         fields = pdf["field"].to_numpy(dtype=object)
         terms = pdf["term"].to_numpy(dtype=object)
-        order = np.lexsort((pdf["range_id"].to_numpy(), terms.astype(str),
-                            fields.astype(str)))
+        fcodes = pd.factorize(fields, use_na_sentinel=False)[0]
+        tcodes = pd.factorize(terms, use_na_sentinel=False)[0]
+        order = np.lexsort((pdf["range_id"].to_numpy(), tcodes, fcodes))
         pdf = pdf.iloc[order].reset_index(drop=True)
+        fcodes, tcodes = fcodes[order], tcodes[order]
         fields = pdf["field"].to_numpy(dtype=object)
         terms = pdf["term"].to_numpy(dtype=object)
         buckets = pdf["bucket"].to_numpy(dtype=np.int64)
@@ -306,11 +313,9 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
         corr = np.repeat(g[run_doc_starts] - deltas[run_doc_starts], nd)
         abs_ids = g - corr
         # ---- term groups (runs are sorted; ranges disjoint & ordered) ----
-        fs = fields.astype(str)
-        ts = terms.astype(str)
         new_term_run = np.empty(R, dtype=bool)
         new_term_run[0] = True
-        new_term_run[1:] = (ts[1:] != ts[:-1]) | (fs[1:] != fs[:-1])
+        new_term_run[1:] = (tcodes[1:] != tcodes[:-1]) | (fcodes[1:] != fcodes[:-1])
         term_run_idx = np.nonzero(new_term_run)[0]
         term_doc_starts = run_doc_starts[term_run_idx]
         term_doc_counts = np.diff(np.append(term_doc_starts, D))
