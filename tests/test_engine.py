@@ -103,3 +103,22 @@ def test_block_max_is_upper_bound(bm25_setup, spark):
         dlq = quantized_doc_length(dls)
         sc = idf * 2.2 * scoring.bm25_tf_norm(tfs, dlq, stats.avgdl["content"], 1.2, 0.75)
         assert blk["block_max_score"] >= sc.max() - 1e-12
+
+
+def test_wand_topk_rank_identical(spark):
+    """Block-max WAND pruning must stay rank-identical: small blocks + small
+    k on a larger corpus so pruning genuinely triggers."""
+    from xltsearch_spark.sources.corpus import generate_corpus
+    corpus = generate_corpus(600)
+    cfg = IndexConfig(doc_range_size=64, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    oracle = OracleIndex(corpus, cfg)
+    for q, k in [("common_token", 10), ("graded", 5),
+                 ("common_token OR graded OR alpha", 10),
+                 ("graded^3 OR beta", 7)]:
+        exp = [(h["doc_id"], h["score"]) for h in oracle.search(q, k)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_scores(q, k).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], f"{q}: {got} vs {exp}"
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-6), f"{q} doc {gd}"

@@ -103,7 +103,8 @@ def term_bucket(term: pd.Series | np.ndarray, n_buckets: int) -> np.ndarray:
     return s.map(m).to_numpy(dtype=np.int32)
 
 
-def assign_doc_ids(df: DataFrame, key_cols=("repo", "path"), id_base: int = 0) -> DataFrame:
+def assign_doc_ids(df: DataFrame, key_cols=("repo", "path"), id_base: int = 0,
+                   out_count: list | None = None) -> DataFrame:
     """Deterministic dense doc_id in key sort order, without a global window.
 
     Range-partition + sort, persist (pins the sampled range bounds), count
@@ -122,6 +123,8 @@ def assign_doc_ids(df: DataFrame, key_cols=("repo", "path"), id_base: int = 0) -
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if out_count is not None:
+        out_count.append(acc - id_base)  # total rows: saves a later count job
     out_schema = StructType(sorted_df.schema.fields + [StructField("doc_id", LongType())])
 
     def add_ids(it):
@@ -404,7 +407,10 @@ class IndexBuilder:
             df = df.withColumn("title", F.lit(None).cast("string"))
         if "hashsum" not in df.columns:
             df = df.withColumn("hashsum", F.sha2(F.col("content").cast("binary"), 256))
-        return assign_doc_ids(df, id_base=id_base)
+        cnt: list = []
+        out = assign_doc_ids(df, id_base=id_base, out_count=cnt)
+        self._last_doc_count = cnt[0] if cnt else None
+        return out
 
     def runs_stage(self, docs: DataFrame) -> DataFrame:
         fields = docs.columns
@@ -418,8 +424,12 @@ class IndexBuilder:
                      F.sum("n_docs").cast("long").alias("doc_freq"),
                      F.sum("sum_tf").cast("long").alias("total_term_freq")))
 
-    def stats_stage(self, docs: DataFrame, runs: DataFrame) -> BuildStats:
-        n_docs = docs.count()
+    def stats_stage(self, docs: DataFrame, runs: DataFrame,
+                    n_docs: int | None = None) -> BuildStats:
+        if n_docs is None:
+            n_docs = getattr(self, "_last_doc_count", None)
+        if n_docs is None:
+            n_docs = docs.count()
         ttf_rows = (runs.filter(F.col("term").isNotNull())
                     .groupBy("field").agg(F.sum("sum_tf").alias("ttf")).collect())
         sum_ttf = {r["field"]: int(r["ttf"]) for r in ttf_rows}

@@ -126,9 +126,120 @@ class SearchEngine:
         return joined.orderBy(F.desc("score"), F.asc("doc_id"))
 
     def search_scores(self, query: str, limit: int = 100) -> DataFrame:
-        """(doc_id, score) top-k without the stored-field join."""
+        """(doc_id, score) top-k without the stored-field join.
+
+        Pure term / disjunctive BM25 queries go through the block-max WAND
+        path (north-star mandate): a cheap probe of each term's best block
+        establishes a score floor tau, then the full scan SKIPS every block
+        whose upper bound (own block-max + other terms' global maxima)
+        cannot beat tau — the skip condition is a pushed-down parquet filter
+        on the block_max_score column, so pruned blocks are never read."""
+        wand = self._wand_topk(query, limit)
+        if wand is not None:
+            return wand
         scored = self.score_all(query)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+    # --------------------- block-max WAND top-k ----------------------------
+    def _wand_terms(self, ast) -> list[TermQuery] | None:
+        """[(TermQuery, ...)] if the AST is a term or pure SHOULD-of-terms."""
+        if isinstance(ast, TermQuery):
+            return [ast]
+        if isinstance(ast, BooleanQuery) and ast.boost == 1.0 and all(
+                occ == SHOULD and isinstance(sub, TermQuery)
+                for occ, sub in ast.clauses):
+            return [sub for _, sub in ast.clauses]
+        return None
+
+    def _wand_topk(self, query: str, limit: int):
+        if self.config.scoring_model != "bm25" or self.tombstones:
+            return None
+        ast = self._rewrite(self.parser.parse(query))
+        leaves = self._wand_terms(ast)
+        if leaves is None or len({(t.field, t.term) for t in leaves}) != len(leaves):
+            return None  # duplicate terms with separate boosts -> general path
+        terms = sorted({(t.field, t.term) for t in leaves})
+        boost = {(t.field, t.term): t.boost for t in leaves}
+        idf_map = self._doc_freqs(terms)
+        cond = self._terms_cond(terms, [])
+        # global per-term score ceilings from block metadata (tiny agg scan:
+        # only the metadata columns are read, binaries pruned away)
+        meta = (self.postings.filter(cond)
+                .groupBy("field", "term")
+                .agg(F.max("block_max_score").alias("bm"),
+                     F.max("max_tf").alias("mtf"), F.min("min_dl").alias("mdl"),
+                     F.sum("n_docs").alias("nd")).collect())
+        if not meta:
+            return self._empty_scores().limit(limit)
+        ub_raw = {(r["field"], r["term"]): float(r["bm"]) for r in meta}
+        # per-term ceiling from (max_tf, min_dl) with CURRENT stats — stays
+        # an upper bound after incremental segments (stored maxima are stale)
+        k1c, bc = self.config.k1, self.config.b
+        ub = {}
+        for r in meta:
+            key = (r["field"], r["term"])
+            idf = scoring.bm25_idf(self.stats.n_docs, idf_map.get(key, 0))
+            ad = self.stats.avgdl.get(r["field"], 1.0) or 1.0
+            tfn = r["mtf"] / (r["mtf"] + k1c * (1 - bc + bc * r["mdl"] / ad))
+            ub[key] = boost.get(key, 1.0) * idf * (k1c + 1) * tfn
+        total_docs = sum(int(r["nd"]) for r in meta)
+        tau = None
+        if total_docs > 4 * limit:
+            # phase 1: score each term's best block(s) -> floor tau.
+            # (equality filter on the known per-term max — no window shuffle)
+            probe_cond = None
+            for (f, t), m in ub_raw.items():
+                c = (F.col("field") == f) & (F.col("term") == t) & \
+                    (F.col("block_max_score") == m)
+                probe_cond = c if probe_cond is None else (probe_cond | c)
+            probe_scores = self._wand_score(
+                self.postings.filter(cond).filter(probe_cond), idf_map, boost, limit)
+            rows = probe_scores.orderBy(F.desc("score"), F.asc("doc_id")) \
+                               .limit(limit).collect()
+            if len(rows) == limit:
+                tau = float(rows[-1]["score"])
+        scan = self.postings.filter(cond)
+        if tau is not None:
+            # prune: block of term t is competitive only if its own upper
+            # bound plus every OTHER term's ceiling can reach tau. The bound
+            # is recomputed from the stored (max_tf, min_dl) with CURRENT
+            # collection stats, so it stays valid after incremental segments
+            # shift N/avgdl (stored block_max_score would be stale); raw
+            # min_dl <= quantized dl keeps it an upper bound under norm
+            # quantization. tfnorm is monotone up in tf / down in dl.
+            k1, b = self.config.k1, self.config.b
+            total_ub = sum(ub.values())
+            prune = None
+            for (f, t), u in ub.items():
+                other = total_ub - u
+                idf = scoring.bm25_idf(self.stats.n_docs, idf_map.get((f, t), 0))
+                ad = self.stats.avgdl.get(f, 1.0) or 1.0
+                w = boost.get((f, t), 1.0)
+                block_ub = (F.lit(w * idf * (k1 + 1)) * F.col("max_tf") /
+                            (F.col("max_tf") + F.lit(k1) *
+                             (F.lit(1 - b) + F.lit(b / ad) * F.col("min_dl"))))
+                c = (F.col("field") == f) & (F.col("term") == t) & \
+                    (block_ub >= F.lit(tau - other))
+                prune = c if prune is None else (prune | c)
+            scan = scan.filter(prune)
+        out = self._wand_score(scan, idf_map, boost, limit)
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+    def _wand_score(self, blocks: DataFrame, idf_map, boost, limit: int) -> DataFrame:
+        """Decode + per-doc disjunctive BM25 sum over a block subset."""
+        decoded = self._decode_blocks(blocks, idf_map, with_positions=False)
+        if len(set(boost.values())) == 1:
+            w = next(iter(boost.values()))
+            weighted = decoded.withColumn("score", F.col("score") * F.lit(w))
+        else:
+            wexpr = None
+            for (f, t), w in boost.items():
+                c = F.when((F.col("field") == f) & (F.col("term") == t), F.lit(w))
+                wexpr = c if wexpr is None else wexpr.when(
+                    (F.col("field") == f) & (F.col("term") == t), F.lit(w))
+            weighted = decoded.withColumn(
+                "score", F.col("score") * F.coalesce(wexpr, F.lit(1.0)))
+        return weighted.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def score_all(self, query: str) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks."""
@@ -242,6 +353,9 @@ class SearchEngine:
         if not terms and not preds:
             return self.spark.createDataFrame([], DECODED_SCHEMA)
         scan = self.postings.filter(self._terms_cond(terms, preds))
+        return self._decode_blocks(scan, idf_map, with_positions)
+
+    def _decode_blocks(self, scan: DataFrame, idf_map, with_positions: bool) -> DataFrame:
         cfg = self.config
         n_docs = self.stats.n_docs
         avgdl = self.stats.avgdl
