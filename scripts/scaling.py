@@ -84,7 +84,7 @@ def run_level(cores: int, n_docs: int, src: str, repo: str) -> dict:
     raise RuntimeError(f"no RESULT from cores={cores}: {out[-3000:]}")
 
 
-def main(n_docs: int = 400000, lo: int = 4, hi: int = 16) -> int:
+def main(n_docs: int = 400000, lo: int = 1, hi: int = 4) -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = f"/tmp/scaling_corpus_{n_docs}"
     if not os.path.exists(os.path.join(src, "part-0000.parquet")):
@@ -93,7 +93,8 @@ def main(n_docs: int = 400000, lo: int = 4, hi: int = 16) -> int:
     r_hi = run_level(hi, n_docs, src, repo)
     eff = r_hi["docs_per_sec"] / (4 * r_lo["docs_per_sec"])
     speedup = r_hi["docs_per_sec"] / r_lo["docs_per_sec"]
-    md = f"""# BENCH/BASELINE — measured numbers
+    md = f"""# BENCH/scaling_latest — regenerated scaling run
+(curated multi-regime evidence lives in BENCH/BASELINE.md)
 
 ## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
 
@@ -119,7 +120,7 @@ volume per stage is measured constant across levels).
 Raw: `{json.dumps(r_lo)}` / `{json.dumps(r_hi)}`
 """
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(repo, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(md)
     print(md)
     print(json.dumps({"eff": eff, "r_lo": r_lo, "r_hi": r_hi}))

@@ -112,6 +112,7 @@ def test_wand_topk_rank_identical(spark):
     corpus = generate_corpus(600)
     cfg = IndexConfig(doc_range_size=64, block_size=8, term_buckets=8)
     engine, _ = build_engine(spark, corpus, cfg)
+    engine.wand_min_df = 1  # force the WAND path at fixture scale
     oracle = OracleIndex(corpus, cfg)
     for q, k in [("common_token", 10), ("graded", 5),
                  ("common_token OR graded OR alpha", 10),

@@ -112,6 +112,8 @@ class SearchEngine:
         # Lucene liveDocs: tombstoned docs are filtered from RESULTS but still
         # counted in collection stats until compaction (4.6 pre-merge behavior)
         self.tombstones = sorted(tombstones or [])
+        # minimum total docFreq before the WAND probe phase pays for itself
+        self.wand_min_df = 50_000
         from xltsearch_spark.operators.build import KEYWORD_FIELDS
         self.parser = QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
 
@@ -161,6 +163,10 @@ class SearchEngine:
         terms = sorted({(t.field, t.term) for t in leaves})
         boost = {(t.field, t.term): t.boost for t in leaves}
         idf_map = self._doc_freqs(terms)
+        # WAND pays for its probe round-trips only when the posting volume is
+        # substantial; tiny scans are cheaper brute-force (general path)
+        if sum(idf_map.values()) < max(self.wand_min_df, 20 * limit):
+            return None
         cond = self._terms_cond(terms, [])
         # global per-term score ceilings from block metadata (tiny agg scan:
         # only the metadata columns are read, binaries pruned away)
