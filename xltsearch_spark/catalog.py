@@ -212,11 +212,13 @@ class IndexCatalog:
 
     # ----------------------------- update -----------------------------------
     def update(self, new_corpus: DataFrame, fingerprint: str | None = None,
-               build_time_ms: int | None = None) -> dict:
+               build_time_ms: int | None = None, full_snapshot: bool = True) -> dict:
         """Incremental update: diff -> new segment + tombstones (B2+B6+B7).
 
         Returns the diff summary. Unchanged docs cost one join; only
-        changed/new rows are re-tokenized."""
+        changed/new rows are re-tokenized. ``full_snapshot=False`` treats the
+        input as an append/upsert batch (streaming micro-batches): docs
+        absent from the batch are NOT deleted."""
         fingerprint = fingerprint or "update-adhoc"
         meta = self.read_meta()
         if not meta["segments"]:
@@ -225,7 +227,7 @@ class IndexCatalog:
                     "unchanged": 0, "delete": 0}
         start_ms = build_time_ms if build_time_ms is not None else int(time.time() * 1000)
         live = self.live_docs(meta)
-        diff = change_diff(new_corpus, live).persist()
+        diff = change_diff(new_corpus, live, full_snapshot=full_snapshot).persist()
         summary = diff_summary(diff)
         changed = (diff.filter(F.col("change_status").isin("insert", "update"))
                    .select(*[c for c in CORPUS_COLS if c in diff.columns]))

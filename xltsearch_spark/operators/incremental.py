@@ -30,12 +30,17 @@ from pyspark.sql import DataFrame, functions as F
 CHANGE_STATUSES = ("insert", "update", "unchanged", "delete")
 
 
-def change_diff(new_corpus: DataFrame, indexed_docs: DataFrame) -> DataFrame:
-    """Full-outer join on (repo, path) with sha256 comparison.
+def change_diff(new_corpus: DataFrame, indexed_docs: DataFrame,
+                full_snapshot: bool = True) -> DataFrame:
+    """Join on (repo, path) with sha256 comparison.
 
     ``new_corpus``: (repo, path, commit, lang, content[, title]) — hashes
     are computed here (B1). ``indexed_docs``: the current live docs table
     (repo, path, hashsum, doc_id).
+    ``full_snapshot=True`` (the reference's model: the folder IS the corpus)
+    uses a full-outer join so indexed docs missing from the input become
+    deletes; ``False`` (streaming append batches) uses a left join — absent
+    docs are simply not part of the batch.
     Returns new_corpus columns + ``old_doc_id`` + ``change_status``.
     """
     staged = new_corpus.withColumn(
@@ -43,7 +48,7 @@ def change_diff(new_corpus: DataFrame, indexed_docs: DataFrame) -> DataFrame:
     idx = indexed_docs.select(
         "repo", "path", F.col("hashsum").alias("hashsum_old"),
         F.col("doc_id").alias("old_doc_id"))
-    j = staged.join(idx, ["repo", "path"], "full_outer")
+    j = staged.join(idx, ["repo", "path"], "full_outer" if full_snapshot else "left")
     status = (
         F.when(F.col("hashsum_new").isNull(), F.lit("delete"))
         .when(F.col("hashsum_old").isNull(), F.lit("insert"))

@@ -247,6 +247,12 @@ class SearchEngine:
                 "score", F.col("score") * F.coalesce(wexpr, F.lit(1.0)))
         return weighted.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
+    def hit_count(self, query: str) -> tuple[int, str]:
+        """Total matching docs + the reference's status message
+        (``hits.length + " results"``, SearchTask.java:83)."""
+        n = self.score_all(query).count()
+        return n, f"{n} results"
+
     def score_all(self, query: str) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks."""
         ast = self._rewrite(self.parser.parse(query))
