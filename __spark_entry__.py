@@ -21,6 +21,7 @@ between the JVM and DuckDB would otherwise break value-hash equality).
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -81,20 +82,28 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _get_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
-    key = (sf_dir, id(spark))
+def _get_engine(spark: SparkSession, sf_dir: str, model: str = "bm25") -> SearchEngine:
+    """Build (once per sf_dir) the in-memory index; engines per scoring
+    model share the same postings/docs/dictionary frames — exactly how the
+    reference switches Similarity on one Lucene index (Config.java:80-84)."""
+    key = (sf_dir, id(spark), model)
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
-    corpus = _corpus_from_documents(spark, sf_dir)
-    builder = IndexBuilder(spark, ENTRY_CFG)
-    docs = builder.docs_stage(corpus.drop("src_doc_id")).persist()
-    runs = builder.runs_stage(docs).persist()
-    runs.count()
-    stats = builder.stats_stage(docs, runs)
-    dictionary = builder.dictionary_stage(runs).persist()
-    postings = builder.postings_stage(runs, stats).persist()
-    postings.count()
-    engine = SearchEngine(spark, postings, docs, dictionary, stats, ENTRY_CFG)
+    base_key = (sf_dir, id(spark), "_frames")
+    if base_key not in _ENGINE_CACHE:
+        corpus = _corpus_from_documents(spark, sf_dir)
+        builder = IndexBuilder(spark, ENTRY_CFG)
+        docs = builder.docs_stage(corpus.drop("src_doc_id")).persist()
+        runs = builder.runs_stage(docs).persist()
+        runs.count()
+        stats = builder.stats_stage(docs, runs)
+        dictionary = builder.dictionary_stage(runs).persist()
+        postings = builder.postings_stage(runs, stats).persist()
+        postings.count()
+        _ENGINE_CACHE[base_key] = (postings, docs, dictionary, stats)
+    postings, docs, dictionary, stats = _ENGINE_CACHE[base_key]
+    cfg = ENTRY_CFG if model == "bm25" else replace(ENTRY_CFG, scoring_model=model)
+    engine = SearchEngine(spark, postings, docs, dictionary, stats, cfg)
     _ENGINE_CACHE[key] = engine
     return engine
 
@@ -106,15 +115,18 @@ def _orig_ids(engine: SearchEngine):
                               F.col("path").cast("long").alias("src_doc_id"))
 
 
-def _ft(spark: SparkSession, sf_dir: str, query: str, limit: int | None):
-    engine = _get_engine(spark, sf_dir)
-    scored = engine.score_all(query)
+def _ft(spark: SparkSession, sf_dir: str, query: str, limit: int | None,
+        model: str = "bm25"):
+    engine = _get_engine(spark, sf_dir, model)
+    # rank on the ROUNDED score: the driver compares against DuckDB, and a
+    # last-ulp ln() difference must not flip which doc holds the k-th slot.
+    # Tie-break on the SOURCE doc_id (the oracle's ordering key).
+    scored = (engine.score_all(query).withColumn("score", F.round("score", 4))
+              .join(_orig_ids(engine), "doc_id")
+              .select(F.col("src_doc_id").alias("doc_id"), "score"))
     if limit is not None:
         scored = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
-    out = (scored.join(_orig_ids(engine), "doc_id")
-           .select(F.col("src_doc_id").alias("doc_id"),
-                   F.round("score", 4).alias("score")))
-    return out.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 # --------------------------------------------------------------------------
@@ -135,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_must_not"] = lambda s, d: _ft(s, d, "merge -vector", None)
     q["ft_phrase"] = lambda s, d: _ft(s, d, '"merge vector"', None)
     q["ft_prefix"] = lambda s, d: _ft(s, d, "mer*", None)
+    q["ft_range"] = lambda s, d: _ft(s, d, "[merge TO part]", None)
+    q["ft_tfidf_topk"] = lambda s, d: _ft(s, d, "merge", 20, model="default")
 
     def ft_matchall(s, d):
         return (_get_engine(s, d).score_all("*:*")
@@ -223,25 +237,25 @@ def oracle_sql() -> dict[str, str]:
     def topk(body: str, k: int | None) -> str:
         lim = f"LIMIT {k}" if k else ""
         return f"""WITH {_TOK_CTE}
-        SELECT doc_id, round(score, 4) AS score FROM (
-            SELECT doc_id, sum(score) AS score FROM ({body}) GROUP BY doc_id
-            ORDER BY score DESC, doc_id {lim})"""
+        SELECT doc_id, score FROM (
+            SELECT doc_id, round(sum(score), 4) AS score FROM ({body}) GROUP BY doc_id
+            ORDER BY round(sum(score), 4) DESC, doc_id {lim})"""
 
     o["ft_term_topk"] = topk(_bm25_sql("merge"), 20)
 
     o["ft_bool_and"] = f"""WITH {_TOK_CTE}
-    SELECT doc_id, round(score, 4) AS score FROM (
-        SELECT doc_id, sum(score) AS score, count(*) AS nc
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(sum(score), 4) AS score, count(*) AS nc
         FROM ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')})
         GROUP BY doc_id HAVING count(*) = 2
-        ORDER BY score DESC, doc_id LIMIT 20)"""
+        ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
 
     o["ft_or_boost"] = f"""WITH {_TOK_CTE}
-    SELECT doc_id, round(score, 4) AS score FROM (
-        SELECT doc_id, sum(score) AS score
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(sum(score), 4) AS score
         FROM (SELECT doc_id, score * 2.0 AS score FROM ({_bm25_sql('merge')})
               UNION ALL {_bm25_sql('vector')})
-        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20)"""
+        GROUP BY doc_id ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
 
     o["ft_must_not"] = f"""WITH {_TOK_CTE}
     SELECT doc_id, round(score, 4) AS score FROM ({_bm25_sql('merge')})
@@ -272,6 +286,25 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_id"""
 
     o["ft_matchall_count"] = "SELECT count(*) AS n_docs FROM documents"
+
+    o["ft_range"] = f"""WITH {_TOK_CTE}
+    SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+    WHERE term >= 'merge' AND term <= 'part' ORDER BY doc_id"""
+
+    # TF-IDF DefaultSimilarity, exact dl (quantize off): for a single-term
+    # query queryNorm = 1/sqrt(idf^2), so score = sqrt(tf)*idf^2*qn/sqrt(dl)
+    o["ft_tfidf_topk"] = f"""WITH {_TOK_CTE}
+    SELECT doc_id, round(score, 4) AS score FROM (
+        SELECT t.doc_id,
+               sqrt(t.tf) * (1 + ln(st.n / (d.df + 1.0)))
+                          * (1 + ln(st.n / (d.df + 1.0)))
+                          * (1.0 / sqrt((1 + ln(st.n / (d.df + 1.0)))
+                                        * (1 + ln(st.n / (d.df + 1.0)))))
+                          * (1.0 / sqrt(dl.dl)) AS score
+        FROM (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id) t
+        JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge') d ON true
+        JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+        ORDER BY round(score, 4) DESC, t.doc_id LIMIT 20)"""
 
     o["dedup_exact"] = """
     SELECT count(*) AS n_groups,
