@@ -220,6 +220,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_cosine_topk"] = ann_brute
 
+    def emb_near_dup(s, d):
+        emb = (s.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+        return (similarity.cosine_near_pairs_exact(emb, 0.4)
+                .orderBy("a", "b"))
+    q["dedup_embedding_cosine"] = emb_near_dup
+
     def ann_lsh(s, d):
         emb = (s.read.parquet(f"{d}/embeddings.parquet")
                .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
@@ -367,6 +374,16 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
           FROM sc)
     SELECT doc_id, l AS pred_lang, round(s, 6) AS lang_score FROM r WHERE rn = 1"""
+
+    o["dedup_embedding_cosine"] = """
+    WITH n AS (SELECT vec_id, embedding,
+                      sqrt((SELECT sum((x::DOUBLE)*(x::DOUBLE)) FROM unnest(embedding) AS t(x))) AS nrm
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                 (SELECT sum((x::DOUBLE)*(y::DOUBLE))
+                  FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) / (a.nrm*b.nrm) AS c
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT a, b, round(c, 6) AS cosine FROM p WHERE round(c, 6) >= 0.4 ORDER BY a, b"""
 
     o["ann_cosine_topk"] = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -73,6 +73,32 @@ def cosine_topk_batch(vectors: DataFrame, queries: np.ndarray, k: int = 10,
             .filter(F.col("rank") <= k).select("query_id", id_col, "cosine", "rank"))
 
 
+def cosine_near_pairs_exact(vectors: DataFrame, threshold: float,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            round_digits: int | None = 6) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (a, b, cosine >= thr).
+
+    Norms are projected per row BEFORE the self-join so the pair stage only
+    computes the dot product. All-pairs is the exact baseline (fine to a few
+    10^4 rows); at scale pre-bucket with `hyperplane_signatures` and run this
+    per bucket (the LSH path in `cosine_topk_lsh`)."""
+    normed = vectors.select(F.col(id_col), F.col(vec_col),
+                            _norm_expr(F.col(vec_col)).alias("nrm"))
+    a = normed.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                      F.col("nrm").alias("na"))
+    b = normed.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                      F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("na") * F.col("nb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (a.join(b, F.col("a") < F.col("b"))
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine"))
+
+
 def hyperplane_signatures(vectors: DataFrame, n_planes: int = 16, seed: int = 42,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           dim: int = 64) -> DataFrame:
