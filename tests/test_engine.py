@@ -123,3 +123,33 @@ def test_wand_topk_rank_identical(spark):
         assert [g[0] for g in got] == [e[0] for e in exp], f"{q}: {got} vs {exp}"
         for (gd, gs), (_, es) in zip(got, exp):
             assert gs == pytest.approx(es, rel=1e-6), f"{q} doc {gd}"
+
+
+def test_search_many_matches_single(bm25_setup):
+    """Batched multi-query search returns the same top-k as one-at-a-time."""
+    engine, oracle, _ = bm25_setup
+    batch = {"q1": "graded", "q2": "common_token AND graded", "q3": '"alpha beta"'}
+    rows = engine.search_many(batch, limit=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in batch.items():
+        exp = [(h["rank"], h["doc_id"], h["score"]) for h in oracle.search(q, 10)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], qid
+        for g, e in zip(got, exp):
+            assert g[2] == pytest.approx(e[2], rel=1e-6), qid
+
+
+def test_wildcard_and_keyword_field_queries(bm25_setup):
+    engine, oracle, _ = bm25_setup
+    assert_rank_identical(engine, oracle,
+                          ["needle_1?", "n*dle_12", "repo:repo1 AND graded",
+                           "lang:python OR graded"])
+
+
+def test_hit_count_message(bm25_setup):
+    engine, oracle, _ = bm25_setup
+    n, msg = engine.hit_count("common_token")
+    assert n == len(oracle.search("common_token", 1000))
+    assert msg == f"{n} results"  # SearchTask.java:83 message shape

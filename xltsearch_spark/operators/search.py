@@ -247,6 +247,45 @@ class SearchEngine:
                 "score", F.col("score") * F.coalesce(wexpr, F.lit(1.0)))
         return weighted.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
+    def search_many(self, queries: dict[str, str], limit: int = 100) -> DataFrame:
+        """Evaluate MANY queries against ONE shared postings scan.
+
+        Returns (query_id, doc_id, score, rank<=limit). All queries' terms
+        are collected into a single pruned scan + decode; each query's plan
+        then filters the shared decoded frame, so the expensive part
+        (IO + varint decode + scoring kernels) is paid once per batch
+        instead of once per query. This is the amortized path for query
+        workloads — per-query driver latency in local mode is dominated by
+        job scheduling, which this collapses to one job."""
+        from pyspark.sql.window import Window
+        parsed = {qid: self._rewrite(self.parser.parse(q)) for qid, q in queries.items()}
+        all_terms, all_preds = set(), []
+        for ast in parsed.values():
+            t, p = self._collect_leaves(ast)
+            all_terms.update(t)
+            all_preds.extend(p)
+        terms = sorted(all_terms)
+        idf_map = self._doc_freqs(terms)
+        any_pos = any(needs_positions(a) for a in parsed.values())
+        decoded = self._decode_postings(terms, all_preds, idf_map, any_pos).persist()
+        out = None
+        for qid, ast in parsed.items():
+            if self.config.scoring_model == "bm25":
+                scored = self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=None)
+            else:
+                ssw = scoring.tfidf_sum_sq_weights(
+                    ast, 1.0, lambda f, t: scoring.tfidf_idf(
+                        self.stats.n_docs, idf_map.get((f, t), 0)))
+                scored = self._eval(ast, decoded, 1.0, idf_map,
+                                    tfidf_qn=scoring.query_norm(ssw))
+            if self.tombstones:
+                scored = scored.filter(~F.col("doc_id").isin(self.tombstones))
+            tagged = scored.select(F.lit(qid).alias("query_id"), "doc_id", "score")
+            out = tagged if out is None else out.unionByName(tagged)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (out.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= limit))
+
     def hit_count(self, query: str) -> tuple[int, str]:
         """Total matching docs + the reference's status message
         (``hits.length + " results"``, SearchTask.java:83)."""
