@@ -117,6 +117,16 @@ class SearchEngine:
         from xltsearch_spark.operators.build import KEYWORD_FIELDS
         self.parser = QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
 
+    def _filter_tombstones(self, scored: DataFrame) -> DataFrame:
+        if not self.tombstones:
+            return scored
+        if len(self.tombstones) <= 1000:
+            return scored.filter(~F.col("doc_id").isin(self.tombstones))
+        # large tombstone sets: broadcast anti-join instead of a giant IN-list
+        tomb = self.spark.createDataFrame(
+            [(int(t),) for t in self.tombstones], "doc_id long")
+        return scored.join(F.broadcast(tomb), "doc_id", "left_anti")
+
     # ------------------------- public API ----------------------------------
     def search(self, query: str, limit: int = 100) -> DataFrame:
         """Top-k hits with stored fields, ordered (score desc, doc_id asc)."""
@@ -278,8 +288,7 @@ class SearchEngine:
                         self.stats.n_docs, idf_map.get((f, t), 0)))
                 scored = self._eval(ast, decoded, 1.0, idf_map,
                                     tfidf_qn=scoring.query_norm(ssw))
-            if self.tombstones:
-                scored = scored.filter(~F.col("doc_id").isin(self.tombstones))
+            scored = self._filter_tombstones(scored)
             tagged = scored.select(F.lit(qid).alias("query_id"), "doc_id", "score")
             out = tagged if out is None else out.unionByName(tagged)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -305,9 +314,7 @@ class SearchEngine:
                 ast, 1.0,
                 lambda f, t: scoring.tfidf_idf(self.stats.n_docs, idf_map.get((f, t), 0)))
             out = self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=scoring.query_norm(ssw))
-        if self.tombstones:
-            out = out.filter(~F.col("doc_id").isin(self.tombstones))
-        return out
+        return self._filter_tombstones(out)
 
     # --------------------- multi-term expansion ----------------------------
     def _rewrite(self, ast):
