@@ -77,6 +77,13 @@ def main() -> int:
         "q_doc_bool": (doc_engine, "merge AND vector NOT column"),
     }
     lat_samples = []
+    # WAND path measured explicitly (off by default below cluster scale)
+    fixture_engine.wand_min_df = 1
+    fixture_engine.search_scores("common_token", 100).collect()
+    tq = time.time()
+    fixture_engine.search_scores("common_token", 100).collect()
+    timings["q_term_wand"] = round(time.time() - tq, 3)
+    fixture_engine.wand_min_df = 200_000
     for name, (eng, qs) in q_specs.items():
         eng.search_scores(qs, 100).collect()  # warm (plans, code paths)
         runs_sec = []
@@ -87,6 +94,19 @@ def main() -> int:
         timings[name] = round(min(runs_sec), 3)
         lat_samples.extend(runs_sec)
     query_p95 = float(np.percentile(lat_samples, 95))
+
+    # batched multi-query path: one shared scan + one action for 16 queries
+    batch = {f"b{i}": q for i, q in enumerate(
+        ["common_token", "graded", "alpha OR beta", "needle_42",
+         "common_token AND graded", "import OR merge", "def AND class",
+         "shard", "segment OR index", '"alpha beta"', "writer", "reader",
+         "flush OR commit", "partition", "executor AND driver", "broadcast"])}
+    fixture_engine.search_many(batch, 100).count()  # warm
+    tq = time.time()
+    fixture_engine.search_many(batch, 100).count()
+    batch_sec = time.time() - tq
+    timings["batch_16_queries"] = round(batch_sec, 3)
+    timings["batch_sec_per_query"] = round(batch_sec / len(batch), 4)
 
     # ---- 3. training-pipeline ops on the sf tables ----
     documents = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()

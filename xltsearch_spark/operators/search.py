@@ -112,8 +112,11 @@ class SearchEngine:
         # Lucene liveDocs: tombstoned docs are filtered from RESULTS but still
         # counted in collection stats until compaction (4.6 pre-merge behavior)
         self.tombstones = sorted(tombstones or [])
-        # minimum total docFreq before the WAND probe phase pays for itself
-        self.wand_min_df = 50_000
+        # minimum total docFreq before the WAND probe phase pays for itself:
+        # the probe adds ~3 driver round-trips, worthwhile once the decoded
+        # posting volume dwarfs job overhead (cluster scale), not at the
+        # sandbox's 10^5-doc indexes
+        self.wand_min_df = 200_000
         from xltsearch_spark.operators.build import KEYWORD_FIELDS
         self.parser = QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
 
