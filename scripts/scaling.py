@@ -76,12 +76,22 @@ def run(snippet: str, args: list[str], timeout: int = 3000) -> str:
     return out.stdout + ("" if out.returncode == 0 else f"\nSTDERR: {out.stderr[-2000:]}")
 
 
-def run_level(cores: int, n_docs: int, src: str, repo: str) -> dict:
-    out = run(BUILD_SNIPPET, [str(cores), str(n_docs), src, repo])
-    for line in out.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT from cores={cores}: {out[-3000:]}")
+def run_level(cores: int, n_docs: int, src: str, repo: str,
+              repeats: int = 2) -> dict:
+    # best-of-N: the sandbox host shows CPU steal that swings runs 2x;
+    # min wall is the least-interfered measurement
+    best = None
+    for _ in range(repeats):
+        out = run(BUILD_SNIPPET, [str(cores), str(n_docs), src, repo])
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                if best is None or r["wall_sec"] < best["wall_sec"]:
+                    best = r
+                break
+        else:
+            raise RuntimeError(f"no RESULT from cores={cores}: {out[-3000:]}")
+    return best
 
 
 def main(n_docs: int = 400000, lo: int = 1, hi: int = 4) -> int:
