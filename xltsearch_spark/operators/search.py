@@ -46,8 +46,7 @@ from xltsearch_spark.plans.parser import (BooleanQuery, MatchAllQuery, MUST,
                                           SHOULD, TermQuery, PrefixQuery,
                                           WildcardQuery, FuzzyQuery, RangeQuery)
 from xltsearch_spark.plans.rewrite import (ConstScoreTerms, FUZZY_TOP_TERMS,
-                                           _wildcard_regex, collect_terms,
-                                           needs_positions)
+                                           _wildcard_regex, needs_positions)
 
 DECODED_SCHEMA = StructType([
     StructField("field", StringType()),
