@@ -153,3 +153,12 @@ def test_hit_count_message(bm25_setup):
     n, msg = engine.hit_count("common_token")
     assert n == len(oracle.search("common_token", 1000))
     assert msg == f"{n} results"  # SearchTask.java:83 message shape
+
+
+def test_details_pane_rendering(bm25_setup):
+    """details = all stored fields as 'name: value' lines (SearchTask.java:74-81)."""
+    engine, _, _ = bm25_setup
+    r = engine.search("needle_17", 5, with_details=True).collect()[0]
+    assert "repo: " in r["details"] and "hashsum: " in r["details"]
+    assert f"path: {r['path']}" in r["details"]
+    assert r["details"].count("\n") == 5

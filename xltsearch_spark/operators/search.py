@@ -130,13 +130,21 @@ class SearchEngine:
         return scored.join(F.broadcast(tomb), "doc_id", "left_anti")
 
     # ------------------------- public API ----------------------------------
-    def search(self, query: str, limit: int = 100) -> DataFrame:
-        """Top-k hits with stored fields, ordered (score desc, doc_id asc)."""
+    def search(self, query: str, limit: int = 100,
+               with_details: bool = False) -> DataFrame:
+        """Top-k hits with stored fields, ordered (score desc, doc_id asc).
+
+        ``with_details`` adds the reference's details pane: every stored
+        field rendered as ``name: value`` lines (SearchTask.java:74-81)."""
         topk = self.search_scores(query, limit)
-        joined = (F.broadcast(topk).join(self.docs.select(
-                      "doc_id", "repo", "path", "commit", "lang", "title", "hashsum"),
-                      "doc_id", "inner")
+        stored = ("doc_id", "repo", "path", "commit", "lang", "title", "hashsum")
+        joined = (F.broadcast(topk).join(self.docs.select(*stored), "doc_id", "inner")
                   .withColumn("title", F.coalesce(F.col("title"), F.lit(""))))
+        if with_details:
+            lines = [F.concat(F.lit(f"{c}: "), F.coalesce(F.col(c).cast("string"),
+                                                          F.lit("")))
+                     for c in stored if c != "doc_id"]
+            joined = joined.withColumn("details", F.concat_ws("\n", *lines))
         return joined.orderBy(F.desc("score"), F.asc("doc_id"))
 
     def search_scores(self, query: str, limit: int = 100) -> DataFrame:
