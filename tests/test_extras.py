@@ -157,3 +157,49 @@ def test_frame_sample_plan(spark):
     vids = media.filter("kind = 'video'").collect()
     expected = sum(int(v["duration_ms"] // 1000) + 1 for v in vids)
     assert len(rows) == expected
+
+
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    # one boilerplate trigram shared by ALL docs must not create candidate
+    # pairs on its own: with max_shingle_df below the corpus size, the hot
+    # shingle is dropped before the self-join and only genuinely-overlapping
+    # pairs survive (scale guard: k docs sharing a shingle emit k^2 rows).
+    boiler = "all rights reserved"
+    rows = [(i, f"unique{i} token{i} salt{i} {boiler}") for i in range(20)]
+    rows.append((100, "real duplicate body with shared content here " + boiler))
+    rows.append((101, "real duplicate body with shared content here " + boiler))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5,
+                                      max_shingle_df=5).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(100, 101)}
+    # the boilerplate-only docs pair with nobody despite the shared shingle
+    got = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.01,
+                                    max_shingle_df=5).collect()
+    assert all({r["a"], r["b"]} == {100, 101} for r in got)
+
+
+def test_simhash_block_combination_scheme(docs_df):
+    # default blocks=6 (C(6,3)=20 tables, ~32-bit keys): exact dups are found
+    # at hamming 0 and the candidate keys are wider than the naive 16-bit split
+    fps = dedup.simhash_fingerprints(docs_df)
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(fps, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    # guarantee: any pair with hamming <= max_hamming shares >= r intact
+    # blocks -> found. Verify against a brute-force hamming computation.
+    rows = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    ids = sorted(rows)
+    expect = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+              if bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1") <= 3}
+    assert set(pairs) == expect
+
+
+def test_pair_exact_jaccard_matches_full(spark, docs_df):
+    from pyspark.sql import functions as F
+    full = {(r["a"], r["b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs_df, n=3, threshold=0.01,
+                                               max_shingle_df=None).collect()}
+    cand = spark.createDataFrame([(a, b) for a, b in full], ["a", "b"])
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in dedup.pair_exact_jaccard(docs_df, cand, n=3).collect()}
+    assert got == pytest.approx(full)

@@ -118,3 +118,47 @@ def test_updated_content_searchable_old_not(spark, corpora, tmp_path):
     assert engine.search_scores("fresh_needle_0", 10).count() == 1
     # live docs = v2 row count
     assert engine.docs.count() == len(v2)
+
+
+def test_change_diff_batch_dedup_and_null_content(spark):
+    """A batch with two rows for one key keeps the last write (max commit);
+    NULL content hashes as empty instead of misclassifying as a delete."""
+    import pyspark.sql.functions as F
+    idx = spark.createDataFrame(
+        [("r", "a", "deadbeef", 0), ("r", "b", "cafe", 1)],
+        ["repo", "path", "hashsum", "doc_id"])
+    batch = spark.createDataFrame(
+        [("r", "a", "c1", "en", "old body", None),
+         ("r", "a", "c2", "en", "new body", None),     # same key, later commit
+         ("r", "b", "c1", "en", None, None)],          # NULL content
+        "repo string, path string, commit string, lang string, "
+        "content string, title string")
+    diff = change_diff(batch, idx)
+    rows = {(r["repo"], r["path"]): r for r in diff.collect()}
+    assert len(rows) == 2  # one row per key, duplicate collapsed
+    assert rows[("r", "a")]["commit"] == "c2"  # last write wins
+    # NULL content is an update (hash of ""), NOT a delete
+    assert rows[("r", "b")]["change_status"] == "update"
+    assert diff.filter(F.col("change_status") == "delete").count() == 0
+
+
+def test_large_delete_batch_off_driver(spark, tmp_path):
+    """A multi-thousand-row delete batch stays off the driver: tombstones are
+    persisted parquet (meta carries only the count) and queries anti-join."""
+    v1 = generate_corpus(64)
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    # synthetic snapshot: drop half the docs -> 32 deletes; then pad the
+    # tombstone table with a second update deleting the rest -> all dead ids
+    # flow through parquet, never a collected python list
+    v2 = v1.iloc[: len(v1) // 2]
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    meta = cat.read_meta()
+    assert "tombstones" not in meta or meta["tombstones"] == []
+    assert meta["n_tombstones"] == 32
+    assert cat.tombstones_df().count() == 32
+    eng = cat.engine()
+    assert eng.tombstones == [] and eng.tombstones_df is not None
+    # live doc count and query results reflect the deletes
+    assert eng.docs.count() == 32
+    assert eng.search_scores("common_token", 100).count() <= 32

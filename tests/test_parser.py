@@ -103,3 +103,25 @@ def test_a_and_b_or_c_classic_semantics():
     assert q.clauses == ((MUST, TermQuery("content", "x1")),
                          (MUST, TermQuery("content", "y1")),
                          (SHOULD, TermQuery("content", "z1")))
+
+
+def test_escaped_wildcard_stays_literal():
+    """foo\\*bar* : escaped * is a literal, trailing * is the only wildcard
+    (classic QP keeps escaped wildcards literal)."""
+    from xltsearch_spark.plans.parser import QueryParser, WildcardQuery, PrefixQuery
+    from xltsearch_spark.plans.rewrite import _wildcard_regex
+    p = QueryParser("standard")
+    # only wildcard is the trailing * -> prefix fast path with LITERAL '*'
+    q = p.parse(r"foo\*bar*")
+    assert isinstance(q, PrefixQuery) and q.prefix == "foo*bar"
+    # mixed: unescaped ? is a wildcard, escaped * stays literal
+    q1 = p.parse(r"me?g\*e")
+    assert isinstance(q1, WildcardQuery)
+    rx = _wildcard_regex(q1.pattern)
+    assert rx.match("mexg*e") and not rx.match("mexgye") and not rx.match("meg*e")
+    # a lone escaped * is not a wildcard at all -> literal term via analyzer
+    q2 = p.parse(r"me\?ge")
+    assert not isinstance(q2, (WildcardQuery, PrefixQuery))
+    # trailing unescaped * still takes the prefix fast path
+    q3 = p.parse(r"mer*")
+    assert isinstance(q3, PrefixQuery) and q3.prefix == "mer"

@@ -43,7 +43,8 @@ def test_stream_ingest_appends_segments(spark, tmp_path):
 
     meta = cat.read_meta()
     assert len(meta["segments"]) >= 2
-    assert len(meta["tombstones"]) == 1  # the modified doc's old id
+    assert meta.get("n_tombstones", 0) == 1  # the modified doc's old id
+    assert cat.tombstones_df(meta).count() == 1  # persisted parquet, not driver state
     eng = cat.engine()
     # appended docs searchable; absent docs NOT deleted (append semantics)
     assert eng.search_scores("streamed_marker", 5).count() == 1

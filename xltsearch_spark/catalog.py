@@ -195,10 +195,12 @@ class IndexCatalog:
         self._write_meta({**meta, "last_updated": INDEX_UPDATE_FAILED,
                           "config_hash": self.config.config_hash()})
         seg = "seg_000000"
-        # a fresh build invalidates later segments from any previous history
+        # a fresh build invalidates later segments/tombstones from any history
         for s in meta.get("segments", []):
             if s["name"] != seg and os.path.exists(self._seg_dir(s["name"])):
                 shutil.rmtree(self._seg_dir(s["name"]))
+        if os.path.exists(os.path.join(self.root, "tombstones")):
+            shutil.rmtree(os.path.join(self.root, "tombstones"))
         stats, seg_docs = self._build_segment(seg, corpus, fingerprint, 0, None,
                                               fail_after)
         self._write_meta({
@@ -231,9 +233,18 @@ class IndexCatalog:
         summary = diff_summary(diff)
         changed = (diff.filter(F.col("change_status").isin("insert", "update"))
                    .select(*[c for c in CORPUS_COLS if c in diff.columns]))
-        dead_ids = [int(r["old_doc_id"]) for r in
-                    diff.filter(F.col("change_status").isin("update", "delete"))
-                    .select("old_doc_id").collect()]
+        # tombstones NEVER touch the driver: the dead ids are written as a
+        # parquet batch and anti-joined lazily at query time (a 10^8-row
+        # delete batch would OOM a collected id list). Batch ids are disjoint
+        # across updates by construction (old_doc_id comes from live docs).
+        n_dead = summary["update"] + summary["delete"]
+        batch = None
+        if n_dead > 0:
+            batch = f"batch_{len(meta.get('tombstone_batches', [])):06d}"
+            (diff.filter(F.col("change_status").isin("update", "delete"))
+             .select(F.col("old_doc_id").alias("doc_id"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.root, "tombstones", batch)))
         self._write_meta({**meta, "last_updated": INDEX_UPDATE_FAILED})
         prior = BuildStats(n_docs=int(meta["n_docs"]),
                            avgdl={k: float(v) for k, v in meta["avgdl"].items()},
@@ -246,7 +257,9 @@ class IndexCatalog:
                                      "fingerprint": fingerprint})
         else:
             stats = prior
-        meta["tombstones"] = sorted(set(meta.get("tombstones", [])) | set(dead_ids))
+        if batch is not None:
+            meta["tombstone_batches"] = meta.get("tombstone_batches", []) + [batch]
+            meta["n_tombstones"] = int(meta.get("n_tombstones", 0)) + n_dead
         meta.update({"last_updated": start_ms, "n_docs": stats.n_docs,
                      "avgdl": stats.avgdl, "sum_ttf": stats.sum_ttf})
         self._write_meta(meta)
@@ -262,12 +275,29 @@ class IndexCatalog:
         return self.build(corpus, fingerprint, build_time_ms)
 
     # ------------------------------ open ------------------------------------
+    def tombstones_df(self, meta: dict | None = None) -> DataFrame | None:
+        """Lazy union view over the persisted tombstone batches (plus any
+        legacy in-meta id list), or None when the index has no deletes."""
+        meta = meta or self.read_meta()
+        dfs = [self.spark.read.parquet(os.path.join(self.root, "tombstones", b))
+               for b in meta.get("tombstone_batches", [])]
+        legacy = meta.get("tombstones", [])
+        if legacy:
+            dfs.append(self.spark.createDataFrame(
+                [(int(t),) for t in legacy], "doc_id long"))
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def live_docs(self, meta: dict | None = None) -> DataFrame:
         meta = meta or self.read_meta()
         docs = self._read_all("docs", meta)
-        tomb = meta.get("tombstones", [])
-        if tomb:
-            docs = docs.filter(~F.col("doc_id").isin(tomb))
+        tomb = self.tombstones_df(meta)
+        if tomb is not None:
+            docs = docs.join(tomb.select("doc_id"), "doc_id", "left_anti")
         return docs
 
     def load_stats(self) -> BuildStats:
@@ -286,7 +316,8 @@ class IndexCatalog:
         return SearchEngine(self.spark, self._read_all("postings", meta),
                             self.live_docs(meta), self._read_all("dictionary", meta),
                             stats, self.config,
-                            tombstones=meta.get("tombstones", []))
+                            tombstones=meta.get("tombstones", []),
+                            tombstones_df=self.tombstones_df(meta))
 
     # --------------------------- invariants ---------------------------------
     def verify_hashsums(self, manifest: DataFrame) -> int:

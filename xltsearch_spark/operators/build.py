@@ -96,7 +96,10 @@ POSTING_SCHEMA = StructType([
 def term_bucket(term: pd.Series | np.ndarray, n_buckets: int) -> np.ndarray:
     """Deterministic term -> bucket hash (stable across runs/languages)."""
     s = pd.Series(term, dtype=object).fillna("")
-    # FNV-1a over utf-8 bytes, vectorized via python-level hashlib on uniques
+    # bucket = little-endian uint32 of MD5(utf-8(term))[:4] mod n_buckets —
+    # part of the persisted index layout: readers MUST reproduce this exact
+    # function to prune (field, bucket) partitions. Computed once per unique
+    # term per batch (hashlib on uniques, mapped back vectorized).
     uniq = pd.unique(s)
     m = {t: int.from_bytes(hashlib.md5(str(t).encode("utf-8")).digest()[:4], "little") % n_buckets
          for t in uniq}

@@ -92,30 +92,83 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
     return df.select("doc_id", text_col).mapInPandas(compute, schema=schema)
 
 
-def minhash_lsh_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
-                      threshold: float = 0.7, sig_df: DataFrame | None = None) -> DataFrame:
-    """Near-dup candidate pairs via banded LSH, verified by signature-estimated
-    jaccard >= threshold. Self-join keys on (band, hash(band slice)) so the
-    shuffle carries only (key, doc_id, sig) rows and candidates are bucketed."""
-    n = bands * rows_per_band
+def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
+                           rows_per_band: int = 4) -> DataFrame:
+    """Distinct candidate id pairs (a < b) sharing >= 1 LSH band bucket.
+
+    The banded shuffle carries ONLY (band, bucket, doc_id) — signatures are
+    re-attached later, once per surviving pair, instead of riding the
+    x`bands` explode replication (at 10^9 docs a 64-long sig x16 bands is
+    ~1 KB/doc of pure shuffle waste)."""
     banded = sigs.select(
-        "doc_id", "sig",
+        "doc_id",
         F.posexplode(F.array(*[
             F.hash(F.concat_ws(",", F.lit(bnd), *[
                 F.col("sig")[bnd * rows_per_band + r] for r in range(rows_per_band)]))
             for bnd in range(bands)])).alias("band", "bucket"))
-    left = banded.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"),
-                         "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"),
-                          "band", "bucket")
-    cand = (left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b", "sig_a", "sig_b").distinct())
+    left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def minhash_lsh_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
+                      threshold: float = 0.7) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by signature-estimated
+    jaccard >= threshold. Candidates come from the id-only banded join; the
+    two signature re-attach joins shuffle only surviving pairs."""
+    n = bands * rows_per_band
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "a").join(sb, "b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, v: acc + v) / F.lit(float(n))
     return (cand.withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= threshold)
             .select("a", "b", "est_jaccard"))
+
+
+def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """Exact n-gram jaccard for GIVEN candidate pairs (a, b).
+
+    The verification stage of every LSH family here (minhash / simhash emit
+    candidates; this computes the exact set overlap for just those pairs).
+    Shuffle volume = shingles of pair-member docs only: pairs x shingles(A)
+    joined to shingles(B) on (b, shingle) counts the intersection without an
+    all-pairs or all-shingle self-join. Pairs with zero overlap drop out
+    (jaccard 0)."""
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("shingle", LongType())])
+
+    def shingles(it):
+        for pdf in it:
+            sh = _shingle_hashes(pdf[text_col], n)
+            ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64),
+                            [len(s) for s in sh])
+            vals = np.concatenate([s.astype(np.int64) for s in sh]) if len(sh) else \
+                np.zeros(0, np.int64)
+            yield pd.DataFrame({"doc_id": ids, "shingle": vals})
+
+    ids = (pairs.select(F.col("a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("b").alias("doc_id"))).distinct())
+    ex = (df.join(ids, "doc_id", "left_semi")
+          .select("doc_id", text_col).mapInPandas(shingles, schema=schema))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ex_a = ex.select(F.col("doc_id").alias("a"), "shingle")
+    ex_b = ex.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (pairs.select("a", "b").join(ex_a, "a").join(ex_b, ["b", "shingle"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "a")
+                  .withColumnRenamed("sz", "sz_a"), "a")
+            .join(sizes.withColumnRenamed("doc_id", "b")
+                  .withColumnRenamed("sz", "sz_b"), "b")
+            .withColumn("jaccard", F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .select("a", "b", "jaccard"))
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -146,35 +199,76 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", text_col).mapInPandas(compute, schema=schema)
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via the standard
-    band trick: any pair within distance d < bands shares at least one of
-    `bands` disjoint 16-bit bands — join per band, verify exact distance."""
-    width = 64 // bands
-    mask = (1 << width) - 1
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3, bands: int | None = None,
+                       blocks: int | None = None,
+                       max_bucket_size: int | None = None) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Multi-table block-combination scheme (Manku et al., WWW'07 "Detecting
+    Near-Duplicates for Web Crawling", public): split the 64 bits into
+    ``blocks`` near-equal blocks; a pair within distance d corrupts at most d
+    blocks, so at least ``r = blocks - max_hamming`` blocks survive intact and
+    the pair collides in at least one of the C(blocks, r) tables keyed on an
+    r-block combination. Wider keys (r*width bits) keep bucket occupancy tiny
+    where the naive blocks = max_hamming+1 split (16-bit keys for d=3) packs
+    ~n/2^16 docs per bucket and goes quadratic at web scale.
+
+    Default blocks=6 for d=3: C(6,3)=20 tables of ~32-bit keys. When
+    blocks <= max_hamming the scheme degrades to single-block keys
+    (best-effort recall, the caller asked for a distance the split cannot
+    guarantee). ``max_bucket_size`` (optional) drops pathological buckets
+    outright — a bucket with B docs costs B^2/2 pair checks, and at 10^9 docs
+    a hot bucket is boilerplate that exact verification would reject anyway.
+    ``bands`` is the legacy alias for ``blocks``."""
+    import itertools
+    if blocks is None:
+        blocks = bands if bands is not None else (6 if max_hamming < 6 else max_hamming + 1)
+    r = max(blocks - max_hamming, 1)
+    combos = list(itertools.combinations(range(blocks), r))
+    if len(combos) > 64:  # table-count cap: fall back to the pigeonhole minimum
+        combos = [(i,) for i in range(blocks)]
+    widths = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    offs = np.concatenate(([0], np.cumsum(widths))).tolist()
+
+    def chunk(i):
+        return (F.shiftrightunsigned(F.col("simhash"), offs[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1)))
+
+    keys = [F.hash(F.lit(ci), *[chunk(i) for i in combo])
+            for ci, combo in enumerate(combos)]
     banded = fps.select(
-        "doc_id", "simhash",
-        F.posexplode(F.array(*[
-            (F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)))
-            for i in range(bands)])).alias("band", "chunk"))
-    l = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"),
-                      "band", "chunk")
-    r = banded.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"),
-                      "band", "chunk")
-    cand = (l.join(r, ["band", "chunk"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b", "ha", "hb").distinct())
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "chunk"))
+    if max_bucket_size is not None:
+        ok = (banded.groupBy("band", "chunk").agg(F.count("*").alias("bsz"))
+              .filter(F.col("bsz") <= max_bucket_size).drop("bsz"))
+        banded = banded.join(ok, ["band", "chunk"])
+    l = banded.select(F.col("doc_id").alias("a"), "band", "chunk")
+    rt = banded.select(F.col("doc_id").alias("b"), "band", "chunk")
+    cand = (l.join(rt, ["band", "chunk"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    fa = fps.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    fb = fps.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (cand.withColumn("hamming", ham)
+    return (cand.join(fa, "a").join(fb, "b").withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = 10_000) -> DataFrame:
     """Exact n-gram jaccard over candidate pairs that share >= 1 shingle.
 
     Inverted join: explode (doc, shingle) -> self-join on shingle ->
     per-pair intersection count via groupBy -> jaccard with |A|,|B| from a
-    broadcast size table. Never materializes the n^2 pair space."""
+    broadcast size table. Never materializes the n^2 pair space.
+
+    ``max_shingle_df`` drops shingles present in more than that many docs
+    BEFORE the self-join (and from the size/intersection universe, so the
+    jaccard stays internally consistent): a shingle shared by k docs emits
+    k^2/2 join rows, and on a web corpus boilerplate shingles have k ~ 10^6
+    — one hot shingle would otherwise dominate the whole shuffle. High-df
+    shingles carry no near-dup signal (they match everything), so the
+    filtered jaccard is the standard practical estimator."""
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("shingle", LongType())])
 
@@ -188,6 +282,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
             yield pd.DataFrame({"doc_id": ids, "shingle": vals})
 
     ex = df.select("doc_id", text_col).mapInPandas(shingles, schema=schema)
+    if max_shingle_df is not None:
+        keep = (ex.groupBy("shingle").agg(F.count("*").alias("sdf"))
+                .filter(F.col("sdf") <= max_shingle_df).drop("sdf"))
+        ex = ex.join(keep, "shingle")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (ex.alias("x").join(ex.alias("y"), "shingle")
              .filter(F.col("x.doc_id") < F.col("y.doc_id"))

@@ -43,8 +43,21 @@ def change_diff(new_corpus: DataFrame, indexed_docs: DataFrame,
     docs are simply not part of the batch.
     Returns new_corpus columns + ``old_doc_id`` + ``change_status``.
     """
+    from pyspark.sql.window import Window
+    # last-write-wins per key: a batch carrying two rows for one (repo, path)
+    # (possible with streaming micro-batches) must index exactly one, like
+    # Lucene updateDocument. Deterministic pick: max commit, then max hashsum.
+    # NULL content hashes as empty — a present row is never misread as a
+    # delete (the delete branch keys on the OUTER-join null, not the hash).
     staged = new_corpus.withColumn(
-        "hashsum_new", F.sha2(F.col("content").cast("binary"), 256))
+        "hashsum_new",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")).cast("binary"), 256))
+    order_cols = [F.desc("hashsum_new")]
+    if "commit" in new_corpus.columns:
+        order_cols.insert(0, F.desc_nulls_last("commit"))
+    wk = Window.partitionBy("repo", "path").orderBy(*order_cols)
+    staged = (staged.withColumn("_rn", F.row_number().over(wk))
+              .filter(F.col("_rn") == 1).drop("_rn"))
     idx = indexed_docs.select(
         "repo", "path", F.col("hashsum").alias("hashsum_old"),
         F.col("doc_id").alias("old_doc_id"))

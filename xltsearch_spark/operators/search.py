@@ -101,7 +101,8 @@ class SearchEngine:
     def __init__(self, spark: SparkSession, postings: DataFrame, docs: DataFrame,
                  dictionary: DataFrame, stats: BuildStats,
                  config: IndexConfig | None = None,
-                 tombstones: list[int] | None = None):
+                 tombstones: list[int] | None = None,
+                 tombstones_df: DataFrame | None = None):
         self.spark = spark
         self.postings = postings
         self.docs = docs  # live docs only (tombstoned rows already excluded)
@@ -109,8 +110,12 @@ class SearchEngine:
         self.stats = stats
         self.config = config or IndexConfig()
         # Lucene liveDocs: tombstoned docs are filtered from RESULTS but still
-        # counted in collection stats until compaction (4.6 pre-merge behavior)
+        # counted in collection stats until compaction (4.6 pre-merge behavior).
+        # Two forms: a small driver-side id list (ad-hoc deletes) or a lazy
+        # (doc_id) DataFrame (the catalog's persisted per-batch parquet —
+        # a 10^8-row delete batch never touches the driver).
         self.tombstones = sorted(tombstones or [])
+        self.tombstones_df = tombstones_df
         # minimum total docFreq before the WAND probe phase pays for itself:
         # the probe adds ~3 driver round-trips, worthwhile once the decoded
         # posting volume dwarfs job overhead (cluster scale), not at the
@@ -119,15 +124,24 @@ class SearchEngine:
         from xltsearch_spark.operators.build import KEYWORD_FIELDS
         self.parser = QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
 
+    @property
+    def has_tombstones(self) -> bool:
+        return bool(self.tombstones) or self.tombstones_df is not None
+
     def _filter_tombstones(self, scored: DataFrame) -> DataFrame:
+        out = scored
+        if self.tombstones_df is not None:
+            # lazy anti-join against the persisted tombstone table; AQE picks
+            # broadcast when the table is small, shuffle-join when it isn't
+            out = out.join(self.tombstones_df.select("doc_id"), "doc_id", "left_anti")
         if not self.tombstones:
-            return scored
+            return out
         if len(self.tombstones) <= 1000:
-            return scored.filter(~F.col("doc_id").isin(self.tombstones))
-        # large tombstone sets: broadcast anti-join instead of a giant IN-list
+            return out.filter(~F.col("doc_id").isin(self.tombstones))
+        # large driver-side lists: broadcast anti-join instead of a giant IN-list
         tomb = self.spark.createDataFrame(
             [(int(t),) for t in self.tombstones], "doc_id long")
-        return scored.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return out.join(F.broadcast(tomb), "doc_id", "left_anti")
 
     # ------------------------- public API ----------------------------------
     def search(self, query: str, limit: int = 100,
@@ -174,7 +188,7 @@ class SearchEngine:
         return None
 
     def _wand_topk(self, query: str, limit: int):
-        if self.config.scoring_model != "bm25" or self.tombstones:
+        if self.config.scoring_model != "bm25" or self.has_tombstones:
             return None
         ast = self._rewrite(self.parser.parse(query))
         leaves = self._wand_terms(ast)
@@ -276,7 +290,15 @@ class SearchEngine:
         (IO + varint decode + scoring kernels) is paid once per batch
         instead of once per query. This is the amortized path for query
         workloads — per-query driver latency in local mode is dominated by
-        job scheduling, which this collapses to one job."""
+        job scheduling, which this collapses to one job.
+
+        Top-k shape: each query's branch is its own ``orderBy().limit()``
+        (Spark's TakeOrderedAndProject — a distributed bounded heap), NOT a
+        global window over the full match set: a hot term matching 10^8 docs
+        stays O(k) per query instead of a full per-partition sort+shuffle.
+        The rank column is computed afterwards over the <= |queries| * k
+        surviving rows. The union is materialized eagerly (localCheckpoint)
+        so the shared decoded cache can be released before returning."""
         from pyspark.sql.window import Window
         parsed = {qid: self._rewrite(self.parser.parse(q)) for qid, q in queries.items()}
         all_terms, all_preds = set(), []
@@ -299,17 +321,26 @@ class SearchEngine:
                 scored = self._eval(ast, decoded, 1.0, idf_map,
                                     tfidf_qn=scoring.query_norm(ssw))
             scored = self._filter_tombstones(scored)
-            tagged = scored.select(F.lit(qid).alias("query_id"), "doc_id", "score")
-            out = tagged if out is None else out.unionByName(tagged)
+            topk = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+                    .select(F.lit(qid).alias("query_id"), "doc_id", "score"))
+            out = topk if out is None else out.unionByName(topk)
+        out = out.localCheckpoint(eager=True)  # one job; <= Q*k rows pinned
+        decoded.unpersist()
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (out.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= limit))
 
-    def hit_count(self, query: str) -> tuple[int, str]:
-        """Total matching docs + the reference's status message
-        (``hits.length + " results"``, SearchTask.java:83)."""
+    def hit_count(self, query: str, limit: int | None = None) -> tuple[int, str]:
+        """(total matching docs, status message).
+
+        The reference's message reports the COLLECTED hit count — capped at
+        the search limit (``hits.length + " results"``, SearchTask.java:63,83).
+        Pass ``limit`` to reproduce that capped message; with ``limit=None``
+        the message carries the true total (intentional superset: the count
+        itself is always the uncapped total)."""
         n = self.score_all(query).count()
-        return n, f"{n} results"
+        shown = n if limit is None else min(n, limit)
+        return n, f"{shown} results"
 
     def score_all(self, query: str) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks."""
@@ -343,22 +374,30 @@ class SearchEngine:
                                   (ast.lo, ast.hi, ast.include_lo, ast.include_hi),
                                   ast.boost)
         if isinstance(ast, FuzzyQuery):
+            # Expansion stays JVM-side end to end: a length-window predicate
+            # (|len(t)-len(q)| <= maxEdits is necessary for ed <= maxEdits)
+            # prunes the dictionary scan BEFORE the levenshtein evaluation,
+            # distinct() merges per-segment duplicates, and the 4.6 top-50
+            # similarity cut (TopTermsScoringBooleanQueryRewrite) runs as a
+            # TakeOrdered LIMIT — the driver only ever sees <= 50 rows.
+            # (Lucene walks a Levenshtein automaton over the sorted term
+            # dict; the length window is the analogous scan pruner here.)
+            qlen = len(ast.term)
+            ed = F.levenshtein(F.col("term"), F.lit(ast.term))
+            sim = F.when(ed == 0, F.lit(1.0)).otherwise(
+                F.lit(1.0) - ed.cast("double") /
+                F.least(F.length("term"), F.lit(qlen)).cast("double"))
             rows = (d.filter((F.col("field") == ast.field) &
-                             (F.levenshtein(F.col("term"), F.lit(ast.term)) <= ast.max_edits))
-                    .select("term", F.levenshtein(F.col("term"), F.lit(ast.term)).alias("ed"))
-                    .collect())
-            scored = []
-            seen = set()
-            for r in rows:
-                dd, t = int(r["ed"]), r["term"]
-                if t in seen:
-                    continue
-                seen.add(t)
-                sim = 1.0 if dd == 0 else 1.0 - dd / min(len(ast.term), len(t))
-                scored.append((sim, t))
-            scored.sort(key=lambda x: (-x[0], x[1]))
-            clauses = tuple((SHOULD, TermQuery(ast.field, t, ast.boost * sim))
-                            for sim, t in scored[:FUZZY_TOP_TERMS])
+                             F.length("term").between(qlen - ast.max_edits,
+                                                      qlen + ast.max_edits))
+                    .select("term").distinct()
+                    .filter(ed <= ast.max_edits)
+                    .select("term", sim.alias("sim"))
+                    .orderBy(F.desc("sim"), F.asc("term"))
+                    .limit(FUZZY_TOP_TERMS).collect())
+            clauses = tuple((SHOULD, TermQuery(ast.field, r["term"],
+                                               ast.boost * float(r["sim"])))
+                            for r in rows)
             if not clauses:
                 return ConstScoreTerms(ast.field, (), ast.boost)
             return BooleanQuery(clauses) if len(clauses) > 1 else clauses[0][1]

@@ -289,9 +289,16 @@ class QueryParser:
             t = text if field in self.keyword_fields else text.lower()
             return FuzzyQuery(field, t, fuzzy, boost)
         if has_wild:
-            pat = text if field in self.keyword_fields else text.lower()
-            if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
-                return PrefixQuery(field, pat[:-1], boost)
+            # keep ESCAPES in the wildcard pattern: `foo\*bar*` must treat the
+            # escaped * as a literal and only the trailing * as a wildcard
+            # (classic QP semantics); _wildcard_regex understands backslashes.
+            pat = raw if field in self.keyword_fields else raw.lower()
+            wilds = [m.start() for m in re.finditer(r"(?<!\\)[*?]", raw)]
+            if len(wilds) == 1 and raw[wilds[0]] == "*" and wilds[0] == len(raw) - 1:
+                prefix = _unescape(raw[:-1])
+                return PrefixQuery(
+                    field, prefix if field in self.keyword_fields else prefix.lower(),
+                    boost)
             return WildcardQuery(field, pat, boost)
         if field in self.keyword_fields:
             return TermQuery(field, text, boost)

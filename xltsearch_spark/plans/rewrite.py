@@ -51,14 +51,25 @@ def _levenshtein_capped(a: str, b: str, cap: int) -> int:
 
 
 def _wildcard_regex(pattern: str) -> re.Pattern:
+    """Wildcard pattern -> regex. The pattern may still carry classic-QP
+    backslash escapes: ``\\*`` / ``\\?`` stay LITERAL characters (classic
+    QueryParser keeps escaped wildcards literal), unescaped ``*``/``?`` are
+    wildcards."""
     out = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "*":
             out.append(".*")
         elif ch == "?":
             out.append(".")
         else:
             out.append(re.escape(ch))
+        i += 1
     return re.compile("^" + "".join(out) + "$")
 
 
