@@ -7,12 +7,14 @@ DuckDB-equivalent ANSI SQL over the same parquet views.
 
 The full-text entries build an in-memory inverted index (RAM directory mode,
 ``Config.java:86-98``) over the ``documents`` table mapped to the corpus
-schema, then run the classic-QP query through the engine. For these
-SQL-checkable entries the index runs with ``quantize_norms=False`` so the
-BM25 math is exactly expressible in ANSI SQL; the Lucene-4.6 8-bit-norm
-parity path is exercised by ``python -m pytest`` against the pure-Python
-oracle (tests/test_engine.py) instead, since the quantization table is not
-SQL-expressible.
+schema, then run the classic-QP query through the engine. Most SQL-checkable
+entries run with ``quantize_norms=False`` so the BM25 math is exactly
+expressible in ANSI SQL; ``ft_term_quantized`` exercises the Lucene-4.6
+8-bit-norm parity path (floatToByte315) with the quantization emitted to the
+oracle as a dl-interval lookup table. ``ft_incremental`` builds a disk
+catalog, applies a deterministic update/delete/insert batch, and queries the
+updated index against an oracle that mirrors Lucene's pre-merge stats
+semantics (tombstoned docs keep counting in N/df/avgdl).
 
 Scores are rounded to 4 decimals on BOTH sides (last-ulp ln() differences
 between the JVM and DuckDB would otherwise break value-hash equality).
@@ -23,6 +25,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import replace
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
@@ -85,7 +88,10 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _get_engine(spark: SparkSession, sf_dir: str, model: str = "bm25") -> SearchEngine:
     """Build (once per sf_dir) the in-memory index; engines per scoring
     model share the same postings/docs/dictionary frames — exactly how the
-    reference switches Similarity on one Lucene index (Config.java:80-84)."""
+    reference switches Similarity on one Lucene index (Config.java:80-84).
+    ``model="bm25_q"`` is BM25 with the Lucene-4.6 8-bit norm quantization
+    ON (floatToByte315 round-trip, IndexTask.java:57) — quantization is a
+    decode-time transform, so the same postings frames serve it too."""
     key = (sf_dir, id(spark), model)
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
@@ -102,7 +108,12 @@ def _get_engine(spark: SparkSession, sf_dir: str, model: str = "bm25") -> Search
         postings.count()
         _ENGINE_CACHE[base_key] = (postings, docs, dictionary, stats)
     postings, docs, dictionary, stats = _ENGINE_CACHE[base_key]
-    cfg = ENTRY_CFG if model == "bm25" else replace(ENTRY_CFG, scoring_model=model)
+    if model == "bm25":
+        cfg = ENTRY_CFG
+    elif model == "bm25_q":
+        cfg = replace(ENTRY_CFG, quantize_norms=True)
+    else:
+        cfg = replace(ENTRY_CFG, scoring_model=model)
     engine = SearchEngine(spark, postings, docs, dictionary, stats, cfg)
     _ENGINE_CACHE[key] = engine
     return engine
@@ -129,6 +140,61 @@ def _ft(spark: SparkSession, sf_dir: str, query: str, limit: int | None,
     return scored.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+# ---- incremental update (B2/B6/B7: SelectTask.java:66-90, IndexTask.java:83,87-88)
+# deterministic mutation of the documents table, applied via catalog.update():
+#   doc_id % 97 == 1 -> DELETED from the snapshot
+#   doc_id % 97 == 2 -> UPDATED (text += " merge merge vector")
+#   doc_id % 97 == 3 -> spawns an INSERT copy (id 10_000_000 + doc_id,
+#                       text += " graftinsert"); the original stays live
+_INCR_UPD_SUFFIX = " merge merge vector"
+_INCR_INS_SUFFIX = " graftinsert"
+_INCR_INS_BASE = 10_000_000
+
+
+def _mutated_documents(docs: DataFrame) -> DataFrame:
+    m = F.col("doc_id") % 97
+    kept = docs.filter(m != 1)
+    kept = kept.withColumn(
+        "text", F.when(m == 2, F.concat(F.col("text"), F.lit(_INCR_UPD_SUFFIX)))
+        .otherwise(F.col("text")))
+    ins = (docs.filter(m == 3)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(_INCR_INS_BASE))
+           .withColumn("text", F.concat(F.col("text"), F.lit(_INCR_INS_SUFFIX))))
+    return kept.unionByName(ins)
+
+
+def _docs_to_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("path"),
+        F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).alias("commit"),
+        F.col("lang"), F.col("text").alias("content"),
+        F.lit(None).cast("string").alias("title"))
+
+
+def _ft_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a DISK index, apply the deterministic mutation batch through
+    catalog.update (new segment + parquet tombstones), query the UPDATED
+    index. Lucene pre-merge stats semantics apply: N/df/avgdl keep counting
+    tombstoned docs until compaction — the oracle mirrors that exactly."""
+    import hashlib
+    from xltsearch_spark.catalog import IndexCatalog
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wh = f"/tmp/xlt_entry_incr_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    cat = IndexCatalog(spark, wh, replace(ENTRY_CFG, name="incr"))
+    cat.delete_index()  # deterministic: fresh build + one update every run
+    cat.build(_docs_to_corpus(docs), fingerprint="v1")
+    cat.update(_docs_to_corpus(_mutated_documents(docs)), fingerprint="v2")
+    engine = cat.engine()
+    scored = (engine.score_all("merge").withColumn("score", F.round("score", 4))
+              .join(engine.docs.select("doc_id",
+                                       F.col("path").cast("long").alias("src_doc_id")),
+                    "doc_id")
+              .select(F.col("src_doc_id").alias("doc_id"), "score"))
+    return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-100 for 'merge AND vector' on sf0.001 documents,
@@ -149,6 +215,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_prefix"] = lambda s, d: _ft(s, d, "mer*", None)
     q["ft_range"] = lambda s, d: _ft(s, d, "[merge TO part]", None)
     q["ft_tfidf_topk"] = lambda s, d: _ft(s, d, "merge", 20, model="default")
+    # grammar breadth (Q6-slop, Q7-mid-wildcard, Q8-fuzzy, field:, grouping):
+    # SearchTask.java:59-61 grammar via the classic QP (README.md:23)
+    q["ft_fuzzy"] = lambda s, d: _ft(s, d, "part~2", 20)
+    q["ft_phrase_slop"] = lambda s, d: _ft(s, d, '"merge vector"~2', None)
+    q["ft_wildcard_mid"] = lambda s, d: _ft(s, d, "me?ge", None)
+    q["ft_field"] = lambda s, d: _ft(s, d, "lang:de AND merge", 20)
+    q["ft_grouped"] = lambda s, d: _ft(s, d, "(merge OR vector) AND part", 20)
+    # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15)
+    q["ft_term_quantized"] = lambda s, d: _ft(s, d, "vector", 20, model="bm25_q")
+    q["ft_incremental"] = _ft_incremental
 
     def ft_matchall(s, d):
         return (_get_engine(s, d).score_all("*:*")
@@ -167,23 +243,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = dedup_exact
 
     def dedup_minhash(s, d):
+        """LSH candidates (16 bands x 4 rows, id-only banding) verified with
+        EXACT 3-gram jaccard — emitted pairs carry the exact value, so the
+        DuckDB all-pairs oracle can hash-match them. P(miss | j>=0.8) =
+        (1-0.8^4)^16 ~ 4e-8: candidate recall is 1 at oracle scale."""
         docs = s.read.parquet(f"{d}/documents.parquet")
         sigs = dedup.minhash_signatures(docs, num_hashes=64, shingle_n=3)
-        return (dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4,
-                                        threshold=0.5)
-                .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        cand = dedup.minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+        out = dedup.pair_exact_jaccard(docs, cand, n=3)
+        return (out.filter(F.col("jaccard") >= 0.8)
+                .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
                 .orderBy("a", "b"))
     q["dedup_minhash_lsh"] = dedup_minhash
 
     def dedup_simhash(s, d):
+        """Simhash near-pair candidates (hamming <= 8, 9-block multi-table)
+        verified with EXACT 4-gram jaccard >= 0.8. On this corpus every
+        j4>=0.8 pair sits within hamming 8 (measured), so the entry equals
+        the SQL all-pairs oracle; the hash family itself stays out of SQL."""
         docs = s.read.parquet(f"{d}/documents.parquet")
         fps = dedup.simhash_fingerprints(docs)
-        return dedup.simhash_near_pairs(fps, max_hamming=3, bands=4).orderBy("a", "b")
+        cand = dedup.simhash_near_pairs(fps, max_hamming=8, blocks=9).select("a", "b")
+        out = dedup.pair_exact_jaccard(docs, cand, n=4)
+        return (out.filter(F.col("jaccard") >= 0.8)
+                .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+                .orderBy("a", "b"))
     q["dedup_simhash"] = dedup_simhash
 
     def dedup_jaccard(s, d):
         docs = s.read.parquet(f"{d}/documents.parquet")
-        return (dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+        return (dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.8,
+                                          max_shingle_df=100)
                 .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
                 .orderBy("a", "b"))
     q["dedup_ngram_jaccard"] = dedup_jaccard
@@ -208,7 +298,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_lang_id"] = lang_id
 
     def fingerprint(s, d):
-        return textstats.fingerprints(s.read.parquet(f"{d}/documents.parquet"))
+        """Fingerprint EQUALITY CLASSES (derived property): the xxhash64
+        value itself is not SQL-reproducible, but its partition of the corpus
+        must equal the canonical-text partition — emitted as (doc_id,
+        rep_doc_id = min id in group, group_size), which DuckDB reproduces
+        by grouping on the canonicalized text directly."""
+        fp = textstats.fingerprints(s.read.parquet(f"{d}/documents.parquet"))
+        grp = (fp.groupBy("fingerprint")
+               .agg(F.min("doc_id").alias("rep_doc_id"),
+                    F.count("*").alias("group_size")))
+        return (fp.join(grp, "fingerprint")
+                .select("doc_id", "rep_doc_id",
+                        F.col("group_size").cast("long").alias("group_size"))
+                .orderBy("doc_id"))
     q["text_fingerprint"] = fingerprint
 
     # ---- similarity search ----
@@ -236,6 +338,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_lsh"] = ann_lsh
 
     return q
+
+
+def _qdl_values(max_dl: int = 1 << 20) -> str:
+    """(lo, hi, qdl) interval rows: dl -> Lucene-4.6 quantized dl. The
+    floatToByte315 encoding is monotone in dl, so each of the <=256 byte
+    values covers a contiguous integer dl interval — emitted as a VALUES
+    list the oracle can range-join (the encoder itself is not SQL)."""
+    from xltsearch_spark.functions.norms import quantized_doc_length
+    dls = np.arange(1, max_dl + 1, dtype=np.int64)
+    qd = quantized_doc_length(dls)
+    idx = np.flatnonzero(np.diff(qd)) + 1
+    starts = np.concatenate(([0], idx))
+    ends = np.concatenate((idx - 1, [len(dls) - 1]))
+    return ", ".join(f"({int(dls[s])}, {int(dls[e])}, {float(qd[s])!r})"
+                     for s, e in zip(starts, ends))
+
+
+def _jaccard_pairs_sql(n: int, threshold: float, max_shingle_df: int | None) -> str:
+    """All-pairs exact word-n-gram jaccard >= threshold over `documents`,
+    mirroring dedup._shingle_hashes tokenization (lower + \\w+) with string
+    shingles (hash-identity == string-identity absent 61-bit collisions)."""
+    if max_shingle_df is not None:
+        df_cte = f""",
+    keep AS (SELECT sh FROM s GROUP BY sh HAVING count(*) <= {max_shingle_df}),
+    sf AS (SELECT s.* FROM s JOIN keep USING (sh))"""
+    else:
+        df_cte = """,
+    sf AS (SELECT * FROM s)"""
+    return f"""
+    WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(toks[i+1:i+{n}], chr(31)) AS sh
+          FROM f, unnest(range(greatest(len(toks) - {n - 1}, 0))) AS t(i)),
+    s AS (SELECT DISTINCT doc_id, sh FROM g){df_cte},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sf GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sf x JOIN sf y USING (sh) WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b, round(i * 1.0 / (za.sz + zb.sz - i), 6) AS jaccard
+    FROM inter JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+    WHERE i * 1.0 / (za.sz + zb.sz - i) >= {threshold}
+    ORDER BY a, b"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -312,6 +456,125 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge') d ON true
         JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
         ORDER BY round(score, 4) DESC, t.doc_id LIMIT 20)"""
+
+    # fuzzy part~2: expansion over the DISTINCT indexed vocabulary with the
+    # 4.6 FuzzyTermsEnum similarity boost 1 - ed/min(|q|,|t|) and the
+    # TopTermsScoringBooleanQueryRewrite top-50 cap (not binding here)
+    o["ft_fuzzy"] = f"""WITH {_TOK_CTE},
+    vocab AS (SELECT DISTINCT term FROM tok),
+    exp AS (SELECT term,
+                   CASE WHEN levenshtein(term, 'part') = 0 THEN 1.0
+                        ELSE 1.0 - levenshtein(term, 'part') * 1.0
+                             / least(length(term), 4) END AS sim
+            FROM vocab WHERE levenshtein(term, 'part') <= 2
+            ORDER BY sim DESC, term LIMIT 50),
+    tfv AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    sc AS (SELECT f.doc_id,
+                  e.sim * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * f.tf
+                    / (f.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS score
+           FROM exp e JOIN tfv f ON f.term = e.term JOIN dfv d ON d.term = e.term
+           JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN st)
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(sum(score), 4) AS score FROM sc GROUP BY doc_id
+        ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
+
+    # sloppy phrase "merge vector"~2 — the shared greedy matcher
+    # (functions/phrase.py): each 'merge' position anchors a candidate, the
+    # closest 'vector' position gives displacement d, freq += 1/(1+d) if
+    # d <= slop; positions are pre-stop ordinals
+    o["ft_phrase_slop"] = f"""WITH {_TOK_CTE},
+    anchors AS (SELECT a.doc_id, a.pos, min(abs(b.pos - (a.pos + 1))) AS d
+                FROM tok_all a JOIN tok_all b
+                  ON a.doc_id = b.doc_id AND b.term = 'vector'
+                WHERE a.term = 'merge' GROUP BY a.doc_id, a.pos),
+    pf AS (SELECT doc_id, sum(1.0 / (1 + d)) AS pf FROM anchors
+           WHERE d <= 2 GROUP BY doc_id),
+    idfs AS (SELECT ln(1 + (st.n - d1.df + 0.5) / (d1.df + 0.5))
+                  + ln(1 + (st.n - d2.df + 0.5) / (d2.df + 0.5)) AS idf
+             FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='merge') d1,
+                  (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='vector') d2,
+                  st)
+    SELECT pf.doc_id,
+           round(idfs.idf * 2.2 * pf.pf
+                 / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
+    FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN idfs CROSS JOIN st
+    ORDER BY score DESC, pf.doc_id"""
+
+    o["ft_wildcard_mid"] = f"""WITH {_TOK_CTE}
+    SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE 'me_ge'
+    ORDER BY doc_id"""
+
+    # lang:de AND merge — keyword-field term scores BM25 with tf=1, dl=1,
+    # avgdl(lang)=1 (one keyword token per doc), N = global doc count
+    o["ft_field"] = f"""WITH {_TOK_CTE},
+    lc AS (SELECT count(*) AS dfl FROM documents WHERE lang = 'de'),
+    m AS ({_bm25_sql('merge')})
+    SELECT doc_id, score FROM (
+        SELECT d.doc_id,
+               round(ln(1 + (st.n - lc.dfl + 0.5) / (lc.dfl + 0.5)) * 2.2 * 1
+                     / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)) + m.score, 4) AS score
+        FROM documents d JOIN m ON m.doc_id = d.doc_id CROSS JOIN lc CROSS JOIN st
+        WHERE d.lang = 'de'
+        ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
+
+    # (merge OR vector) AND part — nested boolean: inner SHOULD sum gated on
+    # presence, outer conjunction adds the part score
+    o["ft_grouped"] = f"""WITH {_TOK_CTE},
+    inner_q AS (SELECT doc_id, sum(score) AS s
+                FROM ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')})
+                GROUP BY doc_id),
+    part_q AS (SELECT doc_id, score AS s FROM ({_bm25_sql('part')}))
+    SELECT doc_id, score FROM (
+        SELECT i.doc_id, round(i.s + p.s, 4) AS score
+        FROM inner_q i JOIN part_q p ON i.doc_id = p.doc_id
+        ORDER BY round(i.s + p.s, 4) DESC, i.doc_id LIMIT 20)"""
+
+    # BM25 with the Lucene-4.6 8-bit quantized doc length (floatToByte315
+    # round-trip) — the north rule's mandated scoring path (IndexTask.java:57)
+    o["ft_term_quantized"] = f"""WITH {_TOK_CTE},
+    qt(lo, hi, qdl) AS (VALUES {_qdl_values()}),
+    t AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'vector' GROUP BY doc_id),
+    d AS (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'vector'),
+    qd AS (SELECT dl.doc_id, qt.qdl FROM dl JOIN qt ON dl.dl BETWEEN qt.lo AND qt.hi)
+    SELECT doc_id, score FROM (
+        SELECT t.doc_id,
+               round(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * qd.qdl / st.avgdl)), 4) AS score
+        FROM t JOIN d ON true JOIN qd ON t.doc_id = qd.doc_id CROSS JOIN st
+        ORDER BY 2 DESC, t.doc_id LIMIT 20)"""
+
+    # incremental update: stats (N, df, avgdl) count tombstoned docs until
+    # compaction (Lucene 4.6 pre-merge), results come from live docs only
+    o["ft_incremental"] = f"""
+    WITH upd AS (SELECT doc_id, text || '{_INCR_UPD_SUFFIX}' AS text
+                 FROM documents WHERE doc_id % 97 = 2),
+    ins AS (SELECT doc_id + {_INCR_INS_BASE} AS doc_id, text || '{_INCR_INS_SUFFIX}' AS text
+            FROM documents WHERE doc_id % 97 = 3),
+    stats_docs AS (SELECT doc_id, text FROM documents
+                   UNION ALL SELECT doc_id + 20000000, text FROM upd
+                   UNION ALL SELECT doc_id, text FROM ins),
+    live_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 NOT IN (1, 2)
+                  UNION ALL SELECT doc_id, text FROM upd
+                  UNION ALL SELECT doc_id, text FROM ins),
+    stok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS term
+             FROM stats_docs),
+    stokf AS (SELECT * FROM stok WHERE term NOT IN {_STOPS_SQL}),
+    ltok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS term
+             FROM live_docs),
+    ltokf AS (SELECT * FROM ltok WHERE term NOT IN {_STOPS_SQL}),
+    st AS (SELECT (SELECT count(*) FROM stats_docs) AS n,
+                  (SELECT count(*) FROM stokf) * 1.0
+                    / (SELECT count(*) FROM stats_docs) AS avgdl),
+    d AS (SELECT count(DISTINCT doc_id) AS df FROM stokf WHERE term = 'merge'),
+    t AS (SELECT doc_id, count(*) AS tf FROM ltokf WHERE term = 'merge' GROUP BY doc_id),
+    dl AS (SELECT doc_id, count(*) AS dl FROM ltokf GROUP BY doc_id)
+    SELECT doc_id, score FROM (
+        SELECT t.doc_id,
+               round(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
+        FROM t JOIN d ON true JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+        ORDER BY 2 DESC, t.doc_id LIMIT 20)"""
 
     o["dedup_exact"] = """
     SELECT count(*) AS n_groups,
@@ -396,7 +659,49 @@ def oracle_sql() -> dict[str, str]:
     SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
     FROM s ORDER BY dot / (nx * ny) DESC, vec_id LIMIT 10"""
 
-    # dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard /
-    # text_fingerprint / ann_cosine_lsh: hash-family / LSH internals are not
-    # SQL-expressible -> rows-only checks (driver contract allows omission)
+    # exact-jaccard oracles: the LSH hash families are not SQL-expressible,
+    # but the ENTRIES emit exact-verified pairs, so an all-pairs exact
+    # jaccard in DuckDB is the ground truth (candidate recall = 1 at this
+    # scale, measured: minhash miss prob ~4e-8; simhash max hamming among
+    # j4>=0.8 pairs is 8 <= the entry's radius)
+    o["dedup_minhash_lsh"] = _jaccard_pairs_sql(n=3, threshold=0.8, max_shingle_df=None)
+    o["dedup_simhash"] = _jaccard_pairs_sql(n=4, threshold=0.8, max_shingle_df=None)
+    o["dedup_ngram_jaccard"] = _jaccard_pairs_sql(n=5, threshold=0.8, max_shingle_df=100)
+
+    # fingerprint equality classes == canonical-text equality classes
+    o["text_fingerprint"] = """
+    WITH c AS (SELECT doc_id,
+               array_to_string(list_filter(
+                   regexp_extract_all(lower(text), '[a-z0-9_'']+'), x -> x <> ''),
+                   ' ') AS canon
+               FROM documents)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY canon) AS rep_doc_id,
+           count(*) OVER (PARTITION BY canon) AS group_size
+    FROM c ORDER BY doc_id"""
+
+    # ann_cosine_lsh: the random-hyperplane family IS SQL-expressible once
+    # the plane matrix is inlined as literals — the oracle replicates bucket
+    # assignment (sign of dot), the hamming<=1 multiprobe, and the exact
+    # cosine top-k within candidates, bit-for-bit with the operator
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+    plane_vals = ", ".join(
+        f"({i}, [{','.join(repr(float(x)) for x in planes[i])}]::DOUBLE[])"
+        for i in range(8))
+    o["ann_cosine_lsh"] = f"""
+    WITH p(pid, plane) AS (VALUES {plane_vals}),
+    sig AS (SELECT e.vec_id,
+                   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) > 0
+                            THEN (1::BIGINT << p.pid) ELSE 0 END)::BIGINT AS bucket
+            FROM embeddings e CROSS JOIN p GROUP BY e.vec_id),
+    q AS (SELECT bucket AS qb FROM sig WHERE vec_id = 7),
+    cand AS (SELECT s.vec_id FROM sig s, q WHERE bit_count(xor(s.bucket, q.qb)) <= 1),
+    qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.qe)::DOUBLE AS y
+          FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qv),
+    s AS (SELECT vec_id, sum(x * y) AS dot, sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+          FROM z GROUP BY vec_id)
+    SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
+    FROM s ORDER BY dot / (nx * ny) DESC, vec_id LIMIT 5"""
     return o
