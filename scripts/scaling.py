@@ -94,6 +94,44 @@ def run_level(cores: int, n_docs: int, src: str, repo: str,
     return best
 
 
+def weak(base_docs: int = 100000, lo: int = 1, hi: int = 4) -> int:
+    """WEAK scaling: (lo cores, base_docs) vs (hi cores, base_docs*hi/lo) —
+    the per-core problem size stays constant, which is the claim that
+    actually transfers to a cluster (each new executor brings its own data
+    slice AND its own memory bandwidth). Ideal = equal wall at both levels;
+    efficiency = T_lo / T_hi."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    big_docs = base_docs * hi // lo
+    srcs = {}
+    for nd in (base_docs, big_docs):
+        src = f"/tmp/scaling_corpus_{nd}"
+        if not os.path.exists(os.path.join(src, "part-0000.parquet")):
+            print(run(SETUP_SNIPPET, [str(nd), src, repo], timeout=1800))
+        srcs[nd] = src
+    r_lo = run_level(lo, base_docs, srcs[base_docs], repo)
+    r_hi = run_level(hi, big_docs, srcs[big_docs], repo)
+    eff = r_lo["wall_sec"] / r_hi["wall_sec"]
+    md = f"""
+## WEAK scaling (constant work per core: {lo} core x {base_docs} docs vs {hi} cores x {big_docs} docs)
+
+| level | cores | docs | wall (s) | docs/sec | docs/sec/core |
+|---|---|---|---|---|---|
+| N  | {lo} | {base_docs} | {r_lo['wall_sec']} | {r_lo['docs_per_sec']} | {r_lo['docs_per_sec'] / lo:.1f} |
+| 4N | {hi} | {big_docs} | {r_hi['wall_sec']} | {r_hi['docs_per_sec']} | {r_hi['docs_per_sec'] / hi:.1f} |
+
+- weak-scaling efficiency = T_N / T_4N = **{eff:.3f}** (ideal 1.0: 4x data
+  at 4x cores in the same wall)
+- per-core throughput retained: {100 * r_hi['docs_per_sec'] / hi / (r_lo['docs_per_sec'] / lo):.1f}%
+
+Raw: `{json.dumps(r_lo)}` / `{json.dumps(r_hi)}`
+"""
+    with open(os.path.join(repo, "BENCH", "scaling_weak.md"), "w") as f:
+        f.write("# BENCH/scaling_weak — weak-scaling run\n" + md)
+    print(md)
+    print(json.dumps({"weak_eff": eff, "r_lo": r_lo, "r_hi": r_hi}))
+    return 0
+
+
 def main(n_docs: int = 400000, lo: int = 1, hi: int = 4) -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = f"/tmp/scaling_corpus_{n_docs}"
@@ -138,5 +176,7 @@ Raw: `{json.dumps(r_lo)}` / `{json.dumps(r_hi)}`
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "weak":
+        sys.exit(weak(*[int(x) for x in sys.argv[2:]]))
     a = [int(x) for x in sys.argv[1:]]
     sys.exit(main(*a))

@@ -43,7 +43,7 @@ from xltsearch_spark.operators.incremental import change_diff, diff_summary
 from xltsearch_spark.operators.search import SearchEngine
 
 STAGES = ("docs", "runs", "dictionary", "doc_stats", "postings")
-CORPUS_COLS = ("repo", "path", "commit", "lang", "content", "title")
+CORPUS_COLS = ("repo", "path", "commit", "lang", "content", "title", "meta")
 
 
 class IndexCatalog:

@@ -51,6 +51,11 @@ class IndexConfig:
     block_size: int = 128            # postings docs per block (skip/block-max granularity)
     doc_range_size: int = 1 << 16    # docs per doc-range bucket (two-level merge unit)
     term_buckets: int = 64           # postings table term-hash partition count
+    # position gap between instances of a MULTI-VALUED field (Tika metadata,
+    # Config.java:112-144; one Lucene field added per value,
+    # IndexTask.java:74-78). 0 = vanilla Analyzer.getPositionIncrementGap:
+    # positions continue across instances, phrases can match the boundary.
+    position_increment_gap: int = 0
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:

@@ -58,6 +58,13 @@ from xltsearch_spark.functions.varint import (decode_deltas, decode_varint,
 
 ANALYZED_FIELDS = ("content", "title")
 KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum")
+# multi-valued metadata column: map<string, array<string>> — the reference's
+# 29 Tika metadata fields (Config.java:112-144) are indexed as MULTIPLE
+# analyzed field instances per doc (IndexTask.java:74-78); each map key k
+# becomes searchable field "meta.<k>" with instance positions offset by
+# position_increment_gap and dl = total kept tokens across instances.
+META_COL = "meta"
+META_FIELD_PREFIX = "meta."
 
 RUN_SCHEMA = StructType([
     StructField("field", StringType()),
@@ -155,8 +162,10 @@ def make_tokenize_udf(config: IndexConfig, fields_present: list[str]):
     n_buckets = config.term_buckets
     analyzed = [f for f in ANALYZED_FIELDS if f in fields_present]
     keywords = [f for f in KEYWORD_FIELDS if f in fields_present]
+    has_meta = META_COL in fields_present
     profile = config.analyzer
     max_tok = config.max_token_length
+    gap = config.position_increment_gap
 
     def tokenize(it):
         for pdf in it:
@@ -185,10 +194,69 @@ def make_tokenize_udf(config: IndexConfig, fields_present: list[str]):
                     dl_k = np.ones(len(pdf), dtype=np.int64)
                     _emit_runs(out_rows, field, vals[mask], docs, pos0, dl_k,
                                np.nonzero(mask)[0], range_size, n_buckets)
+            if has_meta:
+                _emit_meta_fields(out_rows, pdf, doc_ids, profile, max_tok,
+                                  gap, range_size, n_buckets)
             if out_rows:
                 yield pd.DataFrame(out_rows, columns=[f.name for f in RUN_SCHEMA.fields])
 
     return tokenize
+
+
+def _meta_items(m):
+    """Normalize one meta cell: Arrow map -> list[(k, v)], dict -> items."""
+    if m is None:
+        return ()
+    if isinstance(m, dict):
+        return m.items()
+    return m  # pyarrow MapType converts to a list of (key, value) tuples
+
+
+def _emit_meta_fields(out_rows, pdf, doc_ids, profile, max_tok, gap,
+                      range_size, n_buckets):
+    """Tokenize multi-valued metadata: per map key k, every value is an
+    analyzed field INSTANCE of field "meta.<k>"; instance i's positions are
+    offset by sum of previous instances' kept spans + gap (Lucene's
+    positionIncrementGap between repeated fields); dl = kept tokens across
+    all instances (what BM25 length-normalizes on)."""
+    md = pdf[META_COL]
+    per_name: dict[str, tuple[list[int], list[str]]] = {}
+    for i, cell in enumerate(md):
+        for k, vals in _meta_items(cell):
+            if vals is None:
+                continue
+            rows_l, texts_l = per_name.setdefault(k, ([], []))
+            for v in vals:
+                if v is not None:
+                    rows_l.append(i)
+                    texts_l.append(v)
+    for name in sorted(per_name):
+        rows_l, texts_l = per_name[name]
+        field = META_FIELD_PREFIX + name
+        flat = analyze_flat(pd.Series(texts_l, dtype=object), profile, max_tok)
+        inst_doc = np.asarray(rows_l, dtype=np.int64)  # instance -> pdf row
+        spans = np.zeros(len(texts_l), dtype=np.int64)
+        if len(flat):
+            fr = flat["row"].to_numpy(dtype=np.int64)
+            fp = flat["pos"].to_numpy(dtype=np.int64)
+            np.maximum.at(spans, fr, fp + 1)
+        # per-instance position offset: prefix sum of (span + gap), reset per doc
+        cs = np.concatenate(([0], np.cumsum(spans + gap)[:-1]))
+        starts = np.concatenate(([True], inst_doc[1:] != inst_doc[:-1]))
+        grp_idx = np.nonzero(starts)[0]
+        base = np.repeat(cs[grp_idx], np.diff(np.append(grp_idx, len(texts_l))))
+        offs = cs - base
+        dl_doc = np.zeros(len(pdf), dtype=np.int64)
+        if len(flat):
+            keep = ~flat["overlap"].to_numpy(dtype=bool)
+            np.add.at(dl_doc, inst_doc[fr[keep]], 1)
+        _emit_dl_rows(out_rows, field, doc_ids, dl_doc, range_size)
+        if len(flat):
+            tok_doc_row = inst_doc[fr]               # token -> pdf row
+            pos_new = fp + offs[fr]
+            _emit_runs(out_rows, field, flat["term"].to_numpy(dtype=object),
+                       doc_ids[tok_doc_row], pos_new, dl_doc, tok_doc_row,
+                       range_size, n_buckets)
 
 
 def _emit_dl_rows(out_rows, field, doc_ids, dl, range_size):

@@ -152,6 +152,8 @@ class SearchEngine:
         field rendered as ``name: value`` lines (SearchTask.java:74-81)."""
         topk = self.search_scores(query, limit)
         stored = ("doc_id", "repo", "path", "commit", "lang", "title", "hashsum")
+        if "meta" in self.docs.columns:  # multi-valued Tika metadata, stored
+            stored = stored + ("meta",)
         joined = (F.broadcast(topk).join(self.docs.select(*stored), "doc_id", "inner")
                   .withColumn("title", F.coalesce(F.col("title"), F.lit(""))))
         if with_details:
