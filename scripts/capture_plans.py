@@ -1,0 +1,93 @@
+"""Capture physical-plan evidence for BENCH/plans.md (round-2 paths):
+fuzzy expansion pruning, search_many per-query TakeOrdered, tombstone
+anti-join. Appends sections to BENCH/plans.md."""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xltsearch_spark.catalog import IndexCatalog  # noqa: E402
+from xltsearch_spark.config import IndexConfig  # noqa: E402
+from xltsearch_spark.plans.parser import FuzzyQuery  # noqa: E402
+from xltsearch_spark.session import get_spark  # noqa: E402
+from xltsearch_spark.sources.corpus import generate_corpus  # noqa: E402
+
+
+def explain_str(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    s = buf.getvalue()
+    # compress the verbose per-node sections: keep the tree + scan details
+    return s
+
+
+def trim(s: str, keep_nodes=("Scan parquet", "PartitionFilters", "PushedFilters",
+                             "TakeOrderedAndProject", "Join", "ReadSchema",
+                             "Location")) -> str:
+    head, _, rest = s.partition("\n\n")
+    kept = [head]
+    for block in rest.split("\n\n"):
+        if any(k in block for k in keep_nodes):
+            kept.append(block)
+    return "\n\n".join(kept)
+
+
+def main(out_path: str | None = None) -> int:
+    import tempfile
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = out_path or os.path.join(repo, "BENCH", "plans.md")
+    spark = get_spark("plans", cores=8, shuffle_partitions=8)
+    wh = tempfile.mkdtemp(prefix="plans_wh_")
+    cfg = IndexConfig(doc_range_size=64, block_size=32, term_buckets=8)
+    corpus = generate_corpus(256)
+    cat = IndexCatalog(spark, wh, cfg)
+    cat.build(spark.createDataFrame(corpus), fingerprint="v1")
+    eng = cat.engine()
+    sections = []
+
+    # 1) fuzzy expansion: length-window filter BEFORE levenshtein, top-50 as
+    #    TakeOrderedAndProject (never a full-dictionary collect)
+    exp = eng._fuzzy_expansion_df(FuzzyQuery("content", "gradd", 1, 1.0))
+    sections.append(("fuzzy expansion: dictionary scan for gradd~1",
+                     "Expected: `length(term)` window filter reaches the scan "
+                     "(before any levenshtein evaluation), final top-50 is "
+                     "TakeOrderedAndProject.", explain_str(exp)))
+
+    # 2) search_many: per-query TakeOrdered branches, no global window sort
+    #    over the full match set
+    many = eng.search_many({"q1": "graded", "q2": "alpha OR beta"}, limit=10,
+                           materialize=False)
+    sections.append(("search_many (2 queries, k=10): per-query TakeOrdered union",
+                     "Expected: one TakeOrderedAndProject PER QUERY branch "
+                     "feeding a Union; the only Window/Sort operates on the "
+                     "<= Q*k unioned rows, never the raw match set.",
+                     explain_str(many, mode="simple")))
+
+    # 3) tombstones: persisted parquet anti-joined lazily
+    v2 = corpus.iloc[: len(corpus) - 40]
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    eng2 = cat.engine()
+    scored = eng2.score_all("common_token")
+    sections.append(("tombstone filter: score_all over an index with deletes",
+                     "Expected: LEFT ANTI join against the tombstones parquet "
+                     "(no driver-side id list in the plan).",
+                     explain_str(scored, mode="simple")))
+
+    with open(out_path, "a") as f:
+        f.write("\n\n# Round-2 plan evidence\n")
+        for title, expect, plan in sections:
+            plan = re.sub(r"#\d+", "#N", plan)  # stable ids for diffing
+            f.write(f"\n## {title}\n\n{expect}\n\n```\n{plan}\n```\n")
+    print(f"wrote {len(sections)} sections to {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))

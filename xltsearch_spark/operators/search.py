@@ -283,7 +283,8 @@ class SearchEngine:
                 "score", F.col("score") * F.coalesce(wexpr, F.lit(1.0)))
         return weighted.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
-    def search_many(self, queries: dict[str, str], limit: int = 100) -> DataFrame:
+    def search_many(self, queries: dict[str, str], limit: int = 100,
+                    materialize: bool = True) -> DataFrame:
         """Evaluate MANY queries against ONE shared postings scan.
 
         Returns (query_id, doc_id, score, rank<=limit). All queries' terms
@@ -326,8 +327,9 @@ class SearchEngine:
             topk = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
                     .select(F.lit(qid).alias("query_id"), "doc_id", "score"))
             out = topk if out is None else out.unionByName(topk)
-        out = out.localCheckpoint(eager=True)  # one job; <= Q*k rows pinned
-        decoded.unpersist()
+        if materialize:  # False = return the lazy plan (tests/plan audits)
+            out = out.localCheckpoint(eager=True)  # one job; <= Q*k rows pinned
+            decoded.unpersist()
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (out.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= limit))
@@ -384,19 +386,7 @@ class SearchEngine:
             # TakeOrdered LIMIT — the driver only ever sees <= 50 rows.
             # (Lucene walks a Levenshtein automaton over the sorted term
             # dict; the length window is the analogous scan pruner here.)
-            qlen = len(ast.term)
-            ed = F.levenshtein(F.col("term"), F.lit(ast.term))
-            sim = F.when(ed == 0, F.lit(1.0)).otherwise(
-                F.lit(1.0) - ed.cast("double") /
-                F.least(F.length("term"), F.lit(qlen)).cast("double"))
-            rows = (d.filter((F.col("field") == ast.field) &
-                             F.length("term").between(qlen - ast.max_edits,
-                                                      qlen + ast.max_edits))
-                    .select("term").distinct()
-                    .filter(ed <= ast.max_edits)
-                    .select("term", sim.alias("sim"))
-                    .orderBy(F.desc("sim"), F.asc("term"))
-                    .limit(FUZZY_TOP_TERMS).collect())
+            rows = self._fuzzy_expansion_df(ast).collect()
             clauses = tuple((SHOULD, TermQuery(ast.field, r["term"],
                                                ast.boost * float(r["sim"])))
                             for r in rows)
@@ -404,6 +394,23 @@ class SearchEngine:
                 return ConstScoreTerms(ast.field, (), ast.boost)
             return BooleanQuery(clauses) if len(clauses) > 1 else clauses[0][1]
         return ast
+
+    def _fuzzy_expansion_df(self, ast: FuzzyQuery) -> DataFrame:
+        """(term, sim) expansion frame for a fuzzy query — see _rewrite."""
+        qlen = len(ast.term)
+        ed = F.levenshtein(F.col("term"), F.lit(ast.term))
+        sim = F.when(ed == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - ed.cast("double") /
+            F.least(F.length("term"), F.lit(qlen)).cast("double"))
+        return (self.dictionary
+                .filter((F.col("field") == ast.field) &
+                        F.length("term").between(qlen - ast.max_edits,
+                                                 qlen + ast.max_edits))
+                .select("term").distinct()
+                .filter(ed <= ast.max_edits)
+                .select("term", sim.alias("sim"))
+                .orderBy(F.desc("sim"), F.asc("term"))
+                .limit(FUZZY_TOP_TERMS))
 
     # --------------------- pruned posting scan + decode --------------------
     def _collect_leaves(self, ast):
