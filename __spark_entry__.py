@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
 from xltsearch_spark.config import IndexConfig
-from xltsearch_spark.operators import dedup, similarity, textstats
+from xltsearch_spark.operators import dedup, events, similarity, textstats
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.operators.search import SearchEngine
 
@@ -312,6 +312,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("group_size").cast("long").alias("group_size"))
                 .orderBy("doc_id"))
     q["text_fingerprint"] = fingerprint
+
+    # ---- event-stream analytics (batch forms of the streaming operators) ----
+    def ev_rollup(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return events.windowed_rollup(ev, "10 minutes").orderBy("window_start",
+                                                                "event_type")
+    q["events_window_rollup"] = ev_rollup
+
+    def ev_sessions(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return events.sessionize(ev, gap_minutes=30).orderBy("user_id")
+    q["events_sessionize"] = ev_sessions
 
     # ---- similarity search ----
     def ann_brute(s, d):
@@ -658,6 +670,30 @@ def oracle_sql() -> dict[str, str]:
           FROM z GROUP BY vec_id)
     SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
     FROM s ORDER BY dot / (nx * ny) DESC, vec_id LIMIT 10"""
+
+    # event analytics: epoch-aligned tumbling windows (integer bucket
+    # arithmetic on epoch microseconds) and gaps-and-islands sessionization
+    o["events_window_rollup"] = """
+    SELECT (epoch_us(ts) // 600000000) * 600 AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    o["events_sessionize"] = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+    l AS (SELECT user_id, event_id, tus,
+                 CASE WHEN lag(tus) OVER w IS NULL
+                        OR tus - lag(tus) OVER w > 1800000000 THEN 1
+                      ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+    s AS (SELECT user_id, tus,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l),
+    g AS (SELECT user_id, sid, count(*) AS c, max(tus) - min(tus) AS dur
+          FROM s GROUP BY 1, 2)
+    SELECT user_id, count(*) AS n_sessions, sum(c) AS n_events,
+           max(c) AS max_session_events, sum(dur) AS total_dur_us
+    FROM g GROUP BY user_id ORDER BY user_id"""
 
     # exact-jaccard oracles: the LSH hash families are not SQL-expressible,
     # but the ENTRIES emit exact-verified pairs, so an all-pairs exact

@@ -73,6 +73,7 @@ def main() -> int:
         "q_or": (fixture_engine, "alpha OR beta OR graded"),
         "q_phrase": (fixture_engine, '"alpha beta"'),
         "q_prefix": (fixture_engine, "needle_1*"),
+        "q_fuzzy": (fixture_engine, "gradd~1"),
         "q_doc_term": (doc_engine, "merge"),
         "q_doc_bool": (doc_engine, "merge AND vector NOT column"),
     }
@@ -123,8 +124,16 @@ def main() -> int:
 
     t0 = time.time()
     fps = dedup.simhash_fingerprints(documents)
-    dedup.simhash_near_pairs(fps, max_hamming=3, bands=4).count()
+    # default blocks=6 multi-table scheme (the 100-TB config: 20 tables of
+    # ~32-bit keys) — costlier than the legacy 4x16-bit bands at sandbox
+    # scale, but the one whose bucket occupancy survives 10^9 docs
+    dedup.simhash_near_pairs(fps, max_hamming=3).count()
     timings["dedup_simhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.ngram_jaccard_pairs(documents, n=5, threshold=0.8,
+                              max_shingle_df=100).count()
+    timings["dedup_ngram_jaccard"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     textstats.quality_scores(documents).count()
