@@ -162,3 +162,39 @@ def test_details_pane_rendering(bm25_setup):
     assert "repo: " in r["details"] and "hashsum: " in r["details"]
     assert f"path: {r['path']}" in r["details"]
     assert r["details"].count("\n") == 5
+
+
+def test_wand_pushed_blockmax_filter(spark, small_corpus, tmp_path):
+    """With exact stats (single segment) the WAND block skip is a plain
+    `block_max_score >= const` comparison that reaches the parquet reader
+    (PushedFilters); with stats_exact=False the recomputed (max_tf, min_dl)
+    bound path must return the identical top-k."""
+    import io
+    from contextlib import redirect_stdout
+    from xltsearch_spark.catalog import IndexCatalog
+    cfg = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), cfg)
+    cat.build(spark.createDataFrame(small_corpus), fingerprint="v1")
+    eng = cat.engine()
+    assert eng.stats_exact
+    eng.wand_min_df = 1
+    exact = [(r["doc_id"], r["score"])
+             for r in eng.search_scores("common_token OR graded", 5).collect()]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng._last_wand_scan.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(block_max_score" in plan, plan[-2000:]
+    # stale-stats fallback: recomputed bounds, identical results
+    eng.stats_exact = False
+    stale = [(r["doc_id"], r["score"])
+             for r in eng.search_scores("common_token OR graded", 5).collect()]
+    assert [d for d, _ in exact] == [d for d, _ in stale]
+    for (_, a), (_, b) in zip(exact, stale):
+        assert a == pytest.approx(b, rel=1e-9)
+    # and the general (non-WAND) path agrees
+    eng.stats_exact = True
+    eng.wand_min_df = 10**12
+    brute = [(r["doc_id"], r["score"]) for r in
+             eng.search_scores("common_token OR graded", 5).collect()]
+    assert [d for d, _ in exact] == [d for d, _ in brute]

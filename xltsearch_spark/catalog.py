@@ -313,11 +313,18 @@ class IndexCatalog:
             raise RuntimeError("index invalidated by config change; rebuild required")
         meta = self.read_meta()
         stats = self.load_stats()
+        # stored block_max_score is exact only while ONE segment exists:
+        # later segments shift N/df/avgdl and stale maxima stop being upper
+        # bounds -> the engine falls back to recomputed (max_tf, min_dl) ones
+        exact = (len(meta["segments"]) == 1
+                 and not meta.get("tombstone_batches")
+                 and not meta.get("tombstones"))
         return SearchEngine(self.spark, self._read_all("postings", meta),
                             self.live_docs(meta), self._read_all("dictionary", meta),
                             stats, self.config,
                             tombstones=meta.get("tombstones", []),
-                            tombstones_df=self.tombstones_df(meta))
+                            tombstones_df=self.tombstones_df(meta),
+                            stats_exact=exact)
 
     # --------------------------- invariants ---------------------------------
     def verify_hashsums(self, manifest: DataFrame) -> int:

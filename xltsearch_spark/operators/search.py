@@ -102,7 +102,8 @@ class SearchEngine:
                  dictionary: DataFrame, stats: BuildStats,
                  config: IndexConfig | None = None,
                  tombstones: list[int] | None = None,
-                 tombstones_df: DataFrame | None = None):
+                 tombstones_df: DataFrame | None = None,
+                 stats_exact: bool = True):
         self.spark = spark
         self.postings = postings
         self.docs = docs  # live docs only (tombstoned rows already excluded)
@@ -116,6 +117,13 @@ class SearchEngine:
         # a 10^8-row delete batch never touches the driver).
         self.tombstones = sorted(tombstones or [])
         self.tombstones_df = tombstones_df
+        # stats_exact: True iff the stored block_max_score values were
+        # computed with the CURRENT collection stats (single segment, no
+        # incremental drift). Enables the pushed-down WAND block filter —
+        # a plain `block_max_score >= const` comparison that reaches the
+        # parquet row-group stats, so pruned blocks are never even READ.
+        self.stats_exact = stats_exact
+        self._last_wand_scan: DataFrame | None = None  # plan-audit hook
         # minimum total docFreq before the WAND probe phase pays for itself:
         # the probe adds ~3 driver round-trips, worthwhile once the decoded
         # posting volume dwarfs job overhead (cluster scale), not at the
@@ -254,16 +262,27 @@ class SearchEngine:
             prune = None
             for (f, t), u in ub.items():
                 other = total_ub - u
-                idf = scoring.bm25_idf(self.stats.n_docs, idf_map.get((f, t), 0))
-                ad = self.stats.avgdl.get(f, 1.0) or 1.0
                 w = boost.get((f, t), 1.0)
-                block_ub = (F.lit(w * idf * (k1 + 1)) * F.col("max_tf") /
-                            (F.col("max_tf") + F.lit(k1) *
-                             (F.lit(1 - b) + F.lit(b / ad) * F.col("min_dl"))))
-                c = (F.col("field") == f) & (F.col("term") == t) & \
-                    (block_ub >= F.lit(tau - other))
+                if self.stats_exact:
+                    # exact stored block-max: plain column >= constant —
+                    # pushable to the parquet reader (PushedFilters), so
+                    # non-competitive blocks are skipped via row-group
+                    # stats without being read at all
+                    cond_blk = F.col("block_max_score") >= F.lit((tau - other) / w)
+                else:
+                    # incremental segments shifted N/df/avgdl: stored
+                    # block_max_score may be stale, recompute a valid upper
+                    # bound from (max_tf, min_dl) with CURRENT stats
+                    idf = scoring.bm25_idf(self.stats.n_docs, idf_map.get((f, t), 0))
+                    ad = self.stats.avgdl.get(f, 1.0) or 1.0
+                    block_ub = (F.lit(w * idf * (k1 + 1)) * F.col("max_tf") /
+                                (F.col("max_tf") + F.lit(k1) *
+                                 (F.lit(1 - b) + F.lit(b / ad) * F.col("min_dl"))))
+                    cond_blk = block_ub >= F.lit(tau - other)
+                c = (F.col("field") == f) & (F.col("term") == t) & cond_blk
                 prune = c if prune is None else (prune | c)
             scan = scan.filter(prune)
+        self._last_wand_scan = scan
         out = self._wand_score(scan, idf_map, boost, limit)
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
