@@ -32,8 +32,8 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf_norm
@@ -55,7 +55,7 @@ DECODED_SCHEMA = StructType([
     StructField("score", DoubleType()),   # per-term similarity contribution (boost excluded)
     StructField("tf", LongType()),
     StructField("dl", LongType()),
-    StructField("positions", StringType()),  # varint-hex when phrase eval needs them
+    StructField("positions", BinaryType()),  # int64-LE absolute positions (phrase eval)
 ])
 
 
@@ -519,9 +519,9 @@ class SearchEngine:
                     if with_positions and r.pos_bin is not None:
                         pos_all = decode_varint(r.pos_bin)
                         offs = np.concatenate(([0], np.cumsum(tfs)))
-                        pos_hex = [pos_all[offs[i]:offs[i + 1]].astype(np.int64)
+                        pos_col = [np.cumsum(pos_all[offs[i]:offs[i + 1]]
+                                             .astype(np.int64)).tobytes()
                                    for i in range(nd)]
-                        pos_col = [np.cumsum(p).tobytes().hex() for p in pos_hex]
                     else:
                         pos_col = [None] * nd
                     out.append(pd.DataFrame({
@@ -602,7 +602,7 @@ class SearchEngine:
                 return
             doc_ids, pfs, dls = [], [], []
             for doc_id, grp in pdf.groupby("doc_id", sort=False):
-                by_term = {r.term: np.frombuffer(bytes.fromhex(r.positions), dtype=np.int64)
+                by_term = {r.term: np.frombuffer(r.positions, dtype=np.int64)
                            for r in grp.itertuples(index=False) if r.positions is not None}
                 if len(by_term) < n_terms_distinct:
                     continue
