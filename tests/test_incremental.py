@@ -162,3 +162,43 @@ def test_large_delete_batch_off_driver(spark, tmp_path):
     # live doc count and query results reflect the deletes
     assert eng.docs.count() == 32
     assert eng.search_scores("common_token", 100).count() <= 32
+
+
+def test_merge_without_retokenize_matches_fresh_build(spark, corpora, tmp_path):
+    """catalog.merge() = Lucene forceMerge by posting COPY: after merging,
+    per-document scores equal a fresh build over the live corpus (live-only
+    stats), positions survive (phrase), stats_exact is restored, and the
+    max_doc watermark prevents id collisions on the next update."""
+    import pandas as pd
+    v1, v2 = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    assert len(cat.read_meta()["segments"]) == 2
+    cat.merge(fingerprint="m1")
+    meta = cat.read_meta()
+    assert len(meta["segments"]) == 1
+    assert meta.get("tombstone_batches", []) == [] and cat.tombstones_df() is None
+    eng = cat.engine()
+    assert eng.stats_exact
+
+    fresh = IndexCatalog(spark, str(tmp_path / "wh_fresh"), CFG)
+    fresh.build(spark.createDataFrame(v2), fingerprint="v2")
+    feng = fresh.engine()
+    for q in QUERIES:
+        got = {r["path"]: r["score"] for r in eng.search(q, 1000).collect()}
+        exp = {r["path"]: r["score"] for r in feng.search(q, 1000).collect()}
+        assert set(got) == set(exp), f"{q}: doc sets differ"
+        for p in exp:
+            assert got[p] == pytest.approx(exp[p], rel=1e-9), f"{q} @ {p}"
+
+    # next update after merge: watermarked ids, no collision
+    extra = v2.iloc[[0]].copy()
+    extra["path"] = "zz/new_after_merge"
+    extra["content"] = "fresh_after_merge_token common_token"
+    v3 = pd.concat([v2, extra], ignore_index=True)
+    cat.update(spark.createDataFrame(v3), fingerprint="v3")
+    eng3 = cat.engine()
+    n = eng3.docs.count()
+    assert eng3.docs.select("doc_id").distinct().count() == n == len(v3)
+    assert eng3.search_scores("fresh_after_merge_token", 5).count() == 1

@@ -209,6 +209,7 @@ class IndexCatalog:
                           "fingerprint": fingerprint}],
             "tombstones": [],
             "n_docs": stats.n_docs, "avgdl": stats.avgdl, "sum_ttf": stats.sum_ttf,
+            "max_doc": stats.n_docs,  # id watermark (ids stay sparse post-merge)
         })
         return stats
 
@@ -251,10 +252,14 @@ class IndexCatalog:
                            sum_ttf={k: int(v) for k, v in meta["sum_ttf"].items()})
         if summary["insert"] + summary["update"] > 0:
             seg = f"seg_{len(meta['segments']):06d}"
+            # id watermark, NOT n_docs: after a merge dropped deleted docs,
+            # n_docs < max assigned id and reusing it would collide
+            id_base = int(meta.get("max_doc", prior.n_docs))
             stats, seg_docs = self._build_segment(seg, changed, fingerprint,
-                                                  id_base=prior.n_docs, prior=prior)
+                                                  id_base=id_base, prior=prior)
             meta["segments"].append({"name": seg, "n_docs": seg_docs,
                                      "fingerprint": fingerprint})
+            meta["max_doc"] = id_base + seg_docs
         else:
             stats = prior
         if batch is not None:
@@ -273,6 +278,87 @@ class IndexCatalog:
         byte-equivalent to a from-scratch build."""
         self.delete_index()
         return self.build(corpus, fingerprint, build_time_ms)
+
+    def merge(self, fingerprint: str | None = None,
+              build_time_ms: int | None = None) -> BuildStats:
+        """forceMerge WITHOUT retokenization — how Lucene actually merges:
+        posting data is COPIED (IndexWriter merge), deleted docs dropped,
+        never re-analyzed. All segments collapse into one; collection stats
+        recompute over LIVE docs (post-merge deleted docs stop counting in
+        N/df/avgdl, exactly Lucene's behavior); doc ids are PRESERVED
+        (sparse after deletes — ``max_doc`` watermarks future id blocks) and
+        block-max metadata is rebuilt with the fresh stats, restoring the
+        pushed-filter WAND path (stats_exact).
+
+        Scale shape: clean blocks stream through byte-for-byte (no decode
+        except one varint sum); only blocks overlapping a tombstone re-encode
+        — located by a bucketized equi-join (block span -> covered doc-range
+        ids vs tombstone doc-range ids), never a broadcast range join."""
+        from xltsearch_spark.operators.build import (IndexBuilder,
+                                                     make_block_to_run_udf)
+        fingerprint = fingerprint or "merge-adhoc"
+        meta = self.read_meta()
+        if not meta["segments"]:
+            raise RuntimeError("nothing to merge: index never built")
+        start_ms = build_time_ms if build_time_ms is not None else int(time.time() * 1000)
+        self._write_meta({**meta, "last_updated": INDEX_UPDATE_FAILED})
+        p = self._read_all("postings", meta)
+        tomb = self.tombstones_df(meta)
+        rs = self.config.doc_range_size
+        if tomb is not None:
+            spans = p.select("field", "term", "skip_first_doc", "skip_last_doc")
+            pk = spans.withColumn("rid", F.explode(F.sequence(
+                F.floor(F.col("skip_first_doc") / rs),
+                F.floor(F.col("skip_last_doc") / rs))))
+            tk = tomb.select(F.col("doc_id").alias("dead_id"),
+                             F.floor(F.col("doc_id") / rs).alias("rid"))
+            dead = (pk.join(tk, "rid")
+                    .filter(F.col("dead_id").between(F.col("skip_first_doc"),
+                                                     F.col("skip_last_doc")))
+                    .groupBy("field", "term", "skip_first_doc")
+                    .agg(F.collect_list("dead_id").alias("dead")))
+            p = p.join(dead, ["field", "term", "skip_first_doc"], "left")
+        from xltsearch_spark.operators.build import RUN_SCHEMA
+        runs = p.mapInPandas(make_block_to_run_udf(), schema=RUN_SCHEMA)
+        seg = f"seg_merged_{len(meta['segments']):06d}"
+        live = self.live_docs(meta)
+        self._write_stage(seg, "docs", live, fingerprint)
+        docs = self._read_stage(seg, "docs")
+        self._write_stage(seg, "runs", runs, fingerprint)
+        runs = self._read_stage(seg, "runs")
+        # live-only stats (post-merge semantics)
+        n_live = docs.count()
+        ttf_rows = (runs.filter(F.col("term").isNotNull())
+                    .groupBy("field").agg(F.sum("sum_tf").alias("ttf")).collect())
+        sum_ttf = {r["field"]: int(r["ttf"]) for r in ttf_rows}
+        stats = BuildStats(
+            n_docs=n_live, sum_ttf=sum_ttf,
+            avgdl={f: (v / n_live if n_live else 1.0) or 1.0
+                   for f, v in sum_ttf.items()})
+        builder = IndexBuilder(self.spark, self.config)
+        self._write_stage(seg, "dictionary", builder.dictionary_stage(runs),
+                          fingerprint, partition_by=("bucket",))
+        ds = self._read_all("doc_stats", meta)
+        if tomb is not None:
+            ds = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
+        self._write_stage(seg, "doc_stats", ds, fingerprint)
+        self._write_stage(seg, "postings", builder.postings_stage(runs, stats),
+                          fingerprint, partition_by=("field", "bucket"))
+        # swap in the merged segment, drop the old ones + tombstones
+        for s in meta["segments"]:
+            if os.path.exists(self._seg_dir(s["name"])):
+                shutil.rmtree(self._seg_dir(s["name"]))
+        if os.path.exists(os.path.join(self.root, "tombstones")):
+            shutil.rmtree(os.path.join(self.root, "tombstones"))
+        self._write_meta({
+            "last_updated": start_ms, "config_hash": self.config.config_hash(),
+            "segments": [{"name": seg, "n_docs": n_live,
+                          "fingerprint": fingerprint}],
+            "tombstones": [],
+            "n_docs": stats.n_docs, "avgdl": stats.avgdl, "sum_ttf": stats.sum_ttf,
+            "max_doc": int(meta.get("max_doc", stats.n_docs)),
+        })
+        return stats
 
     # ------------------------------ open ------------------------------------
     def tombstones_df(self, meta: dict | None = None) -> DataFrame | None:

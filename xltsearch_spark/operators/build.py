@@ -336,6 +336,71 @@ def _emit_runs(out_rows, field, terms, docs, pos, dl_per_row, rows,
                          int(sum_tf_g[g])))
 
 
+def make_block_to_run_udf():
+    """Posting BLOCKS -> synthesized RUNS, for segment MERGING (Lucene
+    forceMerge without retokenization — IndexWriter merges by copying
+    postings, not re-analyzing). A clean block passes through byte-for-byte
+    (delta/varint formats of blocks and runs are identical by construction;
+    only its sum_tf is decoded); a block carrying tombstoned docs (its
+    ``dead`` array column, attached by a bucketized range join) is
+    re-encoded without them. ``range_id := skip_first_doc`` preserves the
+    per-term doc order the block encoder requires — block doc spans are
+    disjoint within and across segments (segment id ranges are disjoint)."""
+
+    def conv(it):
+        for pdf in it:
+            has_dead = "dead" in pdf.columns
+            out = []
+            for r in pdf.itertuples(index=False):
+                nd = int(r.n_docs)
+                tfs = decode_varint(r.tfs_bin, nd).astype(np.int64)
+                dead = r.dead if has_dead else None
+                dead = [] if dead is None or (isinstance(dead, float)) else list(dead)
+                if not dead:
+                    out.append((r.field, r.term, int(r.skip_first_doc),
+                                int(r.bucket), nd, r.docs_bin, r.tfs_bin,
+                                r.dls_bin, r.pos_bin, int(tfs.sum())))
+                    continue
+                docs = decode_deltas(r.docs_bin, nd)
+                dls = decode_varint(r.dls_bin, nd)
+                keep = ~np.isin(docs, np.asarray(dead, dtype=np.int64))
+                if not keep.any():
+                    continue
+                if r.pos_bin is not None and len(r.pos_bin):
+                    # per-doc byte spans in the positions stream: doc i owns
+                    # tf[i] varint values (tf >= 1 always, spans contiguous)
+                    starts = varint_value_starts(r.pos_bin)
+                    cum = np.concatenate(([0], np.cumsum(tfs)))
+                    bstart = starts[cum[:-1]]
+                    bend = np.append(bstart[1:], len(r.pos_bin))
+                    pos_out = b"".join(r.pos_bin[bstart[i]:bend[i]]
+                                       for i in np.nonzero(keep)[0])
+                else:
+                    pos_out = r.pos_bin
+                out.append((r.field, r.term, int(r.skip_first_doc),
+                            int(r.bucket), int(keep.sum()),
+                            encode_deltas(docs[keep]),
+                            encode_varint(tfs[keep].astype(np.uint64)),
+                            encode_varint(dls[keep].astype(np.uint64)),
+                            pos_out, int(tfs[keep].sum())))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in RUN_SCHEMA.fields])
+
+    return conv
+
+
+def _first_varint(b: bytes) -> int:
+    """First varint value of a stream (the absolute first doc id of a run)."""
+    v = 0
+    shift = 0
+    for byte in b:
+        v |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return v
+        shift += 7
+    return 0  # empty run
+
+
 def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
     """mapInPandas over bucket partitions: merge each term's (ordered,
     disjoint) runs by concatenation and emit fixed-size blocks with exact
@@ -362,7 +427,15 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
         terms = pdf["term"].to_numpy(dtype=object)
         fcodes = pd.factorize(fields, use_na_sentinel=False)[0]
         tcodes = pd.factorize(terms, use_na_sentinel=False)[0]
-        order = np.lexsort((pdf["range_id"].to_numpy(), tcodes, fcodes))
+        # order runs by their FIRST DOC ID, not range_id: several input
+        # partitions can emit runs for the SAME doc range (a range straddling
+        # a partition boundary), and cross-segment runs reuse range ids —
+        # range_id ties would concatenate doc-unsorted and corrupt the block
+        # skip spans. The first varint of docs_bin IS the absolute first doc
+        # (deltas restart per run), so the key is read without a full decode.
+        first_docs = np.fromiter((_first_varint(b) for b in pdf["docs_bin"]),
+                                 dtype=np.int64, count=len(pdf))
+        order = np.lexsort((first_docs, tcodes, fcodes))
         pdf = pdf.iloc[order].reset_index(drop=True)
         fcodes, tcodes = fcodes[order], tcodes[order]
         fields = pdf["field"].to_numpy(dtype=object)
