@@ -376,6 +376,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("a", "b"))
     q["dedup_embedding_cosine"] = emb_near_dup
 
+    def ann_ivf(s, d):
+        """IVF scale path: deterministic seed centroids (first 16 vectors),
+        nprobe=4 nearest lists, exact cosine within candidates — the whole
+        pipeline (assignment argmax, probe selection, rerank) reproduced in
+        the SQL oracle."""
+        emb = (s.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+        qvec = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+        out = similarity.cosine_topk_ivf(emb, qvec, k=10, n_centroids=16, nprobe=4)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    q["ann_cosine_ivf"] = ann_ivf
+
     def ann_lsh(s, d):
         emb = (s.read.parquet(f"{d}/embeddings.parquet")
                .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
@@ -769,6 +781,36 @@ def oracle_sql() -> dict[str, str]:
            min(doc_id) OVER (PARTITION BY canon) AS rep_doc_id,
            count(*) OVER (PARTITION BY canon) AS group_size
     FROM c ORDER BY doc_id"""
+
+    # IVF: seed centroids + argmax assignment + nprobe probe + exact rerank,
+    # all reproduced in SQL (deterministic tie-breaks on centroid id)
+    o["ann_cosine_ivf"] = """
+    WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                      embedding::DOUBLE[] AS ce
+               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cn AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM c),
+    n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+    sim AS (SELECT n.vec_id, cn.cid,
+                   list_dot_product(n.e, cn.ce) / (n.nrm * cn.cnrm) AS s
+            FROM n CROSS JOIN cn),
+    asg AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                FROM sim) WHERE rn = 1),
+    q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 3),
+    qp AS (SELECT cid FROM (
+               SELECT cn.cid,
+                      row_number() OVER (
+                          ORDER BY list_dot_product(q.qe, cn.ce) / (q.qn * cn.cnrm) DESC,
+                                   cn.cid) AS rn
+               FROM cn CROSS JOIN q) WHERE rn <= 4),
+    cand AS (SELECT a.vec_id FROM asg a JOIN qp USING (cid)),
+    s2 AS (SELECT n.vec_id, list_dot_product(n.e, q.qe) / (n.nrm * q.qn) AS cosine
+           FROM n JOIN cand USING (vec_id) CROSS JOIN q)
+    SELECT vec_id, round(cosine, 6) AS cosine
+    FROM s2 ORDER BY cosine DESC, vec_id LIMIT 10"""
 
     # ann_cosine_lsh: the random-hyperplane family IS SQL-expressible once
     # the plane matrix is inlined as literals — the oracle replicates bucket

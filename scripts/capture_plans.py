@@ -70,6 +70,17 @@ def main(out_path: str | None = None) -> int:
                      "<= Q*k unioned rows, never the raw match set.",
                      explain_str(many, mode="simple")))
 
+    # 2b) WAND with exact stats: the block skip is a PUSHED parquet filter
+    eng.wand_min_df = 1
+    eng.search_scores("common_token OR graded", 5).collect()
+    if eng._last_wand_scan is not None:
+        sections.append(("WAND tau-prune (stats exact): pushed block_max filter",
+                         "Expected: GreaterThanOrEqual(block_max_score, ...) in "
+                         "PushedFilters — non-competitive blocks are skipped by "
+                         "parquet row-group stats, never read.",
+                         explain_str(eng._last_wand_scan)))
+    eng.wand_min_df = 200_000
+
     # 3) tombstones: persisted parquet anti-joined lazily
     v2 = corpus.iloc[: len(corpus) - 40]
     cat.update(spark.createDataFrame(v2), fingerprint="v2")

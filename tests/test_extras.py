@@ -203,3 +203,26 @@ def test_pair_exact_jaccard_matches_full(spark, docs_df):
     got = {(r["a"], r["b"]): r["jaccard"]
            for r in dedup.pair_exact_jaccard(docs_df, cand, n=3).collect()}
     assert got == pytest.approx(full)
+
+
+def test_cosine_topk_ivf_full_probe_equals_brute(spark):
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((80, 8))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(80)], ["vec_id", "embedding"])
+    qv = mat[5].tolist()
+    brute = [(r["vec_id"], round(r["cosine"], 9)) for r in
+             similarity.cosine_topk_bruteforce(df, qv, k=7).collect()]
+    # probing EVERY list is exhaustive -> identical to brute force
+    full = [(r["vec_id"], round(r["cosine"], 9)) for r in
+            similarity.cosine_topk_ivf(df, qv, k=7, n_centroids=8,
+                                       nprobe=8).collect()]
+    assert full == brute
+    # narrow probe: a subset of the corpus, exact cosines, self found
+    # (the query IS vector 5, its own list is always the nearest probe)
+    narrow = similarity.cosine_topk_ivf(df, qv, k=7, n_centroids=8, nprobe=2)
+    rows = narrow.collect()
+    assert rows[0]["vec_id"] == 5 and rows[0]["cosine"] == pytest.approx(1.0)
+    sims = mat @ mat[5] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[5]))
+    for r in rows:
+        assert r["cosine"] == pytest.approx(float(sims[r["vec_id"]]), rel=1e-9)

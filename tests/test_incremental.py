@@ -164,23 +164,27 @@ def test_large_delete_batch_off_driver(spark, tmp_path):
     assert eng.search_scores("common_token", 100).count() <= 32
 
 
-def test_merge_without_retokenize_matches_fresh_build(spark, corpora, tmp_path):
+@pytest.mark.parametrize("recompute_bm", [False, True])
+def test_merge_without_retokenize_matches_fresh_build(spark, corpora, tmp_path,
+                                                      recompute_bm):
     """catalog.merge() = Lucene forceMerge by posting COPY: after merging,
     per-document scores equal a fresh build over the live corpus (live-only
-    stats), positions survive (phrase), stats_exact is restored, and the
-    max_doc watermark prevents id collisions on the next update."""
+    stats), positions survive (phrase), and the max_doc watermark prevents
+    id collisions on the next update. Fast mode (default) keeps stale
+    block_max (engine falls back to recomputed WAND bounds);
+    recompute_block_max=True restores the exact pushed-filter path."""
     import pandas as pd
     v1, v2 = corpora
     cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
     cat.build(spark.createDataFrame(v1), fingerprint="v1")
     cat.update(spark.createDataFrame(v2), fingerprint="v2")
     assert len(cat.read_meta()["segments"]) == 2
-    cat.merge(fingerprint="m1")
+    cat.merge(fingerprint="m1", recompute_block_max=recompute_bm)
     meta = cat.read_meta()
     assert len(meta["segments"]) == 1
     assert meta.get("tombstone_batches", []) == [] and cat.tombstones_df() is None
     eng = cat.engine()
-    assert eng.stats_exact
+    assert eng.stats_exact == recompute_bm
 
     fresh = IndexCatalog(spark, str(tmp_path / "wh_fresh"), CFG)
     fresh.build(spark.createDataFrame(v2), fingerprint="v2")

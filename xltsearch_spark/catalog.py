@@ -280,22 +280,30 @@ class IndexCatalog:
         return self.build(corpus, fingerprint, build_time_ms)
 
     def merge(self, fingerprint: str | None = None,
-              build_time_ms: int | None = None) -> BuildStats:
+              build_time_ms: int | None = None,
+              recompute_block_max: bool = False) -> BuildStats:
         """forceMerge WITHOUT retokenization — how Lucene actually merges:
         posting data is COPIED (IndexWriter merge), deleted docs dropped,
         never re-analyzed. All segments collapse into one; collection stats
         recompute over LIVE docs (post-merge deleted docs stop counting in
         N/df/avgdl, exactly Lucene's behavior); doc ids are PRESERVED
-        (sparse after deletes — ``max_doc`` watermarks future id blocks) and
-        block-max metadata is rebuilt with the fresh stats, restoring the
-        pushed-filter WAND path (stats_exact).
+        (sparse after deletes — ``max_doc`` watermarks future id blocks).
 
-        Scale shape: clean blocks stream through byte-for-byte (no decode
-        except one varint sum); only blocks overlapping a tombstone re-encode
-        — located by a bucketized equi-join (block span -> covered doc-range
-        ids vs tombstone doc-range ids), never a broadcast range join."""
-        from xltsearch_spark.operators.build import (IndexBuilder,
-                                                     make_block_to_run_udf)
+        Two modes:
+        * default (fast): blocks COPY byte-for-byte; dirty blocks (the ones
+          a bucketized equi-join locates against the tombstones) drop their
+          dead docs and refresh span/max_tf/min_dl. Stored block_max_score
+          goes stale vs the new stats, so the meta flags block_max_exact=
+          False and WAND uses its recomputed (max_tf, min_dl) bounds. Cost
+          tracks index BYTES — one read + one write of the postings, no
+          re-blocking, no tokenization, no source-corpus scan (compact()
+          re-reads and re-analyzes the whole corpus).
+        * ``recompute_block_max=True``: additionally re-blocks through the
+          run path so block_max_score is exact for the merged stats,
+          restoring the pushed-filter WAND plan (stats_exact)."""
+        from xltsearch_spark.operators.build import (
+            IndexBuilder, POSTING_SCHEMA, RUN_SCHEMA, make_block_merge_udf,
+            make_block_to_run_udf, make_postings_summary_udf)
         fingerprint = fingerprint or "merge-adhoc"
         meta = self.read_meta()
         if not meta["segments"]:
@@ -317,33 +325,57 @@ class IndexCatalog:
                                                      F.col("skip_last_doc")))
                     .groupBy("field", "term", "skip_first_doc")
                     .agg(F.collect_list("dead_id").alias("dead")))
-            p = p.join(dead, ["field", "term", "skip_first_doc"], "left")
-        from xltsearch_spark.operators.build import RUN_SCHEMA
-        runs = p.mapInPandas(make_block_to_run_udf(), schema=RUN_SCHEMA)
+            # broadcast the dirty-block list (O(tombstoned docs) rows) so the
+            # postings table — the BIG side, all binary payloads — is never
+            # shuffled; without the hint this join re-shuffles the index
+            p = p.join(F.broadcast(dead), ["field", "term", "skip_first_doc"],
+                       "left")
         seg = f"seg_merged_{len(meta['segments']):06d}"
         live = self.live_docs(meta)
         self._write_stage(seg, "docs", live, fingerprint)
         docs = self._read_stage(seg, "docs")
-        self._write_stage(seg, "runs", runs, fingerprint)
-        runs = self._read_stage(seg, "runs")
-        # live-only stats (post-merge semantics)
         n_live = docs.count()
-        ttf_rows = (runs.filter(F.col("term").isNotNull())
-                    .groupBy("field").agg(F.sum("sum_tf").alias("ttf")).collect())
-        sum_ttf = {r["field"]: int(r["ttf"]) for r in ttf_rows}
-        stats = BuildStats(
-            n_docs=n_live, sum_ttf=sum_ttf,
-            avgdl={f: (v / n_live if n_live else 1.0) or 1.0
-                   for f, v in sum_ttf.items()})
         builder = IndexBuilder(self.spark, self.config)
-        self._write_stage(seg, "dictionary", builder.dictionary_stage(runs),
-                          fingerprint, partition_by=("bucket",))
+        if recompute_block_max:
+            runs = p.mapInPandas(make_block_to_run_udf(), schema=RUN_SCHEMA)
+            self._write_stage(seg, "runs", runs, fingerprint)
+            runs = self._read_stage(seg, "runs")
+            ttf_rows = (runs.filter(F.col("term").isNotNull())
+                        .groupBy("field").agg(F.sum("sum_tf").alias("ttf")).collect())
+            sum_ttf = {r["field"]: int(r["ttf"]) for r in ttf_rows}
+            stats = BuildStats(
+                n_docs=n_live, sum_ttf=sum_ttf,
+                avgdl={f: (v / n_live if n_live else 1.0) or 1.0
+                       for f, v in sum_ttf.items()})
+            self._write_stage(seg, "dictionary", builder.dictionary_stage(runs),
+                              fingerprint, partition_by=("bucket",))
+            self._write_stage(seg, "postings",
+                              builder.postings_stage(runs, stats),
+                              fingerprint, partition_by=("field", "bucket"))
+        else:
+            merged = p.mapInPandas(make_block_merge_udf(), schema=POSTING_SCHEMA)
+            self._write_stage(seg, "postings", merged, fingerprint,
+                              partition_by=("field", "bucket"))
+            merged = self._read_stage(seg, "postings")
+            summ = make_postings_summary_udf()
+            srows = merged.mapInPandas(summ, schema=summ.schema)
+            dictionary = (srows.groupBy("field", "term")
+                          .agg(F.first("bucket").alias("bucket"),
+                               F.sum("n_docs").cast("long").alias("doc_freq"),
+                               F.sum("sum_tf").cast("long").alias("total_term_freq")))
+            self._write_stage(seg, "dictionary", dictionary, fingerprint,
+                              partition_by=("bucket",))
+            ttf_rows = (srows.groupBy("field")
+                        .agg(F.sum("sum_tf").alias("ttf")).collect())
+            sum_ttf = {r["field"]: int(r["ttf"]) for r in ttf_rows}
+            stats = BuildStats(
+                n_docs=n_live, sum_ttf=sum_ttf,
+                avgdl={f: (v / n_live if n_live else 1.0) or 1.0
+                       for f, v in sum_ttf.items()})
         ds = self._read_all("doc_stats", meta)
         if tomb is not None:
             ds = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
         self._write_stage(seg, "doc_stats", ds, fingerprint)
-        self._write_stage(seg, "postings", builder.postings_stage(runs, stats),
-                          fingerprint, partition_by=("field", "bucket"))
         # swap in the merged segment, drop the old ones + tombstones
         for s in meta["segments"]:
             if os.path.exists(self._seg_dir(s["name"])):
@@ -355,6 +387,7 @@ class IndexCatalog:
             "segments": [{"name": seg, "n_docs": n_live,
                           "fingerprint": fingerprint}],
             "tombstones": [],
+            "block_max_exact": bool(recompute_block_max),
             "n_docs": stats.n_docs, "avgdl": stats.avgdl, "sum_ttf": stats.sum_ttf,
             "max_doc": int(meta.get("max_doc", stats.n_docs)),
         })
@@ -404,7 +437,8 @@ class IndexCatalog:
         # bounds -> the engine falls back to recomputed (max_tf, min_dl) ones
         exact = (len(meta["segments"]) == 1
                  and not meta.get("tombstone_batches")
-                 and not meta.get("tombstones"))
+                 and not meta.get("tombstones")
+                 and meta.get("block_max_exact", True))
         return SearchEngine(self.spark, self._read_all("postings", meta),
                             self.live_docs(meta), self._read_all("dictionary", meta),
                             stats, self.config,

@@ -389,6 +389,82 @@ def make_block_to_run_udf():
     return conv
 
 
+def make_block_merge_udf():
+    """Posting BLOCKS -> posting blocks for the FAST merge path: a clean
+    block is copied byte-for-byte; a block carrying tombstoned docs drops
+    them and refreshes n_docs / skip span / max_tf / min_dl. The stored
+    block_max_score is NOT recomputed — for the kept subset the old value
+    stays a valid (possibly loose) upper bound, and the engine's
+    stale-stats WAND bounds handle the rest (catalog marks the index
+    block_max_exact=False). This is Lucene's merge: postings are copied,
+    never re-scored or re-analyzed — cost tracks index bytes, not CPU."""
+
+    def conv(it):
+        for pdf in it:
+            has_dead = "dead" in pdf.columns
+            keep_cols = [f.name for f in POSTING_SCHEMA.fields]
+            out = []
+            for r in pdf.itertuples(index=False):
+                dead = r.dead if has_dead else None
+                dead = [] if dead is None or isinstance(dead, float) else list(dead)
+                if not dead:
+                    out.append((r.field, r.term, r.bucket, r.block_id,
+                                r.n_docs, r.skip_first_doc, r.skip_last_doc,
+                                r.block_max_score, r.max_tf, r.min_dl,
+                                r.docs_bin, r.tfs_bin, r.dls_bin, r.pos_bin))
+                    continue
+                nd = int(r.n_docs)
+                docs = decode_deltas(r.docs_bin, nd)
+                tfs = decode_varint(r.tfs_bin, nd).astype(np.int64)
+                dls = decode_varint(r.dls_bin, nd).astype(np.int64)
+                keep = ~np.isin(docs, np.asarray(dead, dtype=np.int64))
+                if not keep.any():
+                    continue
+                if r.pos_bin is not None and len(r.pos_bin):
+                    starts = varint_value_starts(r.pos_bin)
+                    cum = np.concatenate(([0], np.cumsum(tfs)))
+                    bstart = starts[cum[:-1]]
+                    bend = np.append(bstart[1:], len(r.pos_bin))
+                    pos_out = b"".join(r.pos_bin[bstart[i]:bend[i]]
+                                       for i in np.nonzero(keep)[0])
+                else:
+                    pos_out = r.pos_bin
+                kd, kt, kl = docs[keep], tfs[keep], dls[keep]
+                out.append((r.field, r.term, r.bucket, r.block_id,
+                            int(keep.sum()), int(kd.min()), int(kd.max()),
+                            r.block_max_score, int(kt.max()), int(kl.min()),
+                            encode_deltas(kd),
+                            encode_varint(kt.astype(np.uint64)),
+                            encode_varint(kl.astype(np.uint64)), pos_out))
+            if out:
+                yield pd.DataFrame(out, columns=keep_cols)
+
+    return conv
+
+
+def make_postings_summary_udf():
+    """postings -> (field, term, bucket, n_docs, sum_tf) rows: the cheap
+    varint-decode pass that rebuilds dictionary/stats after a fast merge."""
+    schema = StructType([
+        StructField("field", StringType()), StructField("term", StringType()),
+        StructField("bucket", IntegerType()), StructField("n_docs", LongType()),
+        StructField("sum_tf", LongType()),
+    ])
+
+    def conv(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                tfs = decode_varint(r.tfs_bin, int(r.n_docs))
+                out.append((r.field, r.term, int(r.bucket), int(r.n_docs),
+                            int(tfs.sum())))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    conv.schema = schema
+    return conv
+
+
 def _first_varint(b: bytes) -> int:
     """First varint value of a stream (the absolute first doc id of a run)."""
     v = 0

@@ -121,6 +121,60 @@ def hyperplane_signatures(vectors: DataFrame, n_planes: int = 16, seed: int = 42
     return vectors.select(id_col, vec_col).mapInPandas(sig, schema=schema)
 
 
+def ivf_assignments(vectors: DataFrame, centroids: np.ndarray,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, centroid_id) inverted-file assignment: nearest centroid by
+    cosine. One broadcast-matmul map pass (centroids ride the closure);
+    at scale ``centroid_id`` is the partition/cluster key of the vector
+    table, so a probe reads only its lists."""
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0] = 1.0
+    schema = StructType([StructField(id_col, LongType()),
+                         StructField("centroid_id", IntegerType())])
+
+    def assign(it):
+        for pdf in it:
+            mat = np.stack(pdf[vec_col].to_numpy())
+            vn = np.linalg.norm(mat, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (mat @ cm.T) / (vn[:, None] * cn[None, :])
+            # deterministic tie-break: lowest centroid id wins the argmax
+            best = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
+                                "centroid_id": best.astype(np.int32)})
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def cosine_topk_ivf(vectors: DataFrame, query_vec: list[float], k: int = 10,
+                    n_centroids: int = 16, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k via IVF: probe the query's ``nprobe`` nearest
+    centroid lists, exact cosine within candidates.
+
+    Default centroids are the first ``n_centroids`` vectors in id order —
+    deterministic and oracle-reproducible; production swaps in k-means
+    centroids (the operator only needs the matrix). Scale path: assignment
+    is a map pass, the probe is a partition-pruned scan of nprobe lists."""
+    if centroids is None:
+        rows = (vectors.select(id_col, vec_col).orderBy(id_col)
+                .limit(n_centroids).collect())
+        centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    cm = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0] = 1.0
+    qs = (cm @ q) / (cn * (np.linalg.norm(q) or 1.0))
+    order = np.lexsort((np.arange(len(qs)), -qs))
+    probes = [int(c) for c in order[:nprobe]]
+    asg = ivf_assignments(vectors, cm, id_col, vec_col)
+    cand = vectors.join(asg.filter(F.col("centroid_id").isin(probes)),
+                        id_col, "left_semi")
+    return cosine_topk_bruteforce(cand, [float(x) for x in q], k, id_col, vec_col)
+
+
 def cosine_topk_lsh(vectors: DataFrame, query_vec: list[float], k: int = 10,
                     n_planes: int = 8, seed: int = 42, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
