@@ -82,6 +82,10 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
         F.lit(None).cast("string").alias("title"),
+        # deterministic multi-valued metadata (the reference's Tika fields,
+        # Config.java:112-144): two instances per doc -> field "meta.tags"
+        F.create_map(F.lit("tags"),
+                     F.array(F.col("lang"), F.col("source"))).alias("meta"),
         F.col("doc_id").alias("src_doc_id"),
     )
 
@@ -223,6 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_wildcard_mid"] = lambda s, d: _ft(s, d, "me?ge", None)
     q["ft_field"] = lambda s, d: _ft(s, d, "lang:de AND merge", 20)
     q["ft_grouped"] = lambda s, d: _ft(s, d, "(merge OR vector) AND part", 20)
+    # multi-valued metadata field (meta.tags carries [lang, source] per doc)
+    q["ft_meta_field"] = lambda s, d: _ft(s, d, "meta.tags:src1 AND merge", 20)
     # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15)
     q["ft_term_quantized"] = lambda s, d: _ft(s, d, "vector", 20, model="bm25_q")
     q["ft_incremental"] = _ft_incremental
@@ -575,6 +581,19 @@ def oracle_sql() -> dict[str, str]:
                      / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)) + m.score, 4) AS score
         FROM documents d JOIN m ON m.doc_id = d.doc_id CROSS JOIN lc CROSS JOIN st
         WHERE d.lang = 'de'
+        ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
+
+    # meta.tags:src1 AND merge — multi-valued metadata field: 2 instances per
+    # doc (lang, source), so dl=2 and avgdl(meta.tags)=2; tf=1 for the tag hit
+    o["ft_meta_field"] = f"""WITH {_TOK_CTE},
+    mc AS (SELECT count(*) AS dfm FROM documents WHERE source = 'src1' OR lang = 'src1'),
+    m AS ({_bm25_sql('merge')})
+    SELECT doc_id, score FROM (
+        SELECT d.doc_id,
+               round(ln(1 + (st.n - mc.dfm + 0.5) / (mc.dfm + 0.5)) * 2.2 * 1
+                     / (1 + 1.2 * (1 - 0.75 + 0.75 * 2.0 / 2.0)) + m.score, 4) AS score
+        FROM documents d JOIN m ON m.doc_id = d.doc_id CROSS JOIN mc CROSS JOIN st
+        WHERE d.source = 'src1' OR d.lang = 'src1'
         ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
 
     # (merge OR vector) AND part — nested boolean: inner SHOULD sum gated on

@@ -198,3 +198,27 @@ def test_wand_pushed_blockmax_filter(spark, small_corpus, tmp_path):
     brute = [(r["doc_id"], r["score"]) for r in
              eng.search_scores("common_token OR graded", 5).collect()]
     assert [d for d, _ in exact] == [d for d, _ in brute]
+
+
+def test_term_scan_plan_pruning_regression(spark, small_corpus, tmp_path):
+    """Regression guard on the physical plan: term queries must keep
+    (field, bucket) PartitionFilters and a term IN-list in PushedFilters —
+    losing either silently turns the pruned scan into a full index read."""
+    import io
+    from contextlib import redirect_stdout
+    from xltsearch_spark.catalog import IndexCatalog
+    cfg = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), cfg)
+    cat.build(spark.createDataFrame(small_corpus), fingerprint="v1")
+    eng = cat.engine()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng.score_all("common_token AND graded").explain(mode="formatted")
+    plan = buf.getvalue()
+    import re
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:400]
+    assert re.search(r"field#\d+ = content", pf), pf
+    assert re.search(r"bucket#\d+", pf), pf
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "common_token" in pushed and "graded" in pushed, pushed
