@@ -206,3 +206,76 @@ def test_merge_without_retokenize_matches_fresh_build(spark, corpora, tmp_path,
     n = eng3.docs.count()
     assert eng3.docs.select("doc_id").distinct().count() == n == len(v3)
     assert eng3.search_scores("fresh_after_merge_token", 5).count() == 1
+
+
+def test_three_round_updates_then_merge(spark, tmp_path):
+    """Three successive update batches tracked against a CHAINED segment-
+    history oracle (ids append at the max_doc watermark, tombstones
+    accumulate, stats keep counting dead docs), then merge() collapses to
+    one segment whose per-path scores equal a fresh build on the final live
+    corpus."""
+    import hashlib
+    import pandas as pd
+
+    def sha(c):
+        return hashlib.sha256(c.encode()).hexdigest()
+
+    def apply_update(history, deleted, new_df):
+        live = history[~history["doc_id"].isin(deleted)]
+        h_live = {(r.repo, r.path): (r.doc_id, sha(r.content))
+                  for r in live.itertuples(index=False)}
+        h_new = {(r.repo, r.path): sha(r.content)
+                 for r in new_df.itertuples(index=False)}
+        changed = {k for k, h in h_new.items()
+                   if k not in h_live or h_live[k][1] != h}
+        dead_keys = ({k for k in h_live if k not in h_new} |
+                     {k for k in h_new if k in h_live and h_live[k][1] != h_new[k]})
+        new_deleted = set(deleted) | {h_live[k][0] for k in dead_keys}
+        seg = (new_df[new_df.apply(lambda r: (r["repo"], r["path"]) in changed, axis=1)]
+               .sort_values(["repo", "path"]).reset_index(drop=True).copy())
+        base = int(history["doc_id"].max()) + 1
+        seg["doc_id"] = range(base, base + len(seg))
+        return pd.concat([history, seg], ignore_index=True), new_deleted
+
+    v0 = generate_corpus(64)
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v0), fingerprint="r0")
+    history = v0.sort_values(["repo", "path"]).reset_index(drop=True).copy()
+    history["doc_id"] = range(len(history))
+    deleted: set = set()
+
+    cur = v0
+    for rnd in range(1, 4):
+        new = cur.copy()
+        # deterministic per-round mutation: drop one, modify two, add one
+        new = new[new.index % (7 + rnd) != 0].copy()
+        mod = new.index % (5 + rnd) == 1
+        new.loc[mod, "content"] = new.loc[mod, "content"] + f" round{rnd}_marker"
+        add = cur.iloc[[rnd]].copy()
+        add["path"] = f"zz/round{rnd}_added"
+        add["content"] = f"round{rnd}_fresh common_token alpha"
+        new = pd.concat([new, add], ignore_index=True)
+        cat.update(spark.createDataFrame(new), fingerprint=f"r{rnd}")
+        history, deleted = apply_update(history, deleted, new)
+        oracle = OracleIndex(history, CFG, deleted=deleted)
+        engine = cat.engine()
+        for q in QUERIES + [f"round{rnd}_marker", f"round{rnd}_fresh"]:
+            exp = [(h["doc_id"], h["score"]) for h in oracle.search(q, 50)]
+            got = [(int(r["doc_id"]), float(r["score"]))
+                   for r in engine.search_scores(q, 50).collect()]
+            assert [g[0] for g in got] == [e[0] for e in exp], \
+                f"round {rnd} {q}: {got[:4]} vs {exp[:4]}"
+            for (gd, gs), (_, es) in zip(got, exp):
+                assert gs == pytest.approx(es, rel=1e-6), f"round {rnd} {q} doc {gd}"
+        cur = new
+
+    cat.merge(fingerprint="m")
+    fresh = IndexCatalog(spark, str(tmp_path / "whf"), CFG)
+    fresh.build(spark.createDataFrame(cur), fingerprint="final")
+    eng, feng = cat.engine(), fresh.engine()
+    for q in QUERIES:
+        got = {r["path"]: r["score"] for r in eng.search(q, 1000).collect()}
+        exp = {r["path"]: r["score"] for r in feng.search(q, 1000).collect()}
+        assert set(got) == set(exp), q
+        for p in exp:
+            assert got[p] == pytest.approx(exp[p], rel=1e-9), f"{q} @ {p}"
