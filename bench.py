@@ -141,6 +141,13 @@ def main() -> int:
     timings["text_stats"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    from xltsearch_spark.operators import events as ev_ops
+    events_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_ops.windowed_rollup(events_df).count()
+    ev_ops.sessionize(events_df, gap_minutes=30).count()
+    timings["events_rollup_sessionize"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     qvecs = np.stack([r["embedding"] for r in embeddings.limit(8).collect()])
     similarity.cosine_topk_batch(embeddings, qvecs, k=10).count()
     timings["ann_batch_topk"] = round(time.time() - t0, 3)

@@ -65,3 +65,45 @@ def test_stop_only_query_raises():
     idx = OracleIndex(mini(), IndexConfig())
     with pytest.raises(QueryParseError):
         idx.search("the", 10)
+
+
+def test_edge_corpus_builds_and_queries(spark):
+    """Engine-level edge cases: NULL content, empty content, stop-only docs,
+    unicode text, and a >255-char token all flow through build -> search
+    without errors; degenerate docs simply never match."""
+    import pandas as pd
+    from xltsearch_spark.config import IndexConfig
+    from xltsearch_spark.operators.build import IndexBuilder
+    from xltsearch_spark.operators.search import SearchEngine
+    from pyspark.sql.types import (StringType, StructField, StructType)
+
+    rows = [
+        ("r", "a", "c", "en", None, None),                       # NULL content
+        ("r", "b", "c", "en", "", None),                         # empty
+        ("r", "c", "c", "en", "the and of to is", None),         # stop-only
+        ("r", "d", "c", "en", "héllo wörld unicode_token", None),
+        ("r", "e", "c", "en", "x" * 400 + " normal_token", None),  # >255 token
+        ("r", "f", "c", "en", "normal_token appears here", None),
+    ]
+    schema = StructType([StructField(c, StringType()) for c in
+                         ("repo", "path", "commit", "lang", "content", "title")])
+    cfg = IndexConfig(doc_range_size=8, block_size=4, term_buckets=4,
+                      quantize_norms=False)
+    b = IndexBuilder(spark, cfg)
+    docs = b.docs_stage(spark.createDataFrame(rows, schema))
+    runs = b.runs_stage(docs).persist()
+    stats = b.stats_stage(docs, runs)
+    eng = SearchEngine(spark, b.postings_stage(runs, stats), docs,
+                       b.dictionary_stage(runs), stats, cfg)
+    assert stats.n_docs == 6
+    # match-all sees every doc, including contentless ones
+    assert eng.score_all("*:*").count() == 6
+    # normal term matches exactly the two docs carrying it
+    assert eng.search_scores("normal_token", 10).count() == 2
+    # unicode token round-trips through index + query analysis
+    assert eng.search_scores("wörld", 10).count() == 1
+    # the stop-only / empty / NULL docs never match a term query
+    hits = {r["path"] for r in eng.search("normal_token OR unicode_token", 10).collect()}
+    assert hits <= {"d", "e", "f"}
+    # >255-char token was length-chunked, not dropped: its doc still matches
+    assert eng.search_scores("normal_token AND here", 10).count() == 1
