@@ -90,20 +90,34 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _get_engine(spark: SparkSession, sf_dir: str, model: str = "bm25") -> SearchEngine:
+# the synthetic documents vocabulary is generator-fixed (31 words, identical
+# at every sf — verified) — lets the English/Porter oracle inline the
+# term -> stem lookup instead of re-implementing Porter in SQL (same pattern
+# as the floatToByte315 interval table; the stemmer itself is verified
+# against public-spec goldens in tests/test_analyzers.py)
+_DOC_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window").split()
+
+
+def _get_engine(spark: SparkSession, sf_dir: str, model: str = "bm25",
+                analyzer: str = "standard") -> SearchEngine:
     """Build (once per sf_dir) the in-memory index; engines per scoring
     model share the same postings/docs/dictionary frames — exactly how the
     reference switches Similarity on one Lucene index (Config.java:80-84).
     ``model="bm25_q"`` is BM25 with the Lucene-4.6 8-bit norm quantization
     ON (floatToByte315 round-trip, IndexTask.java:57) — quantization is a
     decode-time transform, so the same postings frames serve it too."""
-    key = (sf_dir, id(spark), model)
+    key = (sf_dir, id(spark), model, analyzer)
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
-    base_key = (sf_dir, id(spark), "_frames")
+    base_cfg = ENTRY_CFG if analyzer == "standard" else \
+        replace(ENTRY_CFG, analyzer=analyzer)
+    base_key = (sf_dir, id(spark), "_frames", analyzer)
     if base_key not in _ENGINE_CACHE:
         corpus = _corpus_from_documents(spark, sf_dir)
-        builder = IndexBuilder(spark, ENTRY_CFG)
+        builder = IndexBuilder(spark, base_cfg)
         docs = builder.docs_stage(corpus.drop("src_doc_id")).persist()
         runs = builder.runs_stage(docs).persist()
         runs.count()
@@ -114,11 +128,11 @@ def _get_engine(spark: SparkSession, sf_dir: str, model: str = "bm25") -> Search
         _ENGINE_CACHE[base_key] = (postings, docs, dictionary, stats)
     postings, docs, dictionary, stats = _ENGINE_CACHE[base_key]
     if model == "bm25":
-        cfg = ENTRY_CFG
+        cfg = base_cfg
     elif model == "bm25_q":
-        cfg = replace(ENTRY_CFG, quantize_norms=True)
+        cfg = replace(base_cfg, quantize_norms=True)
     else:
-        cfg = replace(ENTRY_CFG, scoring_model=model)
+        cfg = replace(base_cfg, scoring_model=model)
     engine = SearchEngine(spark, postings, docs, dictionary, stats, cfg)
     _ENGINE_CACHE[key] = engine
     return engine
@@ -132,8 +146,8 @@ def _orig_ids(engine: SearchEngine):
 
 
 def _ft(spark: SparkSession, sf_dir: str, query: str, limit: int | None,
-        model: str = "bm25"):
-    engine = _get_engine(spark, sf_dir, model)
+        model: str = "bm25", analyzer: str = "standard"):
+    engine = _get_engine(spark, sf_dir, model, analyzer)
     # rank on the ROUNDED score: the driver compares against DuckDB, and a
     # last-ulp ln() difference must not flip which doc holds the k-th slot.
     # Tie-break on the SOURCE doc_id (the oracle's ordering key).
@@ -229,6 +243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_grouped"] = lambda s, d: _ft(s, d, "(merge OR vector) AND part", 20)
     # multi-valued metadata field (meta.tags carries [lang, source] per doc)
     q["ft_meta_field"] = lambda s, d: _ft(s, d, "meta.tags:src1 AND merge", 20)
+    # English analyzer + Porter stemming end-to-end (A-en): the index and
+    # the query analyze through the english chain (stop -> porter)
+    q["ft_english_porter"] = lambda s, d: _ft(s, d, "merge OR query", 20,
+                                              analyzer="english")
     # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15)
     q["ft_term_quantized"] = lambda s, d: _ft(s, d, "vector", 20, model="bm25_q")
     q["ft_incremental"] = _ft_incremental
@@ -582,6 +600,34 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN m ON m.doc_id = d.doc_id CROSS JOIN lc CROSS JOIN st
         WHERE d.lang = 'de'
         ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
+
+    # english analyzer: tok -> stop filter -> Porter stem (inlined lookup
+    # over the generator-fixed 31-word vocab); query "merge OR query"
+    # analyzes to stems merg/queri; dl unchanged by stemming
+    from xltsearch_spark.analyzers.porter import stem as _pstem
+    stem_vals = ", ".join(f"('{t}', '{_pstem(t)}')" for t in _DOC_VOCAB)
+
+    def _bm25_stem_sql(stem_term: str) -> str:
+        return f"""
+        SELECT t.doc_id,
+               ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS score
+        FROM (SELECT doc_id, count(*) AS tf FROM stok WHERE term = '{stem_term}'
+              GROUP BY doc_id) t
+        JOIN (SELECT count(DISTINCT doc_id) AS df FROM stok
+              WHERE term = '{stem_term}') d ON true
+        JOIN dl ON t.doc_id = dl.doc_id
+        CROSS JOIN st
+        """
+
+    o["ft_english_porter"] = f"""WITH {_TOK_CTE},
+    sm(term, stem) AS (VALUES {stem_vals}),
+    stok AS (SELECT t.doc_id, sm.stem AS term FROM tok t JOIN sm ON t.term = sm.term)
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(sum(score), 4) AS score
+        FROM ({_bm25_stem_sql('merg')} UNION ALL {_bm25_stem_sql('queri')})
+        GROUP BY doc_id
+        ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
 
     # meta.tags:src1 AND merge — multi-valued metadata field: 2 instances per
     # doc (lang, source), so dl=2 and avgdl(meta.tags)=2; tf=1 for the tag hit
