@@ -81,7 +81,10 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
-        F.lit(None).cast("string").alias("title"),
+        # synthetic camelCase title: gives the code-aware analyzer (the
+        # north-star profile) sub-tokens to split, driver-checkably
+        F.when(F.col("lang") == "en", F.lit("SparkIndexMerger"))
+        .otherwise(F.lit("plain")).alias("title"),
         # deterministic multi-valued metadata (the reference's Tika fields,
         # Config.java:112-144): two instances per doc -> field "meta.tags"
         F.create_map(F.lit("tags"),
@@ -247,6 +250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the query analyze through the english chain (stop -> porter)
     q["ft_english_porter"] = lambda s, d: _ft(s, d, "merge OR query", 20,
                                               analyzer="english")
+    # code-aware analyzer (A-code): camelCase titles split into posIncr=0
+    # sub-tokens; 'merger' only exists as a sub-token of SparkIndexMerger
+    q["ft_code_subtokens"] = lambda s, d: _ft(s, d, "title:merger AND merge",
+                                              20, analyzer="code")
     # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15)
     q["ft_term_quantized"] = lambda s, d: _ft(s, d, "vector", 20, model="bm25_q")
     q["ft_incremental"] = _ft_incremental
@@ -628,6 +635,26 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_bm25_stem_sql('merg')} UNION ALL {_bm25_stem_sql('queri')})
         GROUP BY doc_id
         ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
+
+    # code analyzer: 'merger' matches only as an overlap sub-token of the
+    # en-docs' SparkIndexMerger title. Lucene's real (asymmetric) stats:
+    # per-doc dl DISCOUNTS posIncr=0 overlaps (norms, dl=1) but
+    # sumTotalTermFreq COUNTS them, so avgdl(title) = (4*n_en + n_other)/n
+    # (parent + 3 sub-tokens per en title, 1 token per 'plain' title)
+    o["ft_code_subtokens"] = f"""WITH {_TOK_CTE},
+    tc AS (SELECT count(*) AS dft FROM documents WHERE lang = 'en'),
+    av AS (SELECT (4.0 * tc.dft + (st.n - tc.dft)) / st.n AS avt
+           FROM tc CROSS JOIN st),
+    m AS ({_bm25_sql('merge')})
+    SELECT doc_id, score FROM (
+        SELECT d.doc_id,
+               round(ln(1 + (st.n - tc.dft + 0.5) / (tc.dft + 0.5)) * 2.2 * 1
+                     / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / av.avt)) + m.score,
+                     4) AS score
+        FROM documents d JOIN m ON m.doc_id = d.doc_id
+        CROSS JOIN tc CROSS JOIN av CROSS JOIN st
+        WHERE d.lang = 'en'
+        ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
 
     # meta.tags:src1 AND merge — multi-valued metadata field: 2 instances per
     # doc (lang, source), so dl=2 and avgdl(meta.tags)=2; tf=1 for the tag hit
