@@ -86,9 +86,17 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", F.lit("SparkIndexMerger"))
         .otherwise(F.lit("plain")).alias("title"),
         # deterministic multi-valued metadata (the reference's Tika fields,
-        # Config.java:112-144): two instances per doc -> field "meta.tags"
-        F.create_map(F.lit("tags"),
-                     F.array(F.col("lang"), F.col("source"))).alias("meta"),
+        # Config.java:112-144): meta.tags = 2 instances; meta.contact /
+        # meta.org feed the UAX29URLEmail (email token) and Classic
+        # (acronym dot-strip) analyzer entries
+        F.create_map(
+            F.lit("tags"), F.array(F.col("lang"), F.col("source")),
+            F.lit("contact"),
+            F.array(F.concat(F.lit("dev-"), F.col("source"),
+                             F.lit("@example.com"))),
+            F.lit("org"),
+            F.array(F.when(F.col("doc_id") % 2 == 0, F.lit("I.B.M."))
+                    .otherwise(F.lit("acme")))).alias("meta"),
         F.col("doc_id").alias("src_doc_id"),
     )
 
@@ -254,6 +262,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sub-tokens; 'merger' only exists as a sub-token of SparkIndexMerger
     q["ft_code_subtokens"] = lambda s, d: _ft(s, d, "title:merger AND merge",
                                               20, analyzer="code")
+    # UAX29URLEmail (A-uax): the email stays ONE token (standard would split
+    # it into dev/src1/example/com)
+    q["ft_uax_email"] = lambda s, d: _ft(
+        s, d, "meta.contact:dev-src1@example.com AND merge", 20,
+        analyzer="uax29urlemail")
+    # Classic (A-classic): ClassicFilter strips acronym dots, I.B.M. -> ibm
+    q["ft_classic_acronym"] = lambda s, d: _ft(s, d, "meta.org:ibm AND merge",
+                                               20, analyzer="classic")
     # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15)
     q["ft_term_quantized"] = lambda s, d: _ft(s, d, "vector", 20, model="bm25_q")
     q["ft_incremental"] = _ft_incremental
@@ -655,6 +671,25 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tc CROSS JOIN av CROSS JOIN st
         WHERE d.lang = 'en'
         ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
+
+    # uax email token / classic acronym: single-token metadata fields with
+    # dl=1, avgdl=1 -> field score = idf; content term adds its BM25
+    def _single_token_meta_sql(where_tc: str, where_outer: str) -> str:
+        return f"""WITH {_TOK_CTE},
+    tc AS (SELECT count(*) AS dfm FROM documents WHERE {where_tc}),
+    m AS ({_bm25_sql('merge')})
+    SELECT doc_id, score FROM (
+        SELECT d.doc_id,
+               round(ln(1 + (st.n - tc.dfm + 0.5) / (tc.dfm + 0.5)) * 2.2 * 1
+                     / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)) + m.score, 4) AS score
+        FROM documents d JOIN m ON m.doc_id = d.doc_id CROSS JOIN tc CROSS JOIN st
+        WHERE {where_outer}
+        ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
+
+    o["ft_uax_email"] = _single_token_meta_sql("source = 'src1'",
+                                               "d.source = 'src1'")
+    o["ft_classic_acronym"] = _single_token_meta_sql("doc_id % 2 = 0",
+                                                     "d.doc_id % 2 = 0")
 
     # meta.tags:src1 AND merge — multi-valued metadata field: 2 instances per
     # doc (lang, source), so dl=2 and avgdl(meta.tags)=2; tf=1 for the tag hit
