@@ -274,6 +274,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_term_quantized"] = lambda s, d: _ft(s, d, "vector", 20, model="bm25_q")
     q["ft_incremental"] = _ft_incremental
 
+    def ft_stored(s, d):
+        """Stored-field retrieval (S6/S7): top-k hits joined to their stored
+        fields. Every stored value is a deterministic function of the source
+        row, so the oracle reconstructs the full result row in SQL
+        (hashsum = sha256(text), commit = sha256(str(doc_id)), title by
+        lang, path = lpad(doc_id))."""
+        engine = _get_engine(s, d)
+        hits = engine.search("merge AND vector", 100000)  # all matches
+        # rank on the ROUNDED score (cross-engine ulp safety, like _ft)
+        return (hits.select(F.col("path").cast("long").alias("doc_id"),
+                            F.round("score", 4).alias("score"),
+                            "lang", "title", "hashsum", "commit")
+                .orderBy(F.desc("score"), "doc_id").limit(10)
+                .orderBy(F.desc("score"), "doc_id"))
+    q["ft_stored_fields"] = ft_stored
+
+    def ft_resume(s, d):
+        """Crash/checkpoint resume (B9): a build is killed after the runs
+        stage, retried with the SAME fingerprint (completed stages skip via
+        manifests), and must serve exactly the results a clean build does."""
+        import hashlib
+        from xltsearch_spark.catalog import IndexCatalog
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        wh = f"/tmp/xlt_entry_resume_{hashlib.md5(d.encode()).hexdigest()[:8]}"
+        cat = IndexCatalog(s, wh, replace(ENTRY_CFG, name="resume"))
+        cat.delete_index()
+        try:
+            cat.build(_docs_to_corpus(docs), fingerprint="r1",
+                      fail_after="runs")
+        except RuntimeError:
+            pass  # injected crash after the runs stage
+        cat.build(_docs_to_corpus(docs), fingerprint="r1")  # resume
+        engine = cat.engine()
+        scored = (engine.score_all("merge").withColumn("score", F.round("score", 4))
+                  .join(engine.docs.select(
+                      "doc_id", F.col("path").cast("long").alias("src_doc_id")),
+                      "doc_id")
+                  .select(F.col("src_doc_id").alias("doc_id"), "score"))
+        return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_resume"] = ft_resume
+
     def ft_matchall(s, d):
         return (_get_engine(s, d).score_all("*:*")
                 .agg(F.count("*").alias("n_docs")))
@@ -543,6 +585,21 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_id"""
 
     o["ft_matchall_count"] = "SELECT count(*) AS n_docs FROM documents"
+
+    o["ft_resume"] = topk(_bm25_sql("merge"), 20)
+
+    # stored-field retrieval: every stored value reconstructs from the source
+    o["ft_stored_fields"] = f"""WITH {_TOK_CTE},
+    sc AS (SELECT doc_id, round(sum(score), 4) AS score
+           FROM ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')})
+           GROUP BY doc_id HAVING count(*) = 2
+           ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 10)
+    SELECT sc.doc_id, sc.score, d.lang,
+           CASE WHEN d.lang = 'en' THEN 'SparkIndexMerger' ELSE 'plain' END AS title,
+           sha256(d.text) AS hashsum,
+           sha256(CAST(sc.doc_id AS VARCHAR)) AS "commit"
+    FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    ORDER BY sc.score DESC, sc.doc_id"""
 
     o["ft_range"] = f"""WITH {_TOK_CTE}
     SELECT DISTINCT doc_id, 1.0 AS score FROM tok
