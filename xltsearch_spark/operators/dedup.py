@@ -93,19 +93,30 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
 
 
 def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
-                           rows_per_band: int = 4) -> DataFrame:
+                           rows_per_band: int = 4,
+                           max_bucket_size: int | None = None) -> DataFrame:
     """Distinct candidate id pairs (a < b) sharing >= 1 LSH band bucket.
 
     The banded shuffle carries ONLY (band, bucket, doc_id) — signatures are
     re-attached later, once per surviving pair, instead of riding the
     x`bands` explode replication (at 10^9 docs a 64-long sig x16 bands is
-    ~1 KB/doc of pure shuffle waste)."""
+    ~1 KB/doc of pure shuffle waste).
+
+    ``max_bucket_size`` drops buckets above the cap before pairing: a
+    bucket of B docs emits B^2/2 pairs, and at web scale a cluster of k
+    near-identical boilerplate docs fills a bucket with all k of them.
+    Capped clusters are better handled by exact_dedup_groups first (byte
+    dups) or transitive closure over the surviving pair graph."""
     banded = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.hash(F.concat_ws(",", F.lit(bnd), *[
                 F.col("sig")[bnd * rows_per_band + r] for r in range(rows_per_band)]))
             for bnd in range(bands)])).alias("band", "bucket"))
+    if max_bucket_size is not None:
+        ok = (banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+              .filter(F.col("bsz") <= max_bucket_size).drop("bsz"))
+        banded = banded.join(ok, ["band", "bucket"])
     left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
