@@ -222,3 +222,20 @@ def test_term_scan_plan_pruning_regression(spark, small_corpus, tmp_path):
     assert re.search(r"bucket#\d+", pf), pf
     pushed = plan.split("PushedFilters", 1)[1][:400]
     assert "common_token" in pushed and "graded" in pushed, pushed
+
+
+def test_wand_zero_boost_term_does_not_crash(spark, small_corpus, tmp_path):
+    """'term^0 OR other' through the exact-stats WAND path: the pushed
+    filter divides by the boost, which must be guarded for w <= 0."""
+    from xltsearch_spark.catalog import IndexCatalog
+    cfg = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), cfg)
+    cat.build(spark.createDataFrame(small_corpus), fingerprint="v1")
+    eng = cat.engine()
+    eng.wand_min_df = 1
+    wand = [(r["doc_id"], round(r["score"], 9)) for r in
+            eng.search_scores("common_token^0 OR graded", 5).collect()]
+    eng.wand_min_df = 10**12  # general path
+    brute = [(r["doc_id"], round(r["score"], 9)) for r in
+             eng.search_scores("common_token^0 OR graded", 5).collect()]
+    assert wand == brute and len(wand) == 5

@@ -226,3 +226,17 @@ def test_cosine_topk_ivf_full_probe_equals_brute(spark):
     sims = mat @ mat[5] / (np.linalg.norm(mat, axis=1) * np.linalg.norm(mat[5]))
     for r in rows:
         assert r["cosine"] == pytest.approx(float(sims[r["vec_id"]]), rel=1e-9)
+
+
+def test_ivf_assignment_tie_breaks_to_lowest_centroid(spark):
+    """A vector equidistant from two centroids must take the LOWEST centroid
+    id (matching the SQL oracle's ORDER BY s DESC, cid)."""
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    mid = [1.0, 1.0, 0.0, 0.0]  # cosine 1/sqrt(2) to both
+    df = spark.createDataFrame([(0, c0), (1, c1), (2, mid)],
+                               ["vec_id", "embedding"])
+    asg = {r["vec_id"]: r["centroid_id"] for r in
+           similarity.ivf_assignments(df, np.array([c0, c1])).collect()}
+    assert asg[0] == 0 and asg[1] == 1
+    assert asg[2] == 0  # tie -> lowest centroid id

@@ -279,3 +279,30 @@ def test_three_round_updates_then_merge(spark, tmp_path):
         assert set(got) == set(exp), q
         for p in exp:
             assert got[p] == pytest.approx(exp[p], rel=1e-9), f"{q} @ {p}"
+
+
+def test_merge_legacy_meta_without_max_doc(spark, corpora, tmp_path):
+    """A pre-round-2 meta (no max_doc key) must fall back to the PRE-merge
+    n_docs as the id watermark — falling back to the live count would hand
+    out colliding doc ids on the next update."""
+    import json, os
+    v1, v2 = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    mp = os.path.join(cat.root, "stats.json")
+    meta = json.load(open(mp))
+    meta.pop("max_doc", None)  # simulate a legacy index
+    json.dump(meta, open(mp, "w"))
+    cat.merge(fingerprint="m")
+    assert cat.read_meta()["max_doc"] == meta["n_docs"]  # pre-merge total
+    v3 = v2.copy()
+    extra = v2.iloc[[1]].copy()
+    extra["path"] = "zz/post_legacy_merge"
+    extra["content"] = "legacy_merge_probe common_token"
+    v3 = pd.concat([v3, extra], ignore_index=True)
+    cat.update(spark.createDataFrame(v3), fingerprint="v3")
+    eng = cat.engine()
+    n = eng.docs.count()
+    assert eng.docs.select("doc_id").distinct().count() == n == len(v3)
+    assert eng.search_scores("legacy_merge_probe", 5).count() == 1

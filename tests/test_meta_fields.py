@@ -110,3 +110,23 @@ def test_meta_stored_in_results(meta_engine):
     row = eng.search("meta.author:grace", 10, with_details=True).collect()[0]
     assert row["meta"] == {"author": ["Grace Hopper"]}
     assert "meta:" in row["details"]
+
+
+def test_meta_schema_drift_across_segments(spark, tmp_path):
+    """An index built WITHOUT a meta column must accept an update WHOSE
+    corpus has one (and vice versa): segment docs schemas differ and the
+    union view must not crash (allowMissingColumns)."""
+    from xltsearch_spark.catalog import IndexCatalog
+    base = [("r", "a", "c", "en", "alpha beta spark", None),
+            ("r", "b", "c", "en", "gamma delta spark", None)]
+    no_meta_schema = StructType(SCHEMA.fields[:-1])
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(base, no_meta_schema), fingerprint="v1")
+    v2 = [("r", "a", "c", "en", "alpha beta spark", None, {"author": ["Ada"]}),
+          ("r", "b", "c", "en", "gamma delta spark", None, {}),
+          ("r", "c", "c", "en", "added doc spark", None, {"author": ["Bob"]})]
+    cat.update(spark.createDataFrame(v2, SCHEMA), fingerprint="v2")
+    eng = cat.engine()
+    assert eng.docs.count() == 3  # union view across schema-divergent segments
+    assert eng.search_scores("spark", 10).count() == 3
+    assert {r["path"] for r in eng.search("meta.author:bob", 5).collect()} == {"c"}

@@ -125,3 +125,12 @@ def test_escaped_wildcard_stays_literal():
     # trailing unescaped * still takes the prefix fast path
     q3 = p.parse(r"mer*")
     assert isinstance(q3, PrefixQuery) and q3.prefix == "mer"
+
+
+def test_escaped_backslash_then_wildcard():
+    r"""foo\\* = escaped backslash + LIVE wildcard -> prefix query for 'foo\'
+    (a naive lookbehind reads the * as escaped and drops the wildcard)."""
+    from xltsearch_spark.plans.parser import QueryParser, PrefixQuery
+    p = QueryParser("standard")
+    q = p.parse("foo\\\\*")
+    assert isinstance(q, PrefixQuery) and q.prefix == "foo\\"

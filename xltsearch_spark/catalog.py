@@ -132,7 +132,10 @@ class IndexCatalog:
                for s in meta["segments"]]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # allowMissingColumns: segments built before an optional corpus
+            # column existed (e.g. `meta`) must still union with newer ones
+            # — missing columns read as NULL instead of bricking the index
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     # --------------------------- segment build ------------------------------
@@ -325,11 +328,15 @@ class IndexCatalog:
                                                      F.col("skip_last_doc")))
                     .groupBy("field", "term", "skip_first_doc")
                     .agg(F.collect_list("dead_id").alias("dead")))
-            # broadcast the dirty-block list (O(tombstoned docs) rows) so the
-            # postings table — the BIG side, all binary payloads — is never
-            # shuffled; without the hint this join re-shuffles the index
-            p = p.join(F.broadcast(dead), ["field", "term", "skip_first_doc"],
-                       "left")
+            # keep the postings table — the BIG side, all binary payloads —
+            # unshuffled: broadcast the dirty-block list when it is small.
+            # Its size is O(tombstoned docs x distinct terms per doc), so
+            # gate on the tombstone count and fall back to a shuffle join
+            # (AQE-planned) for huge delete backlogs rather than OOM the
+            # driver with the broadcast
+            if int(meta.get("n_tombstones", 0) or 0) <= 100_000:
+                dead = F.broadcast(dead)
+            p = p.join(dead, ["field", "term", "skip_first_doc"], "left")
         seg = f"seg_merged_{len(meta['segments']):06d}"
         live = self.live_docs(meta)
         self._write_stage(seg, "docs", live, fingerprint)
@@ -389,7 +396,11 @@ class IndexCatalog:
             "tombstones": [],
             "block_max_exact": bool(recompute_block_max),
             "n_docs": stats.n_docs, "avgdl": stats.avgdl, "sum_ttf": stats.sum_ttf,
-            "max_doc": int(meta.get("max_doc", stats.n_docs)),
+            # id watermark: for legacy metas without max_doc, the PRE-merge
+            # n_docs (total ids ever assigned, tombstones included) is the
+            # safe fallback — the post-merge live count would hand out ids
+            # that collide with surviving sparse ids
+            "max_doc": int(meta.get("max_doc", meta["n_docs"])),
         })
         return stats
 
@@ -439,11 +450,18 @@ class IndexCatalog:
                  and not meta.get("tombstone_batches")
                  and not meta.get("tombstones")
                  and meta.get("block_max_exact", True))
+        # ONE tombstone view: tombstones_df already unions the legacy
+        # in-meta id list, so the engine gets only the df (passing the list
+        # too would anti-join the same ids twice per query), and the same
+        # instance backs the live-docs filter (one parquet listing)
+        tomb = self.tombstones_df(meta)
+        docs = self._read_all("docs", meta)
+        if tomb is not None:
+            docs = docs.join(tomb.select("doc_id"), "doc_id", "left_anti")
         return SearchEngine(self.spark, self._read_all("postings", meta),
-                            self.live_docs(meta), self._read_all("dictionary", meta),
+                            docs, self._read_all("dictionary", meta),
                             stats, self.config,
-                            tombstones=meta.get("tombstones", []),
-                            tombstones_df=self.tombstones_df(meta),
+                            tombstones=[], tombstones_df=tomb,
                             stats_exact=exact)
 
     # --------------------------- invariants ---------------------------------

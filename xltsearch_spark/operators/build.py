@@ -54,6 +54,7 @@ from xltsearch_spark.functions.norms import quantized_doc_length
 from xltsearch_spark.functions.varint import (decode_deltas, decode_varint,
                                               encode_deltas, encode_varint,
                                               encode_varint_grouped,
+                                              first_varint,
                                               varint_value_starts)
 
 ANALYZED_FIELDS = ("content", "title")
@@ -465,18 +466,6 @@ def make_postings_summary_udf():
     return conv
 
 
-def _first_varint(b: bytes) -> int:
-    """First varint value of a stream (the absolute first doc id of a run)."""
-    v = 0
-    shift = 0
-    for byte in b:
-        v |= (byte & 0x7F) << shift
-        if not byte & 0x80:
-            return v
-        shift += 7
-    return 0  # empty run
-
-
 def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
     """mapInPandas over bucket partitions: merge each term's (ordered,
     disjoint) runs by concatenation and emit fixed-size blocks with exact
@@ -509,7 +498,7 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
         # range_id ties would concatenate doc-unsorted and corrupt the block
         # skip spans. The first varint of docs_bin IS the absolute first doc
         # (deltas restart per run), so the key is read without a full decode.
-        first_docs = np.fromiter((_first_varint(b) for b in pdf["docs_bin"]),
+        first_docs = np.fromiter((first_varint(b) for b in pdf["docs_bin"]),
                                  dtype=np.int64, count=len(pdf))
         order = np.lexsort((first_docs, tcodes, fcodes))
         pdf = pdf.iloc[order].reset_index(drop=True)

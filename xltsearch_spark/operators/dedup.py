@@ -266,7 +266,7 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3, bands: int | None =
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = 10_000) -> DataFrame:
+                        max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram jaccard over candidate pairs that share >= 1 shingle.
 
     Inverted join: explode (doc, shingle) -> self-join on shingle ->
@@ -279,7 +279,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     k^2/2 join rows, and on a web corpus boilerplate shingles have k ~ 10^6
     — one hot shingle would otherwise dominate the whole shuffle. High-df
     shingles carry no near-dup signal (they match everything), so the
-    filtered jaccard is the standard practical estimator."""
+    filtered jaccard is the standard practical estimator. The default None
+    keeps the round-1 EXACT contract; SET A CAP for any corpus where a
+    shingle can realistically repeat across thousands of docs."""
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("shingle", LongType())])
 

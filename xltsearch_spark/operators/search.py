@@ -263,12 +263,17 @@ class SearchEngine:
             for (f, t), u in ub.items():
                 other = total_ub - u
                 w = boost.get((f, t), 1.0)
-                if self.stats_exact:
+                if self.stats_exact and w > 0:
                     # exact stored block-max: plain column >= constant —
                     # pushable to the parquet reader (PushedFilters), so
                     # non-competitive blocks are skipped via row-group
-                    # stats without being read at all
+                    # stats without being read at all. (w > 0 guard: the
+                    # division flips/explodes for zero/negative boosts —
+                    # those rare queries take the multiply-form below.)
                     cond_blk = F.col("block_max_score") >= F.lit((tau - other) / w)
+                elif self.stats_exact:
+                    cond_blk = (F.col("block_max_score") * F.lit(w)
+                                >= F.lit(tau - other))
                 else:
                     # incremental segments shifted N/df/avgdl: stored
                     # block_max_score may be stale, recompute a valid upper

@@ -139,8 +139,10 @@ def ivf_assignments(vectors: DataFrame, centroids: np.ndarray,
             vn = np.linalg.norm(mat, axis=1)
             vn[vn == 0] = 1.0
             sims = (mat @ cm.T) / (vn[:, None] * cn[None, :])
-            # deterministic tie-break: lowest centroid id wins the argmax
-            best = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            # deterministic tie-break: np.argmax returns the FIRST maximum,
+            # i.e. the lowest centroid id — matching the SQL oracle's
+            # row_number() ORDER BY s DESC, cid
+            best = np.argmax(sims, axis=1)
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"),
                                 "centroid_id": best.astype(np.int32)})
 

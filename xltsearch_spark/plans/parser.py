@@ -284,7 +284,19 @@ class QueryParser:
         text = _unescape(raw)
         if text == "*:*" or (field == "*" and text == "*"):
             return MatchAllQuery(boost)
-        has_wild = re.search(r"(?<!\\)[*?]", raw) is not None
+        # escape-aware wildcard scan (a lookbehind would misread `foo\\*`:
+        # escaped backslash, then a LIVE wildcard) — must agree with
+        # rewrite._wildcard_regex, which walks escapes the same way
+        wilds = []
+        i = 0
+        while i < len(raw):
+            if raw[i] == "\\" and i + 1 < len(raw):
+                i += 2
+                continue
+            if raw[i] in "*?":
+                wilds.append(i)
+            i += 1
+        has_wild = bool(wilds)
         if fuzzy is not None:
             t = text if field in self.keyword_fields else text.lower()
             return FuzzyQuery(field, t, fuzzy, boost)
@@ -293,7 +305,6 @@ class QueryParser:
             # escaped * as a literal and only the trailing * as a wildcard
             # (classic QP semantics); _wildcard_regex understands backslashes.
             pat = raw if field in self.keyword_fields else raw.lower()
-            wilds = [m.start() for m in re.finditer(r"(?<!\\)[*?]", raw)]
             if len(wilds) == 1 and raw[wilds[0]] == "*" and wilds[0] == len(raw) - 1:
                 prefix = _unescape(raw[:-1])
                 return PrefixQuery(
