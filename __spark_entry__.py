@@ -368,6 +368,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("a", "b"))
     q["dedup_ngram_jaccard"] = dedup_jaccard
 
+    def dedup_groups_entry(s, d):
+        """Near-dup GROUPS (the dedup keep/drop decision): LSH candidates ->
+        exact-jaccard verify -> distributed connected components; oracle
+        recomputes components with a recursive CTE over the same exact-pair
+        graph."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return (dedup.dedup_groups(docs, n=3, threshold=0.8)
+                .select("doc_id", "component",
+                        F.col("group_size").cast("long").alias("group_size"))
+                .orderBy("doc_id"))
+    q["dedup_groups"] = dedup_groups_entry
+
     # ---- text analysis ----
     def token_count(s, d):
         out = textstats.token_count(s.read.parquet(f"{d}/documents.parquet"))
@@ -953,6 +965,33 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_minhash_lsh"] = _jaccard_pairs_sql(n=3, threshold=0.8, max_shingle_df=None)
     o["dedup_simhash"] = _jaccard_pairs_sql(n=4, threshold=0.8, max_shingle_df=None)
     o["dedup_ngram_jaccard"] = _jaccard_pairs_sql(n=5, threshold=0.8, max_shingle_df=100)
+
+    # dedup groups: exact-jaccard pair graph -> min-label components via a
+    # recursive CTE (transitive closure is tiny at oracle scale)
+    o["dedup_groups"] = """
+    WITH RECURSIVE f AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(toks[i+1:i+3], chr(31)) AS sh
+          FROM f, unnest(range(greatest(len(toks) - 2, 0))) AS t(i)),
+    s AS (SELECT DISTINCT doc_id, sh FROM g),
+    sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM s x JOIN s y USING (sh) WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    p AS (SELECT a, b FROM inter
+          JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
+          WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.8),
+    edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node)
+    SELECT c.doc_id, c.component, cnt.group_size
+    FROM comp c JOIN (SELECT component, count(*) AS group_size
+                      FROM comp GROUP BY component) cnt USING (component)
+    ORDER BY c.doc_id"""
 
     # fingerprint equality classes == canonical-text equality classes
     o["text_fingerprint"] = """

@@ -240,3 +240,26 @@ def test_ivf_assignment_tie_breaks_to_lowest_centroid(spark):
            similarity.ivf_assignments(df, np.array([c0, c1])).collect()}
     assert asg[0] == 0 and asg[1] == 1
     assert asg[2] == 0  # tie -> lowest centroid id
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node chain (needs multiple rounds), a
+    separate pair, and a triangle all resolve to min-id components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain
+         (10, 11),                               # island pair
+         (20, 21), (21, 22), (20, 22)],          # triangle
+        ["a", "b"])
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert {k: comp[k] for k in (1, 2, 3, 4, 5)} == {i: 1 for i in (1, 2, 3, 4, 5)}
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_dedup_groups_end_to_end(docs_df):
+    """docs 0/1 exact dups + 2 near-dup -> one component {0,1,2} rep 0."""
+    out = {r["doc_id"]: (r["component"], r["group_size"])
+           for r in dedup.dedup_groups(docs_df, n=3, threshold=0.6).collect()}
+    assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
+    assert all(v[0] == 0 for v in out.values())  # unrelated docs share no shingles

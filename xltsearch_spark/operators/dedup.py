@@ -141,6 +141,64 @@ def minhash_lsh_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
             .select("a", "b", "est_jaccard"))
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(doc_id, component) over the near-dup pair graph — the dedup ENDGAME:
+    each component keeps min(doc_id) and drops the rest.
+
+    Large-star/small-star style min-label propagation: every node adopts the
+    smallest label in its neighborhood each round; converges in O(log n)
+    rounds for real dedup graphs (components are tiny cliques/chains).
+    Each round is ONE groupBy over the (symmetric) edge list joined to the
+    current labels — no driver-side graph, no GraphX dependency; labels are
+    localCheckpointed per round to keep lineage flat. Component label =
+    min doc id in the component (deterministic canonical representative)."""
+    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(pairs.select(F.col("b").alias("src"),
+                                       F.col("a").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct().withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        # candidate label per node: min over own label and neighbors' labels
+        nbr = (edges.join(labels.withColumnRenamed("node", "dst")
+                          .withColumnRenamed("component", "nbr_comp"), "dst")
+               .groupBy("src").agg(F.min("nbr_comp").alias("nbr_min")))
+        new_labels = (labels.join(nbr.withColumnRenamed("src", "node"),
+                                  "node", "left")
+                      .select("node",
+                              F.least("component",
+                                      F.coalesce("nbr_min", "component"))
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def dedup_groups(df: DataFrame, text_col: str = "text", n: int = 3,
+                 threshold: float = 0.8, bands: int = 16,
+                 rows_per_band: int = 4, num_hashes: int = 64) -> DataFrame:
+    """End-to-end near-dup GROUPING: MinHash-LSH candidates -> exact-jaccard
+    verify -> connected components. Returns (doc_id, component, group_size)
+    for every doc in a multi-doc component; dedup = keep doc_id ==
+    component, drop the rest."""
+    sigs = minhash_signatures(df, text_col=text_col, num_hashes=num_hashes,
+                              shingle_n=n)
+    cand = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    verified = (pair_exact_jaccard(df, cand, text_col=text_col, n=n)
+                .filter(F.col("jaccard") >= threshold))
+    comp = connected_components(verified)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("group_size"))
+    return comp.join(sizes, "component").select("doc_id", "component",
+                                                "group_size")
+
+
 def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                        n: int = 3) -> DataFrame:
     """Exact n-gram jaccard for GIVEN candidate pairs (a, b).
