@@ -107,3 +107,36 @@ def test_edge_corpus_builds_and_queries(spark):
     assert hits <= {"d", "e", "f"}
     # >255-char token was length-chunked, not dropped: its doc still matches
     assert eng.search_scores("normal_token AND here", 10).count() == 1
+
+
+def test_read_corpus_csv_and_jsonl(spark, tmp_path):
+    """CSV and JSON-lines corpora normalize to the canonical schema and
+    index identically to the parquet path."""
+    import json as jsonlib
+    from xltsearch_spark.sources.corpus import read_corpus
+    from xltsearch_spark.config import IndexConfig
+    from xltsearch_spark.operators.build import IndexBuilder
+    from xltsearch_spark.operators.search import SearchEngine
+    rows = [{"repository": "r1", "path": f"f{i}", "body": f"csv_token doc {i}"}
+            for i in range(4)]
+    csv_p = tmp_path / "c.csv"
+    csv_p.write_text("repository,path,body\n" +
+                     "\n".join(f'{r["repository"]},{r["path"]},"{r["body"]}"'
+                               for r in rows))
+    jl_p = tmp_path / "c.jsonl"
+    jl_p.write_text("\n".join(jsonlib.dumps(r) for r in rows))
+    cmap = {"repository": "repo", "body": "content"}
+    for p in (str(csv_p), str(jl_p)):
+        corpus = read_corpus(spark, p, column_map=cmap)
+        assert set(corpus.columns) == {"repo", "path", "commit", "lang",
+                                       "content", "title"}
+        cfg = IndexConfig(doc_range_size=8, block_size=4, term_buckets=4)
+        b = IndexBuilder(spark, cfg)
+        docs = b.docs_stage(corpus)
+        runs = b.runs_stage(docs)
+        stats = b.stats_stage(docs, runs)
+        eng = SearchEngine(spark, b.postings_stage(runs, stats), docs,
+                           b.dictionary_stage(runs), stats, cfg)
+        assert eng.search_scores("csv_token", 10).count() == 4, p
+    with pytest.raises(ValueError):
+        read_corpus(spark, str(csv_p))  # unmapped required columns

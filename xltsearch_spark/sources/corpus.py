@@ -135,3 +135,51 @@ def write_corpus_parquet(df: pd.DataFrame, path: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+def read_corpus(spark, path: str, fmt: str | None = None,
+                column_map: dict[str, str] | None = None):
+    """Load a corpus table from parquet / JSON-lines / CSV into the engine's
+    canonical schema (repo, path, commit, lang, content, title[, meta]).
+
+    * ``fmt`` None infers from the file extension (.parquet/.json/.jsonl/
+      .csv); directories default to parquet.
+    * ``column_map`` renames source columns onto the canonical names
+      (e.g. {"repository": "repo", "body": "content"}).
+    * Missing optional columns (commit, lang, title) are added as NULL
+      strings; repo/path/content are required and raise if absent.
+
+    Scale note: all three readers are Spark's native distributed sources —
+    schema projection happens at the scan (parquet) or parse (json/csv);
+    nothing funnels through the driver.
+    """
+    from pyspark.sql import functions as F
+    low = path.lower()
+    if fmt is None:
+        if low.endswith(".csv"):
+            fmt = "csv"
+        elif low.endswith(".json") or low.endswith(".jsonl"):
+            fmt = "json"
+        else:
+            fmt = "parquet"
+    if fmt == "csv":
+        df = spark.read.option("header", "true").option("escape", '"').csv(path)
+    elif fmt == "json":
+        df = spark.read.json(path)
+    elif fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        raise ValueError(f"unsupported corpus format: {fmt!r}")
+    for src, dst in (column_map or {}).items():
+        df = df.withColumnRenamed(src, dst)
+    missing = [c for c in ("repo", "path", "content") if c not in df.columns]
+    if missing:
+        raise ValueError(f"corpus at {path} lacks required columns: {missing}")
+    for c in ("commit", "lang", "title"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+    keep = ["repo", "path", "commit", "lang", "content", "title"]
+    if "meta" in df.columns:
+        keep.append("meta")
+    return df.select(*[F.col(c).cast("string") if c != "meta" else F.col(c)
+                       for c in keep])
