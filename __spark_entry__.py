@@ -374,7 +374,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         recomputes components with a recursive CTE over the same exact-pair
         graph."""
         docs = s.read.parquet(f"{d}/documents.parquet")
-        return (dedup.dedup_groups(docs, n=3, threshold=0.8)
+        # 32 bands x 2 rows: P(miss | j>=0.8) = (1-0.8^2)^32 ~ 6e-15 — a
+        # missed bridge edge would split a whole component vs the oracle's
+        # transitive closure, so the groups entry runs with far more
+        # candidate recall margin than the pairs entries need
+        return (dedup.dedup_groups(docs, n=3, threshold=0.8,
+                                   bands=32, rows_per_band=2)
                 .select("doc_id", "component",
                         F.col("group_size").cast("long").alias("group_size"))
                 .orderBy("doc_id"))
@@ -968,19 +973,10 @@ def oracle_sql() -> dict[str, str]:
 
     # dedup groups: exact-jaccard pair graph -> min-label components via a
     # recursive CTE (transitive closure is tiny at oracle scale)
-    o["dedup_groups"] = """
-    WITH RECURSIVE f AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
-               FROM documents),
-    g AS (SELECT doc_id, array_to_string(toks[i+1:i+3], chr(31)) AS sh
-          FROM f, unnest(range(greatest(len(toks) - 2, 0))) AS t(i)),
-    s AS (SELECT DISTINCT doc_id, sh FROM g),
-    sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
-    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-              FROM s x JOIN s y USING (sh) WHERE x.doc_id < y.doc_id
-              GROUP BY 1, 2),
-    p AS (SELECT a, b FROM inter
-          JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
-          WHERE i * 1.0 / (za.sz + zb.sz - i) >= 0.8),
+    # edge list = the SHARED exact-jaccard helper embedded as a subquery
+    # (single source of truth for shingling/threshold SQL)
+    o["dedup_groups"] = f"""
+    WITH RECURSIVE p AS (SELECT a, b FROM ({_jaccard_pairs_sql(3, 0.8, None)})),
     edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
     nodes AS (SELECT DISTINCT src AS node FROM edges),
     r(node, lbl) AS (

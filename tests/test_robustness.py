@@ -140,3 +140,30 @@ def test_read_corpus_csv_and_jsonl(spark, tmp_path):
         assert eng.search_scores("csv_token", 10).count() == 4, p
     with pytest.raises(ValueError):
         read_corpus(spark, str(csv_p))  # unmapped required columns
+
+
+def test_read_corpus_multiline_csv_and_jsonl_alias(spark, tmp_path):
+    """Quoted CSV content with embedded newlines (code bodies!) must stay
+    one row; fmt='jsonl' is accepted as an alias for json."""
+    from xltsearch_spark.sources.corpus import read_corpus
+    csv_p = tmp_path / "m.csv"
+    csv_p.write_text('repo,path,content\nr1,f1,"line one\nline two"\nr1,f2,plain\n')
+    df = read_corpus(spark, str(csv_p))
+    rows = {r["path"]: r["content"] for r in df.collect()}
+    assert len(rows) == 2
+    assert rows["f1"] == "line one\nline two"
+    jl = tmp_path / "alias_dir"
+    jl.mkdir()
+    (jl / "part.jsonl").write_text('{"repo":"r","path":"a","content":"x"}\n')
+    assert read_corpus(spark, str(jl), fmt="jsonl").count() == 1
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from xltsearch_spark.operators import dedup
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=1)
+    # and converges fine with enough rounds
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.connected_components(chain, max_iter=20).collect()}
+    assert set(comp.values()) == {1}

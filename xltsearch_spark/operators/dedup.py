@@ -145,19 +145,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """(doc_id, component) over the near-dup pair graph — the dedup ENDGAME:
     each component keeps min(doc_id) and drops the rest.
 
-    Large-star/small-star style min-label propagation: every node adopts the
-    smallest label in its neighborhood each round; converges in O(log n)
-    rounds for real dedup graphs (components are tiny cliques/chains).
-    Each round is ONE groupBy over the (symmetric) edge list joined to the
-    current labels — no driver-side graph, no GraphX dependency; labels are
-    localCheckpointed per round to keep lineage flat. Component label =
-    min doc id in the component (deterministic canonical representative)."""
+    ONE-HOP min-label propagation: every node adopts the smallest label in
+    its direct neighborhood each round, so convergence takes O(component
+    DIAMETER) rounds — real dedup components are tiny cliques/short chains,
+    so a handful in practice. (The large-star/small-star shortcutting
+    algorithm would bring this to O(log n) rounds for pathological long
+    chains; this implementation favors the simpler per-round plan.) Each
+    round is ONE groupBy over the symmetric edge list joined to the current
+    labels — no driver-side graph; labels are localCheckpointed per round
+    to keep lineage flat. Raises if max_iter rounds don't converge rather
+    than silently returning split components."""
     edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(pairs.select(F.col("b").alias("src"),
                                        F.col("a").alias("dst")))
              .distinct().persist())
     labels = (edges.select(F.col("src").alias("node"))
               .distinct().withColumn("component", F.col("node")))
+    converged = False
     for _ in range(max_iter):
         # candidate label per node: min over own label and neighbors' labels
         nbr = (edges.join(labels.withColumnRenamed("node", "dst")
@@ -176,8 +180,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter); raise max_iter")
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -195,8 +204,8 @@ def dedup_groups(df: DataFrame, text_col: str = "text", n: int = 3,
                 .filter(F.col("jaccard") >= threshold))
     comp = connected_components(verified)
     sizes = comp.groupBy("component").agg(F.count("*").alias("group_size"))
-    return comp.join(sizes, "component").select("doc_id", "component",
-                                                "group_size")
+    return (comp.join(F.broadcast(sizes), "component")
+            .select("doc_id", "component", "group_size"))
 
 
 def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",

@@ -163,8 +163,11 @@ def read_corpus(spark, path: str, fmt: str | None = None,
         else:
             fmt = "parquet"
     if fmt == "csv":
-        df = spark.read.option("header", "true").option("escape", '"').csv(path)
-    elif fmt == "json":
+        # multiLine: content fields (code bodies!) contain newlines — without
+        # it Spark splits quoted fields mid-row into silent garbage rows
+        df = (spark.read.option("header", "true").option("escape", '"')
+              .option("multiLine", "true").csv(path))
+    elif fmt in ("json", "jsonl"):
         df = spark.read.json(path)
     elif fmt == "parquet":
         df = spark.read.parquet(path)
