@@ -639,14 +639,16 @@ def oracle_sql() -> dict[str, str]:
 
     # fuzzy part~2: expansion over the DISTINCT indexed vocabulary with the
     # 4.6 FuzzyTermsEnum similarity boost 1 - ed/min(|q|,|t|) and the
-    # TopTermsScoringBooleanQueryRewrite top-50 cap (not binding here)
+    # TopTermsScoringBooleanQueryRewrite top-50 cap (not binding here).
+    # Distance = Damerau-Levenshtein (transpositions count 1 edit), the
+    # 4.6 classic-QP FuzzyQuery default (transpositions=true)
     o["ft_fuzzy"] = f"""WITH {_TOK_CTE},
     vocab AS (SELECT DISTINCT term FROM tok),
     exp AS (SELECT term,
-                   CASE WHEN levenshtein(term, 'part') = 0 THEN 1.0
-                        ELSE 1.0 - levenshtein(term, 'part') * 1.0
+                   CASE WHEN damerau_levenshtein(term, 'part') = 0 THEN 1.0
+                        ELSE 1.0 - damerau_levenshtein(term, 'part') * 1.0
                              / least(length(term), 4) END AS sim
-            FROM vocab WHERE levenshtein(term, 'part') <= 2
+            FROM vocab WHERE damerau_levenshtein(term, 'part') <= 2
             ORDER BY sim DESC, term LIMIT 50),
     tfv AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
     dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
@@ -939,8 +941,8 @@ def oracle_sql() -> dict[str, str]:
           FROM l),
     g AS (SELECT user_id, sid, count(*) AS c, max(tus) - min(tus) AS dur
           FROM s GROUP BY 1, 2)
-    SELECT user_id, count(*) AS n_sessions, sum(c) AS n_events,
-           max(c) AS max_session_events, sum(dur) AS total_dur_us
+    SELECT user_id, count(*) AS n_sessions, sum(c)::BIGINT AS n_events,
+           max(c) AS max_session_events, sum(dur)::BIGINT AS total_dur_us
     FROM g GROUP BY user_id ORDER BY user_id"""
 
     # multimodal: sha256-digest features byte-for-byte via a hex-pair lookup

@@ -224,6 +224,54 @@ def test_term_scan_plan_pruning_regression(spark, small_corpus, tmp_path):
     assert "common_token" in pushed and "graded" in pushed, pushed
 
 
+def test_fuzzy_damerau_transposition_golden(spark):
+    """Lucene 4.6 classic-QP fuzzy is Damerau (transpositions=true):
+    ``part~1`` must expand to the transposed term 'prat' (plain Levenshtein
+    says 2 edits and would miss it), and a true-DL-only case ('ca'->'abc'
+    = 2: transpose + insert BETWEEN the pair) must match at ~2."""
+    import pandas as pd
+    corpus = pd.DataFrame({
+        "repo": ["r0"] * 4, "path": ["a", "b", "c", "d"], "commit": ["x"] * 4,
+        "lang": ["py"] * 4,
+        "content": ["part engine", "prat engine", "abc engine", "zzz engine"],
+        "title": [None] * 4,
+    })
+    cfg = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    oracle = OracleIndex(corpus, cfg)
+    hits1 = {int(r["doc_id"]) for r in engine.search_scores("part~1", 10).collect()}
+    assert hits1 == {0, 1}, hits1  # transposition is ONE edit
+    hits2 = {int(r["doc_id"]) for r in engine.search_scores("ca~2", 10).collect()}
+    assert 2 in hits2, hits2       # true DL (not OSA): d('ca','abc') = 2
+    assert_rank_identical(engine, oracle, ["part~1", "ca~2", "part~2", "engine~1"])
+
+
+def test_phrase_vectorized_random_stress(spark):
+    """Randomized cross-check of the batch-vectorized phrase kernel against
+    the scalar per-doc oracle (functions/phrase.py): a 4-word vocabulary so
+    every doc carries many anchors, duplicate phrase terms, slop 0-3."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    n = 120
+    corpus = pd.DataFrame({
+        "repo": ["r0"] * n,
+        "path": [f"p{i}" for i in range(n)],
+        "commit": ["c"] * n,
+        "lang": ["py"] * n,
+        "content": [" ".join(rng.choice(["pa", "pb", "pc", "pd"],
+                                        size=rng.integers(3, 40)).tolist())
+                    for _ in range(n)],
+        "title": [None] * n,
+    })
+    cfg = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    oracle = OracleIndex(corpus, cfg)
+    assert_rank_identical(engine, oracle,
+                          ['"pa pb"', '"pa pb"~1', '"pa pb pc"~2', '"pa pa"',
+                           '"pa pb pa"~3', '"pd pc pb pa"', '"pb pc"~0'])
+
+
 def test_wand_zero_boost_term_does_not_crash(spark, small_corpus, tmp_path):
     """'term^0 OR other' through the exact-stats WAND path: the pushed
     filter divides by the boost, which must be guarded for w <= 0."""

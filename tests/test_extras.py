@@ -257,6 +257,28 @@ def test_connected_components_chain_and_islands(spark):
     assert comp[20] == comp[21] == comp[22] == 20
 
 
+def test_no_broadcast_hint_on_per_doc_tables(docs_df):
+    """Scale regression guard: ngram_jaccard_pairs and dedup_groups must not
+    carry broadcast HINTS on their per-doc/per-component size tables (multi-GB
+    at 10^9 docs). AQE may still choose a broadcast join when the table truly
+    fits — the assertion is on the declared plan, not the runtime strategy."""
+    for df in (dedup.ngram_jaccard_pairs(docs_df, threshold=0.1),
+               dedup.dedup_groups(docs_df, n=3, threshold=0.6)):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in plan, plan[:2000]
+
+
+def test_connected_components_long_path_olog_rounds(spark):
+    """A 200-node path graph must converge in O(log n) large/small-star
+    rounds (~8 for n=200) — the one-hop propagation this replaced needed
+    O(diameter) = 199 rounds."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(199)], ["a", "b"])
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert len(comp) == 200 and set(comp.values()) == {0}
+    assert dedup.connected_components.last_rounds <= 10
+
+
 def test_dedup_groups_end_to_end(docs_df):
     """docs 0/1 exact dups + 2 near-dup -> one component {0,1,2} rep 0."""
     out = {r["doc_id"]: (r["component"], r["group_size"])

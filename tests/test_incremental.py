@@ -306,3 +306,39 @@ def test_merge_legacy_meta_without_max_doc(spark, corpora, tmp_path):
     n = eng.docs.count()
     assert eng.docs.select("doc_id").distinct().count() == n == len(v3)
     assert eng.search_scores("legacy_merge_probe", 5).count() == 1
+
+
+def test_merge_crash_between_meta_and_cleanup_leaves_readable_index(
+        spark, corpora, tmp_path, monkeypatch):
+    """merge() commits by writing the new meta BEFORE deleting the old
+    segment dirs: a crash in that window must leave a fully readable index
+    (merged segment live, orphan dirs tolerated) — not a failed meta
+    referencing deleted segments."""
+    import shutil as _shutil
+    import xltsearch_spark.catalog as catmod
+    v1, v2 = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+
+    def boom(path, *a, **k):
+        raise OSError(f"injected crash deleting {path}")
+
+    monkeypatch.setattr(catmod.shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        cat.merge(fingerprint="m1")
+    monkeypatch.undo()
+    # meta already points at the merged segment; orphan old dirs remain
+    meta = cat.read_meta()
+    assert meta["last_updated"] > 0
+    assert len(meta["segments"]) == 1 and meta["segments"][0]["name"].startswith("seg_merged")
+    eng = cat.engine()
+    assert eng.search_scores("common_token", 10).count() > 0
+    # and the orphans don't block a later update
+    import pandas as pd
+    extra = v2.iloc[[0]].copy()
+    extra["path"] = "zz/post_crash_doc"
+    extra["content"] = "post_crash_token common_token"
+    cat.update(spark.createDataFrame(pd.concat([v2, extra], ignore_index=True)),
+               fingerprint="v3")
+    assert cat.engine().search_scores("post_crash_token", 5).count() == 1

@@ -330,11 +330,16 @@ class IndexCatalog:
                     .agg(F.collect_list("dead_id").alias("dead")))
             # keep the postings table — the BIG side, all binary payloads —
             # unshuffled: broadcast the dirty-block list when it is small.
-            # Its size is O(tombstoned docs x distinct terms per doc), so
-            # gate on the tombstone count and fall back to a shuffle join
-            # (AQE-planned) for huge delete backlogs rather than OOM the
-            # driver with the broadcast
-            if int(meta.get("n_tombstones", 0) or 0) <= 100_000:
+            # Its size is O(tombstoned docs x distinct terms per doc), so the
+            # gate estimates ENTRIES (tombstones x avg terms/doc from the
+            # collection stats — total tf/doc upper-bounds distinct terms),
+            # not just the tombstone count: 100k deleted LARGE docs can be a
+            # multi-GB relation. Past the cap, fall back to a shuffle join
+            # (AQE-planned) rather than OOM the driver
+            n_tomb = int(meta.get("n_tombstones", 0) or 0)
+            ttf_total = sum(int(v) for v in meta.get("sum_ttf", {}).values())
+            avg_terms = ttf_total / max(int(meta.get("n_docs", 1) or 1), 1)
+            if n_tomb * max(avg_terms, 1.0) <= 4_000_000:  # ~64 B/entry -> ~256 MB
                 dead = F.broadcast(dead)
             p = p.join(dead, ["field", "term", "skip_first_doc"], "left")
         seg = f"seg_merged_{len(meta['segments']):06d}"
@@ -383,12 +388,11 @@ class IndexCatalog:
         if tomb is not None:
             ds = ds.join(tomb.select("doc_id"), "doc_id", "left_anti")
         self._write_stage(seg, "doc_stats", ds, fingerprint)
-        # swap in the merged segment, drop the old ones + tombstones
-        for s in meta["segments"]:
-            if os.path.exists(self._seg_dir(s["name"])):
-                shutil.rmtree(self._seg_dir(s["name"]))
-        if os.path.exists(os.path.join(self.root, "tombstones")):
-            shutil.rmtree(os.path.join(self.root, "tombstones"))
+        # COMMIT POINT: write the new meta (pointing at the merged segment)
+        # BEFORE deleting the old segment dirs/tombstones — a crash in the
+        # gap leaves orphan directories but a fully readable index, instead
+        # of an INDEX_UPDATE_FAILED meta referencing deleted segments that
+        # only a full rebuild could recover
         self._write_meta({
             "last_updated": start_ms, "config_hash": self.config.config_hash(),
             "segments": [{"name": seg, "n_docs": n_live,
@@ -402,6 +406,11 @@ class IndexCatalog:
             # that collide with surviving sparse ids
             "max_doc": int(meta.get("max_doc", meta["n_docs"])),
         })
+        for s in meta["segments"]:
+            if s["name"] != seg and os.path.exists(self._seg_dir(s["name"])):
+                shutil.rmtree(self._seg_dir(s["name"]))
+        if os.path.exists(os.path.join(self.root, "tombstones")):
+            shutil.rmtree(os.path.join(self.root, "tombstones"))
         return stats
 
     # ------------------------------ open ------------------------------------

@@ -41,21 +41,51 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingle_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
-    """Per-row array of 63-bit hashes of word n-gram shingles (vectorized
-    pandas split + numpy polynomial rolling hash over the token hash array)."""
+    """Per-row array of 63-bit hashes of word n-gram shingles.
+
+    Fully vectorized across the Arrow batch: tokens are factorized so each
+    distinct token is FNV-hashed exactly ONCE (hash_str64_batch), and the
+    n-gram polynomial runs over the flat concatenated hash array with
+    row-boundary windows excluded by slicing — no per-token Python in the
+    hot path (the old per-token loop was the dominant dedup CPU at scale)."""
     token_lists = texts.fillna("").str.lower().str.findall(r"\w+")
-    out = []
+    th, lens = _token_hashes_flat(token_lists)
     B = np.uint64(1099511628211)
-    for toks in token_lists:
-        if len(toks) < n:
-            out.append(np.zeros(0, dtype=np.uint64))
-            continue
-        th = np.array([hash_str64(t) for t in toks], dtype=np.uint64)
-        acc = th[: len(th) - n + 1].copy()
+    total = th.size
+    if total >= n:
+        acc = th[: total - n + 1].copy()
         for k in range(1, n):
-            acc = acc * B + th[k: len(th) - n + 1 + k]
-        out.append(np.unique(acc & np.uint64((1 << 61) - 1)))
+            acc = acc * B + th[k: total - n + 1 + k]
+        acc &= np.uint64((1 << 61) - 1)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    out = []
+    for r in range(len(lens)):
+        if lens[r] < n:
+            out.append(np.zeros(0, dtype=np.uint64))
+        else:
+            # global start positions for row r; windows that would cross
+            # into the next row fall outside [offsets[r], offsets[r+1]-n]
+            out.append(np.unique(acc[offsets[r]: offsets[r + 1] - n + 1]))
     return out
+
+
+def _token_hashes_flat(token_lists: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten per-row token lists -> (flat uint64 FNV hashes, row lengths).
+
+    pd.factorize dedups the batch vocabulary (C hash table), so the string
+    hashing cost is O(distinct tokens), not O(total tokens)."""
+    nrows = len(token_lists)
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=nrows)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), lens
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in token_lists:
+        flat[pos: pos + len(toks)] = toks
+        pos += len(toks)
+    codes, uniq = pd.factorize(flat)
+    return hash_str64_batch(uniq)[codes], lens
 
 
 def hash_str64(s: str) -> int:
@@ -64,6 +94,50 @@ def hash_str64(s: str) -> int:
     for b in s.encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def hash_str64_batch(strs) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over a sequence of strings — bit-identical
+    to hash_str64 (oracles stay valid), computed by marching all strings'
+    byte columns in lockstep. Tokens are short, so the loop runs max-token-
+    length iterations of whole-array numpy ops instead of one Python loop
+    per byte per token (~50x). Strings are processed in length-sorted
+    chunks under a fixed cell budget so one pathological long token (a
+    base64 blob, minified code) can't blow the padded matrix up to
+    n_strings x max_len bytes."""
+    n = len(strs)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    enc = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")
+    prime = np.uint64(0x100000001B3)
+    budget = 1 << 26  # 64M matrix cells (~64 MB) per chunk
+    start = 0
+    while start < n:
+        # grow the chunk while rows x (current max len) stays in budget
+        end = start + 1
+        maxlen = int(lens[order[end - 1]])
+        while end < n:
+            cand = max(maxlen, int(lens[order[end]]))
+            if (end - start + 1) * cand > budget:
+                break
+            maxlen, end = cand, end + 1
+        idx = order[start:end]
+        m = idx.size
+        h = np.full(m, 0xCBF29CE484222325, dtype=np.uint64)
+        if maxlen > 0:
+            clens = lens[idx]
+            buf = np.zeros((m, maxlen), dtype=np.uint8)
+            mask = np.arange(maxlen)[None, :] < clens[:, None]
+            buf[mask] = np.frombuffer(b"".join(enc[i] for i in idx), dtype=np.uint8)
+            for j in range(maxlen):
+                active = mask[:, j]
+                h[active] = (h[active] ^ buf[active, j]) * prime  # uint64 wraps
+        out[idx] = h
+        start = end
+    return out
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
@@ -141,53 +215,72 @@ def minhash_lsh_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
             .select("a", "b", "est_jaccard"))
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node strictly larger than a neighbor
+    re-hooks to the minimum of its closed neighborhood. Emits (v, m) for
+    each v in N(u) with v > u, where m = min(N(u) + {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m")))
+    return (sym.join(mins, "u").filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v")).distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: each edge reports to its LARGER endpoint u;
+    u's smaller neighbors (and u itself) all re-hook to the minimum."""
+    orient = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = orient.groupBy("u").agg(F.min("v").alias("m"))  # all v < u
+    nbrs = (orient.join(mins, "u").filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    selfs = mins.select("u", F.col("m").alias("v"))  # u > m always holds here
+    return nbrs.unionByName(selfs).distinct()
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """(doc_id, component) over the near-dup pair graph — the dedup ENDGAME:
     each component keeps min(doc_id) and drops the rest.
 
-    ONE-HOP min-label propagation: every node adopts the smallest label in
-    its direct neighborhood each round, so convergence takes O(component
-    DIAMETER) rounds — real dedup components are tiny cliques/short chains,
-    so a handful in practice. (The large-star/small-star shortcutting
-    algorithm would bring this to O(log n) rounds for pathological long
-    chains; this implementation favors the simpler per-round plan.) Each
-    round is ONE groupBy over the symmetric edge list joined to the current
-    labels — no driver-side graph; labels are localCheckpointed per round
-    to keep lineage flat. Raises if max_iter rounds don't converge rather
-    than silently returning split components."""
-    edges = (pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-             .unionByName(pairs.select(F.col("b").alias("src"),
-                                       F.col("a").alias("dst")))
-             .distinct().persist())
-    labels = (edges.select(F.col("src").alias("node"))
-              .distinct().withColumn("component", F.col("node")))
-    converged = False
-    for _ in range(max_iter):
-        # candidate label per node: min over own label and neighbors' labels
-        nbr = (edges.join(labels.withColumnRenamed("node", "dst")
-                          .withColumnRenamed("component", "nbr_comp"), "dst")
-               .groupBy("src").agg(F.min("nbr_comp").alias("nbr_min")))
-        new_labels = (labels.join(nbr.withColumnRenamed("src", "node"),
-                                  "node", "left")
-                      .select("node",
-                              F.least("component",
-                                      F.coalesce("nbr_min", "component"))
-                              .alias("component")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+    Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014 — public algorithm): converges
+    in O(log n) rounds even on path-shaped graphs, where one-hop min-label
+    propagation is O(diameter) — and chain-shaped boilerplate near-dup
+    graphs really do go deep. Each round is two groupBy+join passes over the
+    edge list — no driver-side graph; edges are localCheckpointed per round
+    to keep lineage flat. Convergence = the canonicalized edge set's
+    (count, hash-sum) signature repeating, i.e. both stars are fixpoints;
+    raises past max_iter rather than silently returning split components.
+    Exposes ``connected_components.last_rounds`` for tests/telemetry."""
+    nodes = (pairs.select(F.col("a").alias("node"))
+             .unionByName(pairs.select(F.col("b").alias("node"))).distinct())
+    e = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    prev_sig, converged = None, False
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = e.select(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))
+                  .cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
             converged = True
             break
-    edges.unpersist()
+        prev_sig = sig
+    connected_components.last_rounds = rounds
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"(component diameter exceeds max_iter); raise max_iter")
-    return labels.select(F.col("node").alias("doc_id"), "component")
+            f"connected_components did not converge in {max_iter} "
+            f"large/small-star rounds; raise max_iter")
+    # fixpoint edges are stars (node -> component min); roots have no out-edge
+    star = e.groupBy("u").agg(F.min("v").alias("component"))
+    return (nodes.join(star.withColumnRenamed("u", "node"), "node", "left")
+            .select(F.col("node").alias("doc_id"),
+                    F.coalesce("component", "node").alias("component")))
 
 
 def dedup_groups(df: DataFrame, text_col: str = "text", n: int = 3,
@@ -203,8 +296,11 @@ def dedup_groups(df: DataFrame, text_col: str = "text", n: int = 3,
     verified = (pair_exact_jaccard(df, cand, text_col=text_col, n=n)
                 .filter(F.col("jaccard") >= threshold))
     comp = connected_components(verified)
+    # no broadcast hint: multi-doc components can reach O(n_docs) rows at
+    # web scale; sizes is keyed+aggregated, a shuffle join is fine and AQE
+    # still broadcasts it when small.
     sizes = comp.groupBy("component").agg(F.count("*").alias("group_size"))
-    return (comp.join(F.broadcast(sizes), "component")
+    return (comp.join(sizes, "component")
             .select("doc_id", "component", "group_size"))
 
 
@@ -258,21 +354,23 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         for pdf in it:
             token_lists = pdf[text_col].fillna("").str.lower().str.findall(r"\w+")
-            out = []
-            for toks in token_lists:
-                if not toks:
-                    out.append(0)
-                    continue
-                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-                hs = np.array([hash_str64(t) for t in uniq], dtype=np.uint64)
-                bits = ((hs[:, None] & bitcols[None, :]) != 0).astype(np.int64)
-                v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                packed = int(((v > 0).astype(np.uint64)
-                              << np.arange(64, dtype=np.uint64)).sum())
-                # store the uint64 pattern as signed int64 (flip bit 63 for
-                # every doc uniformly -> hamming distances preserved)
-                out.append(packed - (1 << 63))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "simhash": out})
+            th, lens = _token_hashes_flat(token_lists)
+            # per-occurrence +/-1 bit contributions summed per row via a
+            # column cumsum (linear in tokens; tf-weighting is implicit in
+            # the per-occurrence sum, identical to the old unique x counts)
+            contrib = ((th[:, None] & bitcols[None, :]) != 0).astype(np.int32) * 2 - 1
+            csum = np.vstack([np.zeros((1, 64), dtype=np.int64),
+                              np.cumsum(contrib, axis=0, dtype=np.int64)])
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            v = csum[offsets[1:]] - csum[offsets[:-1]]  # (nrows, 64)
+            packed = ((v > 0).astype(np.uint64) * bitcols[None, :]).sum(axis=1)
+            # store the uint64 pattern as signed int64 (flip bit 63 for
+            # every doc uniformly -> hamming distances preserved); empty
+            # docs keep the legacy simhash of exactly 0
+            sh = (packed ^ np.uint64(1 << 63)).view(np.int64)
+            sh = np.where(lens == 0, np.int64(0), sh)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "simhash": sh})
 
     return df.select("doc_id", text_col).mapInPandas(compute, schema=schema)
 
@@ -371,10 +469,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
              .filter(F.col("x.doc_id") < F.col("y.doc_id"))
              .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
              .agg(F.count("*").alias("inter")))
+    # NOTE: no broadcast hint — ``sizes`` has one row per document, which is
+    # multi-GB at 10^9 docs. Plain equi-joins; AQE picks broadcast when the
+    # table actually fits (same pattern as pair_exact_jaccard).
     out = (inter
-           .join(F.broadcast(sizes).withColumnRenamed("doc_id", "a")
+           .join(sizes.withColumnRenamed("doc_id", "a")
                  .withColumnRenamed("sz", "sz_a"), "a")
-           .join(F.broadcast(sizes).withColumnRenamed("doc_id", "b")
+           .join(sizes.withColumnRenamed("doc_id", "b")
                  .withColumnRenamed("sz", "sz_b"), "b")
            .withColumn("jaccard", F.col("inter") /
                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))

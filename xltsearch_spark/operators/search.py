@@ -32,12 +32,12 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf_norm
-from xltsearch_spark.functions.phrase import phrase_freq
 from xltsearch_spark.functions.varint import decode_deltas, decode_varint
 from xltsearch_spark.operators.build import BuildStats, term_bucket
 from xltsearch_spark.plans import scoring
@@ -46,7 +46,8 @@ from xltsearch_spark.plans.parser import (BooleanQuery, MatchAllQuery, MUST,
                                           SHOULD, TermQuery, PrefixQuery,
                                           WildcardQuery, FuzzyQuery, RangeQuery)
 from xltsearch_spark.plans.rewrite import (ConstScoreTerms, FUZZY_TOP_TERMS,
-                                           _wildcard_regex, needs_positions)
+                                           _damerau_capped, _wildcard_regex,
+                                           needs_positions)
 
 DECODED_SCHEMA = StructType([
     StructField("field", StringType()),
@@ -325,7 +326,13 @@ class SearchEngine:
         stays O(k) per query instead of a full per-partition sort+shuffle.
         The rank column is computed afterwards over the <= |queries| * k
         surviving rows. The union is materialized eagerly (localCheckpoint)
-        so the shared decoded cache can be released before returning."""
+        so the shared decoded cache can be released before returning.
+
+        CACHE CONTRACT for ``materialize=False`` (lazy plan for tests/plan
+        audits): the shared decoded frame stays persisted — the caller must
+        either trigger an action and then release it via
+        ``spark.catalog.clearCache()``, or accept the pinned cache for the
+        session; repeated lazy calls accumulate pinned data."""
         from pyspark.sql.window import Window
         parsed = {qid: self._rewrite(self.parser.parse(q)) for qid, q in queries.items()}
         all_terms, all_preds = set(), []
@@ -337,6 +344,11 @@ class SearchEngine:
         idf_map = self._doc_freqs(terms)
         any_pos = any(needs_positions(a) for a in parsed.values())
         decoded = self._decode_postings(terms, all_preds, idf_map, any_pos).persist()
+        if materialize:
+            # fill the cache with ONE dedicated job before the per-query
+            # branches reference it: concurrent top-k stages racing an
+            # unmaterialized cache can each recompute the shared scan+decode
+            decoded.count()
         out = None
         for qid, ast in parsed.items():
             if self.config.scoring_model == "bm25":
@@ -402,13 +414,16 @@ class SearchEngine:
                                   (ast.lo, ast.hi, ast.include_lo, ast.include_hi),
                                   ast.boost)
         if isinstance(ast, FuzzyQuery):
-            # Expansion stays JVM-side end to end: a length-window predicate
+            # Expansion is pruned JVM-side: a length-window predicate
             # (|len(t)-len(q)| <= maxEdits is necessary for ed <= maxEdits)
-            # prunes the dictionary scan BEFORE the levenshtein evaluation,
-            # distinct() merges per-segment duplicates, and the 4.6 top-50
-            # similarity cut (TopTermsScoringBooleanQueryRewrite) runs as a
-            # TakeOrdered LIMIT — the driver only ever sees <= 50 rows.
-            # (Lucene walks a Levenshtein automaton over the sorted term
+            # plus a lossless levenshtein prefilter (lev <= 2*damerau, so
+            # lev <= 2*maxEdits keeps every true candidate) cut the
+            # dictionary scan before the exact Damerau distance runs in a
+            # vectorized pandas UDF over the few survivors; distinct()
+            # merges per-segment duplicates, and the 4.6 top-50 similarity
+            # cut (TopTermsScoringBooleanQueryRewrite) runs as a TakeOrdered
+            # LIMIT — the driver only ever sees <= 50 rows. (Lucene walks a
+            # Levenshtein automaton with transpositions over the sorted term
             # dict; the length window is the analogous scan pruner here.)
             rows = self._fuzzy_expansion_df(ast).collect()
             clauses = tuple((SHOULD, TermQuery(ast.field, r["term"],
@@ -420,18 +435,30 @@ class SearchEngine:
         return ast
 
     def _fuzzy_expansion_df(self, ast: FuzzyQuery) -> DataFrame:
-        """(term, sim) expansion frame for a fuzzy query — see _rewrite."""
-        qlen = len(ast.term)
-        ed = F.levenshtein(F.col("term"), F.lit(ast.term))
-        sim = F.when(ed == 0, F.lit(1.0)).otherwise(
-            F.lit(1.0) - ed.cast("double") /
+        """(term, sim) expansion frame for a fuzzy query — see _rewrite.
+
+        Distance = true Damerau-Levenshtein (transpositions count 1 edit),
+        matching Lucene 4.6 FuzzyQuery's transpositions=true default. The
+        exact distance runs in a pandas UDF, but only over candidates that
+        survive the JVM-side length window AND ``levenshtein <= 2*maxEdits``
+        (lossless: one transposition costs at most 2 plain-lev edits)."""
+        qterm, cap, qlen = ast.term, ast.max_edits, len(ast.term)
+
+        @pandas_udf(IntegerType())
+        def dl_ed(terms: pd.Series) -> pd.Series:
+            return terms.map(
+                lambda t: _damerau_capped(qterm, t, cap)).astype("int32")
+
+        sim = F.when(F.col("ed") == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.col("ed").cast("double") /
             F.least(F.length("term"), F.lit(qlen)).cast("double"))
         return (self.dictionary
                 .filter((F.col("field") == ast.field) &
-                        F.length("term").between(qlen - ast.max_edits,
-                                                 qlen + ast.max_edits))
+                        F.length("term").between(qlen - cap, qlen + cap))
                 .select("term").distinct()
-                .filter(ed <= ast.max_edits)
+                .filter(F.levenshtein(F.col("term"), F.lit(qterm)) <= 2 * cap)
+                .withColumn("ed", dl_ed(F.col("term")))
+                .filter(F.col("ed") <= cap)
                 .select("term", sim.alias("sim"))
                 .orderBy(F.desc("sim"), F.asc("term"))
                 .limit(FUZZY_TOP_TERMS))
@@ -595,31 +622,89 @@ class SearchEngine:
                                  StructField("score", DoubleType())])
 
         def score_partition(it):
+            # Vectorized across ALL candidate docs in the partition — no
+            # per-doc Python loop (pandas groupby iteration costs ~1 ms/group;
+            # a conjunctive candidate set of 10^7 docs would burn hours).
+            # Same kernel semantics as functions/phrase.py:phrase_freq,
+            # applied batch-wide: exact phrase = group-count over
+            # (doc, position - slot_offset); sloppy = nearest-position
+            # searchsorted on a (doc, position) composite key.
             chunks = list(it)
             if not chunks:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf["positions"].notna()]
+            if pdf.empty:
+                return
             # keep only docs containing every distinct phrase term
             nuniq = pdf.groupby("doc_id")["term"].nunique()
             live = nuniq[nuniq >= n_terms_distinct].index
             pdf = pdf[pdf["doc_id"].isin(live)]
             if pdf.empty:
                 return
-            doc_ids, pfs, dls = [], [], []
-            for doc_id, grp in pdf.groupby("doc_id", sort=False):
-                by_term = {r.term: np.frombuffer(r.positions, dtype=np.int64)
-                           for r in grp.itertuples(index=False) if r.positions is not None}
-                if len(by_term) < n_terms_distinct:
-                    continue
-                pf = phrase_freq([by_term[t] for t in terms], offsets, slop)
-                if pf > 0:
-                    doc_ids.append(int(doc_id))
-                    pfs.append(pf)
-                    dls.append(int(grp["dl"].iloc[0]))
-            if not doc_ids:
+            dcode, duniq = pd.factorize(pdf["doc_id"].to_numpy())
+            ndocs = len(duniq)
+            dl_all = np.zeros(ndocs, dtype=np.int64)
+            dl_all[dcode] = pdf["dl"].to_numpy(dtype=np.int64)
+            # decode every term's position blobs with ONE frombuffer each,
+            # doc-major order (positions are stored ascending within a doc)
+            term_arr = pdf["term"].to_numpy()
+            blob_arr = pdf["positions"].to_numpy()
+            tpos, tdoc = {}, {}
+            for t in set(terms):
+                sub = np.flatnonzero(term_arr == t)
+                sub = sub[np.argsort(dcode[sub], kind="stable")]
+                blobs = blob_arr[sub]
+                cnts = np.fromiter((len(bb) >> 3 for bb in blobs),
+                                   dtype=np.int64, count=len(blobs))
+                tpos[t] = (np.frombuffer(b"".join(blobs), dtype=np.int64)
+                           if len(blobs) else np.zeros(0, np.int64))
+                tdoc[t] = np.repeat(dcode[sub], cnts)
+            if slop == 0:
+                gd = np.concatenate([tdoc[t] for t in terms])
+                ga = np.concatenate([tpos[t] - offsets[i]
+                                     for i, t in enumerate(terms)])
+                order = np.lexsort((ga, gd))
+                gd, ga = gd[order], ga[order]
+                bnd = np.flatnonzero(np.concatenate((
+                    [True], (gd[1:] != gd[:-1]) | (ga[1:] != ga[:-1]))))
+                sizes = np.diff(np.concatenate((bnd, [gd.size])))
+                # a (doc, anchor) group holds one entry per matched slot;
+                # full groups are phrase occurrences
+                full = sizes == len(terms)
+                pf_per_doc = np.bincount(gd[bnd[full]],
+                                         minlength=ndocs).astype(np.float64)
+            else:
+                a_doc = tdoc[terms[0]]
+                a_pos = tpos[terms[0]] - offsets[0]
+                total = np.zeros(a_doc.size, dtype=np.float64)
+                for i in range(1, len(terms)):
+                    fp, fd = tpos[terms[i]], tdoc[terms[i]]
+                    expected = a_pos + offsets[i]
+                    if fp.size == 0 or a_doc.size == 0:
+                        total[:] = np.inf
+                        break
+                    lo = min(int(fp.min()), int(expected.min()))
+                    span = max(int(fp.max()), int(expected.max())) - lo + 2
+                    comp = fd * span + (fp - lo)
+                    j = np.searchsorted(comp, a_doc * span + (expected - lo))
+                    jr = np.minimum(j, comp.size - 1)
+                    ok_r = (j < comp.size) & (fd[jr] == a_doc)
+                    dist = np.where(ok_r, np.abs(fp[jr] - expected), np.inf)
+                    jl = np.maximum(j - 1, 0)
+                    ok_l = (j > 0) & (fd[jl] == a_doc)
+                    dist = np.minimum(dist, np.where(
+                        ok_l, np.abs(fp[jl] - expected), np.inf))
+                    total += dist
+                ok = total <= slop
+                pf_per_doc = np.bincount(a_doc[ok],
+                                         weights=1.0 / (1.0 + total[ok]),
+                                         minlength=ndocs)
+            hit = pf_per_doc > 0
+            if not hit.any():
                 return
-            pf_arr = np.array(pfs, dtype=np.float64)
-            dl_arr = np.array(dls, dtype=np.int64)
+            pf_arr = pf_per_doc[hit]
+            dl_arr = dl_all[hit]
             dlq = quantized_doc_length(dl_arr) if quantize else dl_arr.astype(np.float64)
             if model == "bm25":
                 sc = final_mult * idf * (k1 + 1) * pf_arr / (
@@ -628,7 +713,7 @@ class SearchEngine:
                 nrm = (decoded_tf_idf_norm(dl_arr) if quantize
                        else np.where(dl_arr > 0, 1.0 / np.sqrt(np.maximum(dl_arr, 1)), 0.0))
                 sc = final_mult * np.sqrt(pf_arr) * idf * idf * nrm
-            yield pd.DataFrame({"doc_id": doc_ids, "score": sc})
+            yield pd.DataFrame({"doc_id": duniq[hit].astype(np.int64), "score": sc})
 
         n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
         return (cand.repartition(n_parts, "doc_id")

@@ -34,20 +34,43 @@ class ConstScoreTerms:
     boost: float = 1.0
 
 
-def _levenshtein_capped(a: str, b: str, cap: int) -> int:
-    if abs(len(a) - len(b)) > cap:
+def _damerau_capped(a: str, b: str, cap: int) -> int:
+    """True Damerau-Levenshtein (Lowrance-Wagner, adjacent transposition = 1
+    edit), capped. Lucene 4.6's classic-QP FuzzyQuery defaults to
+    transpositions=true, so ``ab~1`` must match ``ba`` — plain Levenshtein
+    counts that as 2 edits and misses the expansion. Matches DuckDB's
+    damerau_levenshtein (e.g. d('ca','abc') = 2), which keeps the SQL
+    oracles one function call."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
         return cap + 1
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i] + [0] * len(b)
-        best = cur[0]
-        for j, cb in enumerate(b, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            best = min(best, cur[j])
-        if best > cap:
+    inf = la + lb
+    # Lowrance-Wagner matrix with a 1-row/col sentinel border
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    last_row = {}
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            k = last_row.get(b[j - 1], 0)
+            l = last_col
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                last_col = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,          # substitute / match
+                d[i + 1][j] + 1,         # insert
+                d[i][j + 1] + 1,         # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+        last_row[a[i - 1]] = i
+        if min(d[i + 1][1:]) > cap:
             return cap + 1
-        prev = cur
-    return prev[-1]
+    return min(d[la + 1][lb + 1], cap + 1)
 
 
 def _wildcard_regex(pattern: str) -> re.Pattern:
@@ -99,7 +122,7 @@ def rewrite(ast, vocab):
     if isinstance(ast, FuzzyQuery):
         scored = []
         for t in vocab.get(ast.field, ()):
-            d = _levenshtein_capped(ast.term, t, ast.max_edits)
+            d = _damerau_capped(ast.term, t, ast.max_edits)
             if d <= ast.max_edits:
                 sim = 1.0 if d == 0 else 1.0 - d / min(len(ast.term), len(t))
                 scored.append((sim, t))

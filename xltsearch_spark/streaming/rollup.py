@@ -90,8 +90,10 @@ def _make_session_fn(gap_us: int):
             elif t - cur[1] > gap_us:
                 out.append((user_id, *cur))
                 cur = (t, t, 1)
-            else:  # within gap (late-but-in-watermark events join the session)
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:  # within gap (late-but-in-watermark events join the session;
+                # an event OLDER than the open session's start extends the
+                # start backward, matching the batch min(ts) gaps-and-islands)
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
         start_us, last_us, n = cur
         state.update((start_us, last_us, n))
         # close the open session once the watermark passes last event + gap
