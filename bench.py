@@ -78,12 +78,17 @@ def main() -> int:
         "q_doc_bool": (doc_engine, "merge AND vector NOT column"),
     }
     lat_samples = []
-    # WAND path measured explicitly (off by default below cluster scale)
+    # WAND path measured explicitly (off by default below cluster scale);
+    # min of 3 like every other query — single-shot timings swing 2-6x
+    # under host CPU steal (see BENCH/BASELINE.md variance notes)
     fixture_engine.wand_min_df = 1
     fixture_engine.search_scores("common_token", 100).collect()
-    tq = time.time()
-    fixture_engine.search_scores("common_token", 100).collect()
-    timings["q_term_wand"] = round(time.time() - tq, 3)
+    wand_runs = []
+    for _ in range(3):
+        tq = time.time()
+        fixture_engine.search_scores("common_token", 100).collect()
+        wand_runs.append(time.time() - tq)
+    timings["q_term_wand"] = round(min(wand_runs), 3)
     fixture_engine.wand_min_df = 200_000
     for name, (eng, qs) in q_specs.items():
         eng.search_scores(qs, 100).collect()  # warm (plans, code paths)

@@ -52,9 +52,10 @@ def main(out_path: str | None = None) -> int:
     eng = cat.engine()
     sections = []
 
-    # 1) fuzzy expansion: length-window filter BEFORE levenshtein, top-50 as
-    #    TakeOrderedAndProject (never a full-dictionary collect)
-    exp = eng._fuzzy_expansion_df(FuzzyQuery("content", "gradd", 1, 1.0))
+    # 1) fuzzy candidates: length-window filter BEFORE levenshtein reaches
+    #    the dictionary scan (the Damerau rerank runs driver-side over the
+    #    collected survivors — never a full-dictionary collect)
+    exp = eng._fuzzy_candidates_df(FuzzyQuery("content", "gradd", 1, 1.0))
     sections.append(("fuzzy expansion: dictionary scan for gradd~1",
                      "Expected: `length(term)` window filter reaches the scan "
                      "(before any levenshtein evaluation), final top-50 is "

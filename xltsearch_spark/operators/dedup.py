@@ -355,14 +355,24 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         for pdf in it:
             token_lists = pdf[text_col].fillna("").str.lower().str.findall(r"\w+")
             th, lens = _token_hashes_flat(token_lists)
-            # per-occurrence +/-1 bit contributions summed per row via a
-            # column cumsum (linear in tokens; tf-weighting is implicit in
-            # the per-occurrence sum, identical to the old unique x counts)
-            contrib = ((th[:, None] & bitcols[None, :]) != 0).astype(np.int32) * 2 - 1
-            csum = np.vstack([np.zeros((1, 64), dtype=np.int64),
-                              np.cumsum(contrib, axis=0, dtype=np.int64)])
+            nrows = len(lens)
             offsets = np.concatenate(([0], np.cumsum(lens)))
-            v = csum[offsets[1:]] - csum[offsets[:-1]]  # (nrows, 64)
+            # per-occurrence +/-1 bit sums per row, one bit plane at a time:
+            # the working set stays ~12 B/token (a full (tokens x 64) int32
+            # contribution matrix saturates the shared DRAM bus with 32
+            # concurrent workers). tf-weighting is implicit in the
+            # per-occurrence sum, identical to the old unique x counts.
+            v = np.zeros((nrows, 64), dtype=np.int64)
+            nz = lens > 0
+            starts = offsets[:-1][nz]
+            if starts.size:
+                # zero-width (empty) rows make consecutive non-empty starts
+                # exact segment bounds, so reduceat needs no sentinels
+                nzlens = lens[nz]
+                for b in range(64):
+                    bitv = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int32)
+                    ones = np.add.reduceat(bitv, starts)
+                    v[nz, b] = 2 * ones.astype(np.int64) - nzlens
             packed = ((v > 0).astype(np.uint64) * bitcols[None, :]).sum(axis=1)
             # store the uint64 pattern as signed int64 (flip bit 63 for
             # every doc uniformly -> hamming distances preserved); empty

@@ -32,9 +32,8 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf_norm
@@ -425,43 +424,45 @@ class SearchEngine:
             # LIMIT — the driver only ever sees <= 50 rows. (Lucene walks a
             # Levenshtein automaton with transpositions over the sorted term
             # dict; the length window is the analogous scan pruner here.)
-            rows = self._fuzzy_expansion_df(ast).collect()
-            clauses = tuple((SHOULD, TermQuery(ast.field, r["term"],
-                                               ast.boost * float(r["sim"])))
-                            for r in rows)
+            clauses = tuple((SHOULD, TermQuery(ast.field, term,
+                                               ast.boost * sim))
+                            for term, sim in self._fuzzy_expansion(ast))
             if not clauses:
                 return ConstScoreTerms(ast.field, (), ast.boost)
             return BooleanQuery(clauses) if len(clauses) > 1 else clauses[0][1]
         return ast
 
-    def _fuzzy_expansion_df(self, ast: FuzzyQuery) -> DataFrame:
-        """(term, sim) expansion frame for a fuzzy query — see _rewrite.
-
-        Distance = true Damerau-Levenshtein (transpositions count 1 edit),
-        matching Lucene 4.6 FuzzyQuery's transpositions=true default. The
-        exact distance runs in a pandas UDF, but only over candidates that
-        survive the JVM-side length window AND ``levenshtein <= 2*maxEdits``
-        (lossless: one transposition costs at most 2 plain-lev edits)."""
+    def _fuzzy_candidates_df(self, ast: FuzzyQuery) -> DataFrame:
+        """Lazy JVM-pruned fuzzy candidate frame: length window (necessary
+        for ed <= maxEdits) + ``levenshtein <= 2*maxEdits`` (lossless for
+        Damerau: one transposition costs at most 2 plain-lev edits). This is
+        the plan the dictionary scan runs — plan audits point here."""
         qterm, cap, qlen = ast.term, ast.max_edits, len(ast.term)
-
-        @pandas_udf(IntegerType())
-        def dl_ed(terms: pd.Series) -> pd.Series:
-            return terms.map(
-                lambda t: _damerau_capped(qterm, t, cap)).astype("int32")
-
-        sim = F.when(F.col("ed") == 0, F.lit(1.0)).otherwise(
-            F.lit(1.0) - F.col("ed").cast("double") /
-            F.least(F.length("term"), F.lit(qlen)).cast("double"))
         return (self.dictionary
                 .filter((F.col("field") == ast.field) &
                         F.length("term").between(qlen - cap, qlen + cap))
                 .select("term").distinct()
-                .filter(F.levenshtein(F.col("term"), F.lit(qterm)) <= 2 * cap)
-                .withColumn("ed", dl_ed(F.col("term")))
-                .filter(F.col("ed") <= cap)
-                .select("term", sim.alias("sim"))
-                .orderBy(F.desc("sim"), F.asc("term"))
-                .limit(FUZZY_TOP_TERMS))
+                .filter(F.levenshtein(F.col("term"), F.lit(qterm)) <= 2 * cap))
+
+    def _fuzzy_expansion(self, ast: FuzzyQuery) -> list[tuple[str, float]]:
+        """Top-50 (term, sim) fuzzy expansion — see _rewrite.
+
+        Distance = true Damerau-Levenshtein (transpositions count 1 edit),
+        matching Lucene 4.6 FuzzyQuery's transpositions=true default. The
+        exact distance runs DRIVER-SIDE over the collected JVM-pruned
+        candidates (a handful of short strings after the length window +
+        2x-lev prefilter): a pandas UDF here costs a ~2 s Python-worker
+        stage per query for microseconds of actual distance math."""
+        qterm, cap, qlen = ast.term, ast.max_edits, len(ast.term)
+        cands = [r["term"] for r in self._fuzzy_candidates_df(ast).collect()]
+        scored = []
+        for t in cands:
+            ed = _damerau_capped(qterm, t, cap)
+            if ed <= cap:
+                sim = 1.0 if ed == 0 else 1.0 - ed / min(len(t), qlen)
+                scored.append((t, sim))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:FUZZY_TOP_TERMS]
 
     # --------------------- pruned posting scan + decode --------------------
     def _collect_leaves(self, ast):
