@@ -30,8 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
 from xltsearch_spark.config import IndexConfig
-from xltsearch_spark.operators import (dedup, events, multimodal, similarity,
-                                       textstats)
+from xltsearch_spark.operators import (dedup, events, multimodal, parse,
+                                       similarity, textstats)
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.operators.search import SearchEngine
 
@@ -96,7 +96,13 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit("@example.com"))),
             F.lit("org"),
             F.array(F.when(F.col("doc_id") % 2 == 0, F.lit("I.B.M."))
-                    .otherwise(F.lit("acme")))).alias("meta"),
+                    .otherwise(F.lit("acme"))),
+            # CJK field for the UAX#29 script-aware tokenization path:
+            # 分散索引エンジン = 4 IDEOGRAPHIC single-char tokens + 1
+            # KATAKANA run token (dl=5); non-de docs hold 1 token (dl=1)
+            F.lit("cjk"),
+            F.array(F.when(F.col("lang") == "de", F.lit("分散索引エンジン"))
+                    .otherwise(F.lit("plain")))).alias("meta"),
         F.col("doc_id").alias("src_doc_id"),
     )
 
@@ -270,6 +276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Classic (A-classic): ClassicFilter strips acronym dots, I.B.M. -> ibm
     q["ft_classic_acronym"] = lambda s, d: _ft(s, d, "meta.org:ibm AND merge",
                                                20, analyzer="classic")
+    # UAX#29 script-aware tokenization (A-unicode): 索 is a single
+    # IDEOGRAPHIC token inside the de-docs' meta.cjk field (dl=5: four
+    # Han single-char tokens + one katakana run token)
+    q["ft_unicode_cjk"] = lambda s, d: _ft(s, d, "meta.cjk:索 AND merge", 20)
     # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15)
     q["ft_term_quantized"] = lambda s, d: _ft(s, d, "vector", 20, model="bm25_q")
     q["ft_incremental"] = _ft_incremental
@@ -384,6 +394,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("group_size").cast("long").alias("group_size"))
                 .orderBy("doc_id"))
     q["dedup_groups"] = dedup_groups_entry
+
+    # ---- document parsing / text extraction (B3, ParseTask.java:55-77) ----
+    def parse_extract(s, d):
+        """Tika-stage parity: wrap each document's text in a deterministic
+        container by doc_id%4 (html / xml / markdown / binary), run the
+        JVM-side detect+extract chain, emit (format, parse_ok, n_chars,
+        sha256(extracted)). The oracle re-runs the byte-identical
+        RE2-compatible regex chain in DuckDB; a misdetected format would
+        take the wrong extraction branch and diverge on the sha."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        m = F.col("doc_id") % 4
+        wrapped = docs.select(
+            "doc_id",
+            F.when(m == 0, F.concat(
+                F.lit('<html><head><title>T</title><style>p {color: red}'
+                      '</style></head><body><h1>Doc &amp; more</h1><p>'),
+                F.col("text"),
+                F.lit('</p><script>var x = 1 < 2;</script></body></html>')))
+            .when(m == 1, F.concat(
+                F.lit('<?xml version="1.0"?><doc><title>X&lt;Y</title><body>'),
+                F.col("text"), F.lit('</body></doc>')))
+            .when(m == 2, F.concat(
+                F.lit('# Heading\n\n**bold** `code` '), F.col("text"),
+                F.lit(' [link text](http://example.com/a)')))
+            .otherwise(F.concat(F.lit('\x01PK'), F.col("text")))
+            .alias("content"))
+        out = parse.extract_text(wrapped)
+        return (out.select(
+            "doc_id", "format",
+            F.col("parse_ok").cast("long").alias("parse_ok"),
+            F.length("extracted").cast("long").alias("n_chars"),
+            F.sha2(F.col("extracted").cast("binary"), 256).alias("extracted_sha"))
+            .orderBy("doc_id"))
+    q["parse_extract"] = parse_extract
 
     # ---- text analysis ----
     def token_count(s, d):
@@ -767,6 +811,25 @@ def oracle_sql() -> dict[str, str]:
     o["ft_classic_acronym"] = _single_token_meta_sql("doc_id % 2 = 0",
                                                      "d.doc_id % 2 = 0")
 
+    # meta.cjk:索 AND merge — UAX#29 path: the de-docs' meta.cjk value
+    # 分散索引エンジン analyzes to 5 tokens (4 ideographic singles + 1
+    # katakana run), so tf(索)=1, dl=5; other docs hold 'plain' (dl=1);
+    # avgdl(meta.cjk) = (5*n_de + (n-n_de))/n, df(索) = n_de
+    o["ft_unicode_cjk"] = f"""WITH {_TOK_CTE},
+    tc AS (SELECT count(*) AS dfc FROM documents WHERE lang = 'de'),
+    av AS (SELECT (5.0 * tc.dfc + (st.n - tc.dfc)) / st.n AS avc
+           FROM tc CROSS JOIN st),
+    m AS ({_bm25_sql('merge')})
+    SELECT doc_id, score FROM (
+        SELECT d.doc_id,
+               round(ln(1 + (st.n - tc.dfc + 0.5) / (tc.dfc + 0.5)) * 2.2 * 1
+                     / (1 + 1.2 * (1 - 0.75 + 0.75 * 5.0 / av.avc)) + m.score,
+                     4) AS score
+        FROM documents d JOIN m ON m.doc_id = d.doc_id
+        CROSS JOIN tc CROSS JOIN av CROSS JOIN st
+        WHERE d.lang = 'de'
+        ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
+
     # meta.tags:src1 AND merge — multi-valued metadata field: 2 instances per
     # doc (lang, source), so dl=2 and avgdl(meta.tags)=2; tf=1 for the tag hit
     o["ft_meta_field"] = f"""WITH {_TOK_CTE},
@@ -843,6 +906,66 @@ def oracle_sql() -> dict[str, str]:
            sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
            sum(c - 1)::BIGINT AS n_redundant_docs
     FROM (SELECT count(*) AS c FROM documents GROUP BY text)"""
+
+    # parse/extract (B3): rebuild the same wrapped content, run the same
+    # RE2-compatible regex chain (ops in the same order as operators/parse.py)
+    o["parse_extract"] = """
+    WITH w AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '<html><head><title>T</title><style>p {color: red}'
+                        || '</style></head><body><h1>Doc &amp; more</h1><p>'
+                        || text
+                        || '</p><script>var x = 1 < 2;</script></body></html>'
+               WHEN 1 THEN '<?xml version="1.0"?><doc><title>X&lt;Y</title><body>'
+                        || text || '</body></doc>'
+               WHEN 2 THEN '# Heading' || chr(10) || chr(10)
+                        || '**bold** `code` ' || text
+                        || ' [link text](http://example.com/a)'
+               ELSE chr(1) || 'PK' || text
+             END AS content
+      FROM documents),
+    fm AS (
+      SELECT doc_id, content,
+             CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'xml'
+                             WHEN 2 THEN 'markdown' ELSE 'binary' END AS format
+      FROM w),
+    markup AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(content,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x
+      FROM fm WHERE format IN ('html', 'xml')),
+    md AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(content, '(?m)^#{1,6} ', '', 'g'),
+                   '(?m)^```[a-zA-Z0-9]*$', ' ', 'g'),
+                 '\\[([^\\]]+)\\]\\([^)]+\\)', '\\1', 'g'),
+               '[*`]+', '', 'g') AS x
+      FROM fm WHERE format = 'markdown'),
+    ext AS (
+      SELECT fm.doc_id, fm.format,
+             CASE WHEN fm.format = 'binary' THEN ''
+                  ELSE trim(regexp_replace(coalesce(markup.x, md.x, fm.content),
+                                           '\\s+', ' ', 'g')) END AS extracted
+      FROM fm LEFT JOIN markup ON fm.doc_id = markup.doc_id
+              LEFT JOIN md ON fm.doc_id = md.doc_id)
+    SELECT doc_id, format,
+           CASE WHEN format = 'binary' THEN 0 ELSE 1 END::BIGINT AS parse_ok,
+           length(extracted)::BIGINT AS n_chars,
+           sha256(extracted) AS extracted_sha
+    FROM ext ORDER BY doc_id"""
 
     o["text_token_count"] = """
     SELECT doc_id,

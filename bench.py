@@ -145,6 +145,13 @@ def main() -> int:
     textstats.language_id(documents).count()
     timings["text_stats"] = round(time.time() - t0, 3)
 
+    # B3 parse stage: pure JVM regexp chain, map-only (no shuffle, no UDF)
+    t0 = time.time()
+    from xltsearch_spark.operators import parse as parse_ops
+    parse_ops.extract_text(
+        documents.select("doc_id", F.col("text").alias("content"))).count()
+    timings["parse_extract"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     from xltsearch_spark.operators import events as ev_ops
     events_df = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -1,7 +1,10 @@
 """Replicate the driver's correctness check: run each queries() entry on
 Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
 counts, schemas (column names), and order-insensitive values."""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd

@@ -82,3 +82,56 @@ def test_empty_and_null_safe(profile):
     flat = analyze_flat(pd.Series(["", None, "   "]), profile)
     assert len(flat) == 0
     assert doc_lengths(flat, 3).tolist() == [0, 0, 0]
+
+
+# ---- UAX#29 script-aware tokenization (Lucene 4.6 StandardTokenizerImpl
+# emission types, public jflex grammar: IDEOGRAPHIC and HIRAGANA emit one
+# codepoint per token, KATAKANA and HANGUL emit runs) ----
+
+def test_uax29_ideographic_single_char_tokens():
+    assert [t for t, _ in analyze_text("中文分词", "standard")] == \
+        ["中", "文", "分", "词"]
+
+
+def test_uax29_hiragana_single_katakana_run():
+    # 速い -> ideograph + hiragana, エンジン stays one katakana token
+    toks = [t for t, _ in analyze_text("分散索引エンジンは速い", "standard")]
+    assert toks == ["分", "散", "索", "引", "エンジン", "は", "速", "い"]
+
+
+def test_uax29_hangul_runs():
+    assert [t for t, _ in analyze_text("한국어 처리", "standard")] == \
+        ["한국어", "처리"]
+
+
+def test_uax29_script_switch_splits_latin_from_cjk():
+    assert [t for t, _ in analyze_text("abc中文def", "standard")] == \
+        ["abc", "中", "文", "def"]
+
+
+def test_uax29_katakana_middle_dot_breaks_run():
+    # U+30FB is punctuation in UAX#29 word-break (not Katakana continue)
+    assert [t for t, _ in analyze_text("サ・カ", "standard")] == ["サ", "カ"]
+
+
+def test_uax29_halfwidth_katakana_is_katakana():
+    assert [t for t, _ in analyze_text("ﾊﾝｶｸ kana", "standard")] == \
+        ["ﾊﾝｶｸ", "kana"]
+
+
+def test_uax29_accented_latin_and_cyrillic_word_runs():
+    # non-CJK scripts ride Python's unicode \w and lowercase-fold
+    assert [t for t, _ in analyze_text("Café Привет", "standard")] == \
+        ["café", "привет"]
+
+
+def test_uax29_positions_are_token_ordinals():
+    toks = analyze_text("spark 索引 engine", "standard")
+    assert toks == [("spark", 0), ("索", 1), ("引", 2), ("engine", 3)]
+
+
+def test_uax29_ascii_behavior_unchanged():
+    # the pre-CJK approximation must be bit-identical on ASCII corpora
+    toks = [t for t, _ in analyze_text(
+        "Spark_index v1.2 don't MERGE-sort", "standard")]
+    assert toks == ["spark_index", "v1.2", "don't", "merge", "sort"]

@@ -1,0 +1,74 @@
+"""B3 parse/extract stage (ParseTask.java:55-77 semantics, JVM-side)."""
+import pytest
+from pyspark.sql import functions as F
+
+from xltsearch_spark.operators import parse
+
+
+def _extract(spark, rows):
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(rows)],
+                               "doc_id long, content string")
+    out = parse.extract_text(df).orderBy("doc_id")
+    return [(r["format"], r["parse_ok"], r["extracted"]) for r in out.collect()]
+
+
+def test_html_strip_tags_script_style_entities(spark):
+    [(fmt, ok, text)] = _extract(spark, [
+        '<html><head><title>T</title><style>p {c: 1}</style></head>'
+        '<body><h1>A &amp; B</h1><p>hello <b>world</b></p>'
+        '<script>if (1 < 2) x();</script></body></html>'])
+    assert (fmt, ok) == ("html", True)
+    assert text == "T A & B hello world"
+
+
+def test_xml_decl_detection_and_entity_after_tag_strip(spark):
+    [(fmt, ok, text)] = _extract(spark, [
+        '<?xml version="1.0"?><doc><t>X&lt;Y</t><b>body text</b></doc>'])
+    assert (fmt, ok) == ("xml", True)
+    assert text == "X<Y body text"
+
+
+def test_html_snippet_without_prolog(spark):
+    [(fmt, _, text)] = _extract(spark, ['<p>just a fragment</p>'])
+    assert fmt == "html"
+    assert text == "just a fragment"
+
+
+def test_markdown_headings_links_emphasis(spark):
+    [(fmt, ok, text)] = _extract(spark, [
+        '# Title\n\nsome **bold** and `code` with [a link](http://x.y/z)\n'
+        '```python\npass\n```\n'])
+    assert (fmt, ok) == ("markdown", True)
+    assert text == "Title some bold and code with a link pass"
+
+
+def test_binary_degrades_but_keeps_row(spark):
+    # Tika degradation: parse failure -> metadata-only row, never dropped
+    out = _extract(spark, ["\x00\x01binarystuff", "plain words"])
+    assert out[0] == ("binary", False, "")
+    assert out[1] == ("plain", True, "plain words")
+
+
+def test_plain_text_whitespace_collapse(spark):
+    [(fmt, _, text)] = _extract(spark, ["  two\t\twords \n here "])
+    assert fmt == "plain"
+    assert text == "two words here"
+
+
+def test_null_content_is_binary_degradation(spark):
+    out = _extract(spark, [None])
+    assert out[0] == ("binary", False, "")
+
+
+def test_amp_entity_decoded_last(spark):
+    # '&amp;lt;' must decode to the literal text '&lt;', not '<'
+    [(_, _, text)] = _extract(spark, ['<p>&amp;lt;</p>'])
+    assert text == "&lt;"
+
+
+def test_extract_plan_is_udf_free(spark):
+    """The whole stage must be pure column expressions (no BatchEvalPython /
+    ArrowEvalPython nodes): that's what makes it a map-only JVM projection."""
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, content string")
+    plan = parse.extract_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -14,10 +14,16 @@ from doc length exactly as ``discountOverlaps=true`` does).
 Semantics reproduced (public Lucene 4.6 knowledge):
 
 * StandardTokenizer = UAX#29 word boundaries, maxTokenLength 255 (longer
-  tokens split into 255-char chunks); approximated for the ASCII-centric
-  corpus by the regex ``\\w+(?:[.']\\w+)*`` (MidNumLet ``.``/``'`` join
-  alphanumeric runs; ``_`` is ExtendNumLet and joins — ``snake_case`` is ONE
-  token in Lucene's StandardTokenizer).
+  tokens split into 255-char chunks); approximated by a script-aware regex:
+  word runs are ``\\w`` minus the CJK script blocks, with MidNumLet
+  ``.``/``'`` joining alphanumeric runs (``_`` is ExtendNumLet and joins —
+  ``snake_case`` is ONE token in Lucene's StandardTokenizer). CJK follows
+  the Lucene 4.6 jflex grammar's emission types: IDEOGRAPHIC (Han) and
+  HIRAGANA emit ONE CODEPOINT per token, KATAKANA and HANGUL emit runs
+  (StandardTokenizerImpl's <IDEOGRAPHIC>/<HIRAGANA>/<KATAKANA>/<HANGUL>
+  token types). Accented Latin/Greek/Cyrillic etc. ride on Python's
+  Unicode-aware ``\\w``. Remaining known deviations from full UAX#29 are
+  documented in tests/test_analyzers.py (e.g. combining voice marks).
 * LowerCaseFilter then StopFilter with the 33-word English default stop set;
   stop removal leaves position *gaps* (enablePositionIncrements=true), so a
   phrase across a stopped word does NOT match adjacent terms.
@@ -47,7 +53,21 @@ ENGLISH_STOP_WORDS = frozenset(
     "that the their then there these they this to was will with".split()
 )
 
-_STANDARD_PATTERN = r"\w+(?:[.']\w+)*"
+# UAX#29 script blocks with special word-break behavior (Lucene 4.6
+# StandardTokenizer): Han ideographs + Hiragana emit one codepoint per
+# token; Katakana (incl. halfwidth + prolonged-sound mark) and Hangul
+# (syllables + jamo) emit runs. U+30FB KATAKANA MIDDLE DOT and U+30A0
+# are punctuation (excluded so they break runs, as UAX#29 does).
+_IDEO = "㐀-䶿一-鿿豈-﫿"
+_HIRA = "぀-ゟ"
+_KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ"
+_HANGUL = "ᄀ-ᇿ가-힣"
+# a "word" char = \w minus the CJK blocks above (identical to plain \w on
+# ASCII/Latin text, so the pre-CJK fixtures tokenize unchanged)
+_WC = f"[^\\W{_IDEO}{_HIRA}{_KATA}{_HANGUL}]"
+_STANDARD_PATTERN = (
+    f"[{_KATA}]+|[{_HANGUL}]+|[{_IDEO}{_HIRA}]|"
+    rf"{_WC}+(?:[.']{_WC}+)*")
 _EMAIL_PATTERN = r"\w+(?:[.+-]\w+)*@\w+(?:[.-]\w+)+"
 _ACRONYM_PATTERN = r"(?:[A-Za-z]\.){2,}"
 _URL_PATTERN = r"\w+://[^\s<>\"']+"
