@@ -37,8 +37,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# on a cluster --py-files provides the package; for direct / --local runs
+# fall back to the repo root next to this script
+try:
+    import xltsearch_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F
 
