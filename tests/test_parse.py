@@ -72,3 +72,61 @@ def test_extract_plan_is_udf_free(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, content string")
     plan = parse.extract_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---- parse_content=True: the B3 stage inside the index pipeline ----
+
+def _parse_corpus(spark):
+    rows = [
+        ("r", "p0", "c0", "en", '<html><body><p>hidden gem inside markup</p>'
+                                '<script>var secretword = 1;</script></body></html>', None),
+        ("r", "p1", "c1", "de", 'plain body with gem too', None),
+        ("r", "p2", "c2", "fr", '\x00\x02unparseable binary payload', None),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string, title string")
+
+
+def test_parse_content_indexes_extracted_text(spark, tmp_path):
+    from xltsearch_spark.catalog import IndexCatalog
+    from xltsearch_spark.config import IndexConfig
+    cfg = IndexConfig(name="p", parse_content=True, term_buckets=4,
+                      quantize_norms=False)
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), cfg)
+    cat.build(_parse_corpus(spark), fingerprint="v1")
+    eng = cat.engine()
+    # term inside markup body is indexed
+    hits = eng.search("gem", 10).collect()
+    assert sorted(h["path"] for h in hits) == ["p0", "p1"]
+    # term that only occurred inside <script> is NOT indexed
+    assert eng.search("secretword", 10).collect() == []
+    # binary doc degrades to metadata-only: no content terms...
+    assert eng.search("unparseable", 10).collect() == []
+    # ...but stays queryable via keyword fields (Tika degradation)
+    failed = eng.search("parse_status:failed", 10).collect()
+    assert [h["path"] for h in failed] == ["p2"]
+    fmt = eng.search("format:html", 10).collect()
+    assert [h["path"] for h in fmt] == ["p0"]
+
+
+def test_parse_content_hashsum_is_raw_content(spark, tmp_path):
+    """The sha256 row invariant hashes the INPUT bytes, not extracted text."""
+    import hashlib
+    from xltsearch_spark.catalog import IndexCatalog
+    from xltsearch_spark.config import IndexConfig
+    cfg = IndexConfig(name="p2", parse_content=True, term_buckets=4)
+    cat = IndexCatalog(spark, str(tmp_path / "wh2"), cfg)
+    corpus = _parse_corpus(spark)
+    cat.build(corpus, fingerprint="v1")
+    raw = {r["path"]: hashlib.sha256(r["content"].encode()).hexdigest()
+           for r in corpus.collect()}
+    stored = {r["path"]: r["hashsum"] for r in cat.engine().docs.collect()}
+    assert stored == raw
+
+
+def test_parse_content_flag_changes_config_hash():
+    from xltsearch_spark.config import IndexConfig
+    a = IndexConfig(name="x", parse_content=False)
+    b = IndexConfig(name="x", parse_content=True)
+    assert a.config_hash() != b.config_hash()

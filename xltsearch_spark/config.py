@@ -51,6 +51,13 @@ class IndexConfig:
     block_size: int = 128            # postings docs per block (skip/block-max granularity)
     doc_range_size: int = 1 << 16    # docs per doc-range bucket (two-level merge unit)
     term_buckets: int = 64           # postings table term-hash partition count
+    # run the B3 parse/extract stage (operators/parse.py) on `content`
+    # before tokenization — the reference's Tika step inside the pipeline
+    # (ParseTask.java:55-77): markup becomes text, binary content degrades
+    # to a metadata-only doc (parse_status=failed), and `format` /
+    # `parse_status` become queryable keyword fields. hashsum stays the
+    # sha256 of the RAW content (the row invariant hashes input bytes).
+    parse_content: bool = False
     # position gap between instances of a MULTI-VALUED field (Tika metadata,
     # Config.java:112-144; one Lucene field added per value,
     # IndexTask.java:74-78). 0 = vanilla Analyzer.getPositionIncrementGap:

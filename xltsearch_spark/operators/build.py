@@ -58,7 +58,8 @@ from xltsearch_spark.functions.varint import (decode_deltas, decode_varint,
                                               varint_value_starts)
 
 ANALYZED_FIELDS = ("content", "title")
-KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum")
+KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum",
+                  "format", "parse_status")
 # multi-valued metadata column: map<string, array<string>> — the reference's
 # 29 Tika metadata fields (Config.java:112-144) are indexed as MULTIPLE
 # analyzed field instances per doc (IndexTask.java:74-78); each map key k
@@ -615,7 +616,19 @@ class IndexBuilder:
         if "title" not in df.columns:
             df = df.withColumn("title", F.lit(None).cast("string"))
         if "hashsum" not in df.columns:
+            # over the RAW content, before any parse: the sha256 row
+            # invariant hashes input bytes (SelectTask.java:165-178)
             df = df.withColumn("hashsum", F.sha2(F.col("content").cast("binary"), 256))
+        if self.config.parse_content:
+            # B3 Tika stage inside the pipeline (ParseTask.java:55-77):
+            # markup -> text; binary keeps its row metadata-only
+            from xltsearch_spark.operators.parse import extract_text
+            df = extract_text(df, "content", out_col="_extracted")
+            df = (df.withColumn("content", F.col("_extracted"))
+                  .withColumn("parse_status",
+                              F.when(F.col("parse_ok"), F.lit("ok"))
+                              .otherwise(F.lit("failed")))
+                  .drop("_extracted", "parse_ok"))
         cnt: list = []
         out = assign_doc_ids(df, id_base=id_base, out_count=cnt)
         self._last_doc_count = cnt[0] if cnt else None
