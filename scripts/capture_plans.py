@@ -92,8 +92,23 @@ def main(out_path: str | None = None) -> int:
                      "(no driver-side id list in the plan).",
                      explain_str(scored, mode="simple")))
 
+    # 4) B3 parse stage: pure projection — no exchange, no Python eval
+    # (reads parquet so the optimizer can't fold the chain into a local
+    # relation: the interesting evidence is Project directly over FileScan)
+    from pyspark.sql import functions as F
+    from xltsearch_spark.operators.parse import extract_text
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", F.col("text").alias("content")))
+    parsed = extract_text(docs)
+    sections.append(("parse/extract stage: map-only JVM projection",
+                     "Expected: a single Project over the scan — no Exchange "
+                     "(no shuffle), no BatchEvalPython/ArrowEvalPython (no "
+                     "Python workers); the whole Tika-parity chain is "
+                     "codegen'd column expressions.",
+                     explain_str(parsed, mode="simple")))
+
     with open(out_path, "a") as f:
-        f.write("\n\n# Round-2 plan evidence\n")
+        f.write("\n\n# Round-3 plan evidence (regenerated)\n")
         for title, expect, plan in sections:
             plan = re.sub(r"#\d+", "#N", plan)  # stable ids for diffing
             f.write(f"\n## {title}\n\n{expect}\n\n```\n{plan}\n```\n")
