@@ -396,17 +396,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_groups"] = dedup_groups_entry
 
     # ---- document parsing / text extraction (B3, ParseTask.java:55-77) ----
-    def parse_extract(s, d):
-        """Tika-stage parity: wrap each document's text in a deterministic
-        container by doc_id%4 (html / xml / markdown / binary), run the
-        JVM-side detect+extract chain, emit (format, parse_ok, n_chars,
-        sha256(extracted)). The oracle re-runs the byte-identical
-        RE2-compatible regex chain in DuckDB; a misdetected format would
-        take the wrong extraction branch and diverge on the sha."""
-        docs = s.read.parquet(f"{d}/documents.parquet")
+    def _wrap_documents(docs):
+        """Deterministic doc_id%4 containers: html / xml / markdown / binary
+        around each document's text (mirrored literally in _PARSE_CTE)."""
         m = F.col("doc_id") % 4
-        wrapped = docs.select(
-            "doc_id",
+        return docs.select(
+            "doc_id", "source", "lang",
             F.when(m == 0, F.concat(
                 F.lit('<html><head><title>T</title><style>p {color: red}'
                       '</style></head><body><h1>Doc &amp; more</h1><p>'),
@@ -420,6 +415,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit(' [link text](http://example.com/a)')))
             .otherwise(F.concat(F.lit('\x01PK'), F.col("text")))
             .alias("content"))
+
+    def parse_extract(s, d):
+        """Tika-stage parity: wrap each document's text in a deterministic
+        container by doc_id%4 (html / xml / markdown / binary), run the
+        JVM-side detect+extract chain, emit (format, parse_ok, n_chars,
+        sha256(extracted)). The oracle re-runs the byte-identical
+        RE2-compatible regex chain in DuckDB; a misdetected format would
+        take the wrong extraction branch and diverge on the sha."""
+        wrapped = _wrap_documents(s.read.parquet(f"{d}/documents.parquet"))
         out = parse.extract_text(wrapped)
         return (out.select(
             "doc_id", "format",
@@ -428,6 +432,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sha2(F.col("extracted").cast("binary"), 256).alias("extracted_sha"))
             .orderBy("doc_id"))
     q["parse_extract"] = parse_extract
+
+    def ft_parse_pipeline(s, d):
+        """B3 INSIDE the build: index the wrapped corpus with
+        parse_content=True (the ParseTask -> IndexTask order) and score
+        BM25 over the EXTRACTED text. 'heading' only exists in the markdown
+        wrapper, binary docs carry no content terms but still count in
+        N/avgdl — score equality proves extraction ran inside the pipeline."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        corpus = _wrap_documents(docs).select(
+            F.col("source").alias("repo"),
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("path"),
+            F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).alias("commit"),
+            F.col("lang"), F.col("content"),
+            F.lit(None).cast("string").alias("title"))
+        cfg = replace(ENTRY_CFG, name="parsepipe", parse_content=True)
+        builder = IndexBuilder(s, cfg)
+        docsf = builder.docs_stage(corpus).persist()
+        runs = builder.runs_stage(docsf).persist()
+        runs.count()
+        stats = builder.stats_stage(docsf, runs)
+        dictionary = builder.dictionary_stage(runs)
+        postings = builder.postings_stage(runs, stats)
+        engine = SearchEngine(s, postings, docsf, dictionary, stats, cfg)
+        scored = (engine.score_all("merge OR heading")
+                  .withColumn("score", F.round("score", 4))
+                  .join(docsf.select("doc_id",
+                                     F.col("path").cast("long").alias("src_doc_id")),
+                        "doc_id")
+                  .select(F.col("src_doc_id").alias("doc_id"), "score"))
+        return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_parse_pipeline"] = ft_parse_pipeline
 
     # ---- text analysis ----
     def token_count(s, d):
@@ -589,6 +625,63 @@ def _jaccard_pairs_sql(n: int, threshold: float, max_shingle_df: int | None) -> 
     FROM inter JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id
     WHERE i * 1.0 / (za.sz + zb.sz - i) >= {threshold}
     ORDER BY a, b"""
+
+
+# shared parse-stage CTE chain (w -> fm -> markup/md -> ext): rebuilds the
+# deterministic doc_id%4 wrapping and runs the byte-identical RE2 chain in
+# the same op order as operators/parse.py. Used by the parse_extract oracle
+# and composed under the BM25 CTEs by ft_parse_pipeline.
+_PARSE_CTE = """w AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '<html><head><title>T</title><style>p {color: red}'
+                        || '</style></head><body><h1>Doc &amp; more</h1><p>'
+                        || text
+                        || '</p><script>var x = 1 < 2;</script></body></html>'
+               WHEN 1 THEN '<?xml version="1.0"?><doc><title>X&lt;Y</title><body>'
+                        || text || '</body></doc>'
+               WHEN 2 THEN '# Heading' || chr(10) || chr(10)
+                        || '**bold** `code` ' || text
+                        || ' [link text](http://example.com/a)'
+               ELSE chr(1) || 'PK' || text
+             END AS content
+      FROM documents),
+    fm AS (
+      SELECT doc_id, content,
+             CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'xml'
+                             WHEN 2 THEN 'markdown' ELSE 'binary' END AS format
+      FROM w),
+    markup AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(content,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x
+      FROM fm WHERE format IN ('html', 'xml')),
+    md AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(content, '(?m)^#{1,6} ', '', 'g'),
+                   '(?m)^```[a-zA-Z0-9]*$', ' ', 'g'),
+                 '\\[([^\\]]+)\\]\\([^)]+\\)', '\\1', 'g'),
+               '[*`]+', '', 'g') AS x
+      FROM fm WHERE format = 'markdown'),
+    ext AS (
+      SELECT fm.doc_id, fm.format,
+             CASE WHEN fm.format = 'binary' THEN ''
+                  ELSE trim(regexp_replace(coalesce(markup.x, md.x, fm.content),
+                                           '\\s+', ' ', 'g')) END AS extracted
+      FROM fm LEFT JOIN markup ON fm.doc_id = markup.doc_id
+              LEFT JOIN md ON fm.doc_id = md.doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -909,63 +1002,46 @@ def oracle_sql() -> dict[str, str]:
 
     # parse/extract (B3): rebuild the same wrapped content, run the same
     # RE2-compatible regex chain (ops in the same order as operators/parse.py)
-    o["parse_extract"] = """
-    WITH w AS (
-      SELECT doc_id,
-             CASE doc_id % 4
-               WHEN 0 THEN '<html><head><title>T</title><style>p {color: red}'
-                        || '</style></head><body><h1>Doc &amp; more</h1><p>'
-                        || text
-                        || '</p><script>var x = 1 < 2;</script></body></html>'
-               WHEN 1 THEN '<?xml version="1.0"?><doc><title>X&lt;Y</title><body>'
-                        || text || '</body></doc>'
-               WHEN 2 THEN '# Heading' || chr(10) || chr(10)
-                        || '**bold** `code` ' || text
-                        || ' [link text](http://example.com/a)'
-               ELSE chr(1) || 'PK' || text
-             END AS content
-      FROM documents),
-    fm AS (
-      SELECT doc_id, content,
-             CASE doc_id % 4 WHEN 0 THEN 'html' WHEN 1 THEN 'xml'
-                             WHEN 2 THEN 'markdown' ELSE 'binary' END AS format
-      FROM w),
-    markup AS (
-      SELECT doc_id,
-             replace(replace(replace(replace(replace(replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(content,
-                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                   '(?s)<!--.*?-->', ' ', 'g'),
-                 '<[^>]*>', ' ', 'g'),
-               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x
-      FROM fm WHERE format IN ('html', 'xml')),
-    md AS (
-      SELECT doc_id,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(content, '(?m)^#{1,6} ', '', 'g'),
-                   '(?m)^```[a-zA-Z0-9]*$', ' ', 'g'),
-                 '\\[([^\\]]+)\\]\\([^)]+\\)', '\\1', 'g'),
-               '[*`]+', '', 'g') AS x
-      FROM fm WHERE format = 'markdown'),
-    ext AS (
-      SELECT fm.doc_id, fm.format,
-             CASE WHEN fm.format = 'binary' THEN ''
-                  ELSE trim(regexp_replace(coalesce(markup.x, md.x, fm.content),
-                                           '\\s+', ' ', 'g')) END AS extracted
-      FROM fm LEFT JOIN markup ON fm.doc_id = markup.doc_id
-              LEFT JOIN md ON fm.doc_id = md.doc_id)
+    o["parse_extract"] = f"""
+    WITH {_PARSE_CTE}
     SELECT doc_id, format,
            CASE WHEN format = 'binary' THEN 0 ELSE 1 END::BIGINT AS parse_ok,
            length(extracted)::BIGINT AS n_chars,
            sha256(extracted) AS extracted_sha
     FROM ext ORDER BY doc_id"""
+
+    # parse pipeline (B3 inside the build): index built THROUGH the parse
+    # stage (parse_content=True) over the same wrapped corpus; BM25 over the
+    # EXTRACTED text. 'heading' exists only in the markdown wrapper (df =
+    # n_markdown docs), binary docs contribute no content terms at all, and
+    # avgdl counts their dl=0 rows — so rank+score equality proves the
+    # extraction ran inside the pipeline, not just alongside it.
+    def _pbm25(term: str) -> str:
+        return f"""
+        SELECT t.doc_id,
+               ln(1 + (pst.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * pdl.dl / pst.avgdl)) AS score
+        FROM (SELECT doc_id, count(*) AS tf FROM ptok WHERE term = '{term}' GROUP BY doc_id) t
+        JOIN (SELECT count(DISTINCT doc_id) AS df FROM ptok WHERE term = '{term}') d ON true
+        JOIN pdl ON t.doc_id = pdl.doc_id
+        CROSS JOIN pst
+        """
+
+    o["ft_parse_pipeline"] = f"""
+    WITH {_PARSE_CTE},
+    ptok_all AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(extracted), '[a-z0-9_]+')) AS term
+                 FROM ext),
+    ptok AS (SELECT * FROM ptok_all WHERE term NOT IN {_STOPS_SQL}),
+    pdl AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+    pst AS (SELECT (SELECT count(*) FROM documents) AS n,
+                   (SELECT count(*) FROM ptok) * 1.0
+                     / (SELECT count(*) FROM documents) AS avgdl)
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(sum(score), 4) AS score
+        FROM ({_pbm25('merge')} UNION ALL {_pbm25('heading')})
+        GROUP BY doc_id
+        ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
 
     o["text_token_count"] = """
     SELECT doc_id,
