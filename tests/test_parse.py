@@ -130,3 +130,13 @@ def test_parse_content_flag_changes_config_hash():
     a = IndexConfig(name="x", parse_content=False)
     b = IndexConfig(name="x", parse_content=True)
     assert a.config_hash() != b.config_hash()
+
+
+def test_detection_sniffs_head_window_only(spark):
+    # Tika-style bounded sniff: markup that first appears beyond SNIFF_LEN
+    # does not flip the format (and detection cost stays bounded on huge docs)
+    late_markup = "x " * (parse.SNIFF_LEN // 2) + "<p>late tag</p>"
+    out = _extract(spark, [late_markup])
+    assert out[0][0] == "plain"
+    # the same marker inside the window is detected
+    assert _extract(spark, ["<p>early tag</p>" + "x " * 50])[0][0] == "html"

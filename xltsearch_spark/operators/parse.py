@@ -44,19 +44,29 @@ _TAG_RE = "(?is)<[a-z][a-z0-9]*(\\s[^>]*)?>.*</[a-z][a-z0-9]*>"
 _MARKDOWN_RE = "(?m)(^#{1,6} )|(^```)|(\\[[^\\]]+\\]\\([^)]+\\))"
 
 
-def detect_format(content: Column) -> Column:
+# Tika sniffs a bounded head window (its detectors read a prefix, not the
+# whole stream); we do the same. This is also the scale guard: _TAG_RE's
+# `.*` backtracks O(tags x bytes) on pathological markup, so detection
+# regexes must never see an unbounded document — 4 KiB caps that cost,
+# while the extraction chain below stays full-doc and linear.
+SNIFF_LEN = 4096
+
+
+def detect_format(content: Column, sniff_len: int = SNIFF_LEN) -> Column:
     """Content-type sniffing as a single JVM CASE expression.
 
     Mirrors Tika detection priorities: container/binary signatures first,
-    declared markup prologs next, then content heuristics, else plain.
+    declared markup prologs next, then content heuristics, else plain —
+    all evaluated on the first ``sniff_len`` chars only.
     """
+    head = F.substring(content, 1, sniff_len)
     return (
         F.when(content.isNull(), F.lit("binary"))
-        .when(content.rlike(_BINARY_RE), F.lit("binary"))
-        .when(content.rlike(_XML_DECL_RE), F.lit("xml"))
-        .when(content.rlike(_HTML_RE), F.lit("html"))
-        .when(content.rlike(_TAG_RE), F.lit("html"))
-        .when(content.rlike(_MARKDOWN_RE), F.lit("markdown"))
+        .when(head.rlike(_BINARY_RE), F.lit("binary"))
+        .when(head.rlike(_XML_DECL_RE), F.lit("xml"))
+        .when(head.rlike(_HTML_RE), F.lit("html"))
+        .when(head.rlike(_TAG_RE), F.lit("html"))
+        .when(head.rlike(_MARKDOWN_RE), F.lit("markdown"))
         .otherwise(F.lit("plain")))
 
 
