@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
 from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.operators import (dedup, events, multimodal, parse,
-                                       similarity, textstats)
+                                       sampling, similarity, textstats)
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.operators.search import SearchEngine
 
@@ -499,6 +499,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("group_size").cast("long").alias("group_size"))
                 .orderBy("doc_id"))
     q["text_fingerprint"] = fingerprint
+
+    # ---- deterministic sampling / splits (training-pipeline extensions) ----
+    def sample_split(s, d):
+        """Reproducible train/val/test assignment (pure arithmetic hash):
+        per-(split, lang) counts, bit-identical to the SQL oracle."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        out = sampling.hash_split(docs, weights={"train": 0.8, "val": 0.1,
+                                                 "test": 0.1})
+        return (out.groupBy("split", "lang")
+                .agg(F.count("*").alias("n_docs"))
+                .orderBy("split", "lang"))
+    q["sample_split_counts"] = sample_split
+
+    def sample_strat(s, d):
+        """Per-language quota sample (n smallest hashes per stratum)."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        out = sampling.stratified_sample_n(docs, "lang", n=20)
+        return out.select("doc_id", "lang").orderBy("doc_id")
+    q["sample_stratified"] = sample_strat
 
     # ---- event-stream analytics (batch forms of the streaming operators) ----
     def ev_rollup(s, d):
@@ -1119,6 +1138,29 @@ def oracle_sql() -> dict[str, str]:
           FROM z GROUP BY vec_id)
     SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
     FROM s ORDER BY dot / (nx * ny) DESC, vec_id LIMIT 10"""
+
+    # deterministic sampling: the Knuth multiplicative hash is pure int64
+    # arithmetic, reproduced literally (2^31 fold keeps products < 2^63 so
+    # DuckDB's strict BIGINT overflow never fires)
+    from xltsearch_spark.operators.sampling import _KNUTH, _MOD
+    _b_train = int(0.8 * _MOD)
+    _b_val = int(0.9 * _MOD)
+    _hash_sql = f"(((doc_id % {_MOD}) * {_KNUTH}) % {_MOD})"
+    o["sample_split_counts"] = f"""
+    WITH h AS (SELECT doc_id, lang, {_hash_sql} AS hv FROM documents),
+    s AS (SELECT lang, CASE WHEN hv < {_b_train} THEN 'train'
+                            WHEN hv < {_b_val} THEN 'val'
+                            ELSE 'test' END AS split FROM h)
+    SELECT split, lang, count(*) AS n_docs FROM s
+    GROUP BY split, lang ORDER BY split, lang"""
+
+    o["sample_stratified"] = f"""
+    WITH h AS (SELECT doc_id, lang, {_hash_sql} AS hv FROM documents),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY hv ASC, doc_id ASC) AS rk
+          FROM h)
+    SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id"""
 
     # event analytics: epoch-aligned tumbling windows (integer bucket
     # arithmetic on epoch microseconds) and gaps-and-islands sessionization
