@@ -100,6 +100,12 @@ def main() -> int:
         timings[name] = round(min(runs_sec), 3)
         lat_samples.extend(runs_sec)
     query_p95 = float(np.percentile(lat_samples, 95))
+    # steal-robust companion: p95 over the per-query minima. On this host a
+    # single hypervisor hiccup in 24 samples sets the raw p95 (documented
+    # 2-8x invisible degradation, BENCH/BASELINE.md); the min-of-3 floor
+    # per query is the reproducible latency. Both are reported.
+    query_p95_best = float(np.percentile(
+        [timings[n] for n in q_specs], 95))
 
     # batched multi-query path: one shared scan + one action for 16 queries
     batch = {f"b{i}": q for i, q in enumerate(
@@ -175,6 +181,7 @@ def main() -> int:
         "build_docs": build_docs,
         "build_docs_per_sec": round(build_docs_per_sec, 1),
         "query_p95_sec": round(query_p95, 4),
+        "query_p95_best_sec": round(query_p95_best, 4),
     }))
     spark.stop()
     return 0
