@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
 from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.operators import (dedup, events, multimodal, parse,
-                                       sampling, similarity, textstats)
+                                       sampling, scrub, similarity, textstats)
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.operators.search import SearchEngine
 
@@ -499,6 +499,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("group_size").cast("long").alias("group_size"))
                 .orderBy("doc_id"))
     q["text_fingerprint"] = fingerprint
+
+    # ---- PII scrubbing (training-pipeline extension) ----
+    def scrub_pii(s, d):
+        """Inject deterministic PII by doc_id%3 (email / IPv4 / phone), run
+        the JVM redaction chain, emit per-category counts + sha256 of the
+        scrubbed text; the oracle re-runs the byte-identical RE2 chain."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        m = F.col("doc_id") % 3
+        aug = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(m == 0, F.concat(F.lit(" contact dev"),
+                                        F.col("doc_id").cast("string"),
+                                        F.lit("@example.org")))
+                .when(m == 1, F.concat(F.lit(" host 10."),
+                                       (F.col("doc_id") % 200).cast("string"),
+                                       F.lit(".0."),
+                                       (F.col("doc_id") % 250).cast("string")))
+                .otherwise(F.concat(F.lit(" call +4930"),
+                                    F.lpad((F.col("doc_id") % 10000)
+                                           .cast("string"), 6, "0")))
+            ).alias("text"))
+        out = scrub.redact_pii(aug)
+        return (out.select(
+            "doc_id",
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_ipv4").cast("long").alias("n_ipv4"),
+            F.col("n_phone").cast("long").alias("n_phone"),
+            F.sha2(F.col("redacted").cast("binary"), 256).alias("redacted_sha"))
+            .orderBy("doc_id"))
+    q["scrub_pii"] = scrub_pii
 
     # ---- deterministic sampling / splits (training-pipeline extensions) ----
     def sample_split(s, d):
@@ -1138,6 +1170,30 @@ def oracle_sql() -> dict[str, str]:
           FROM z GROUP BY vec_id)
     SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
     FROM s ORDER BY dot / (nx * ny) DESC, vec_id LIMIT 10"""
+
+    # PII scrubbing: patterns imported from the operator (single source of
+    # truth); DuckDB re-runs the same chain in the same replacement order
+    from xltsearch_spark.operators.scrub import PII_PATTERNS
+    _pp = {cat: (pat, repl) for cat, pat, repl in PII_PATTERNS}
+    _red = "t"
+    for cat, pat, repl in PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{pat}', '{repl}', 'g')"
+    o["scrub_pii"] = f"""
+    WITH a AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' contact dev' || doc_id::VARCHAR || '@example.org'
+               WHEN 1 THEN ' host 10.' || (doc_id % 200)::VARCHAR || '.0.'
+                        || (doc_id % 250)::VARCHAR
+               ELSE ' call +4930' || lpad((doc_id % 10000)::VARCHAR, 6, '0')
+             END AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_pp['email'][0]}'))::BIGINT AS n_email,
+           len(regexp_extract_all(t, '{_pp['ipv4'][0]}'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all(t, '{_pp['phone'][0]}'))::BIGINT AS n_phone,
+           sha256({_red}) AS redacted_sha
+    FROM a ORDER BY doc_id"""
 
     # deterministic sampling: the Knuth multiplicative hash is pure int64
     # arithmetic, reproduced literally (2^31 fold keeps products < 2^63 so
