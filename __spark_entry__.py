@@ -98,10 +98,15 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.when(F.col("doc_id") % 2 == 0, F.lit("I.B.M."))
                     .otherwise(F.lit("acme"))),
             # CJK field for the UAX#29 script-aware tokenization path:
-            # 分散索引エンジン = 4 IDEOGRAPHIC single-char tokens + 1
-            # KATAKANA run token (dl=5); non-de docs hold 1 token (dl=1)
+            # 分散索引テ<U+3099>ータ = 4 IDEOGRAPHIC single-char tokens + 1
+            # KATAKANA run token (dl=5); the run carries a COMBINING voice
+            # mark (U+3099 = Extend), so dl=5 holds only if WB4 Extend
+            # handling joins it — a regression to mark-breaks-run would
+            # make dl=6 and shift every score vs the oracle.
+            # Non-de docs hold 1 token (dl=1).
             F.lit("cjk"),
-            F.array(F.when(F.col("lang") == "de", F.lit("分散索引エンジン"))
+            F.array(F.when(F.col("lang") == "de",
+                           F.lit("分散索引データ"))
                     .otherwise(F.lit("plain")))).alias("meta"),
         F.col("doc_id").alias("src_doc_id"),
     )
@@ -278,10 +283,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                20, analyzer="classic")
     # UAX#29 script-aware tokenization (A-unicode): 索 is a single
     # IDEOGRAPHIC token inside the de-docs' meta.cjk field (dl=5: four
-    # Han single-char tokens + one katakana run token)
+    # Han single-char tokens + one katakana run token that spans a
+    # combining voice mark — the r4 Extend tier)
     q["ft_unicode_cjk"] = lambda s, d: _ft(s, d, "meta.cjk:索 AND merge", 20)
-    # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15)
+    # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15) —
+    # exercised across the operator breadth: single term, conjunction, and
+    # the phrase matcher all score on the QUANTIZED doc length
     q["ft_term_quantized"] = lambda s, d: _ft(s, d, "vector", 20, model="bm25_q")
+    q["ft_bool_quantized"] = lambda s, d: _ft(s, d, "merge AND vector", 20,
+                                              model="bm25_q")
+    q["ft_phrase_quantized"] = lambda s, d: _ft(s, d, '"merge vector"', 20,
+                                                model="bm25_q")
     q["ft_incremental"] = _ft_incremental
 
     def ft_stored(s, d):
@@ -433,12 +445,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id"))
     q["parse_extract"] = parse_extract
 
-    def ft_parse_pipeline(s, d):
+    def _ft_parse_pipeline(s, d, keep_failed: bool):
         """B3 INSIDE the build: index the wrapped corpus with
         parse_content=True (the ParseTask -> IndexTask order) and score
         BM25 over the EXTRACTED text. 'heading' only exists in the markdown
-        wrapper, binary docs carry no content terms but still count in
-        N/avgdl — score equality proves extraction ran inside the pipeline."""
+        wrapper. Failure contract under driver verification BOTH ways:
+        default (reference parity, ParseTask.java:70-75 + IndexTask's
+        `case PASS: break;`) SKIPS the binary docs entirely — they are
+        absent from N/avgdl; keep_failed=True (documented extension) keeps
+        them as metadata-only rows counted in N/avgdl. Score equality
+        proves extraction (and the chosen failure contract) ran inside
+        the pipeline."""
         docs = s.read.parquet(f"{d}/documents.parquet")
         corpus = _wrap_documents(docs).select(
             F.col("source").alias("repo"),
@@ -446,7 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sha2(F.col("doc_id").cast("string").cast("binary"), 256).alias("commit"),
             F.col("lang"), F.col("content"),
             F.lit(None).cast("string").alias("title"))
-        cfg = replace(ENTRY_CFG, name="parsepipe", parse_content=True)
+        cfg = replace(ENTRY_CFG, name=f"parsepipe{int(keep_failed)}",
+                      parse_content=True, parse_keep_failed=keep_failed)
         builder = IndexBuilder(s, cfg)
         docsf = builder.docs_stage(corpus).persist()
         runs = builder.runs_stage(docsf).persist()
@@ -463,7 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .select(F.col("src_doc_id").alias("doc_id"), "score"))
         return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
                 .orderBy(F.desc("score"), F.asc("doc_id")))
-    q["ft_parse_pipeline"] = ft_parse_pipeline
+    q["ft_parse_pipeline"] = lambda s, d: _ft_parse_pipeline(s, d, False)
+    q["ft_parse_keep_failed"] = lambda s, d: _ft_parse_pipeline(s, d, True)
 
     # ---- text analysis ----
     def token_count(s, d):
@@ -681,8 +700,30 @@ def _jaccard_pairs_sql(n: int, threshold: float, max_shingle_df: int | None) -> 
 # shared parse-stage CTE chain (w -> fm -> markup/md -> ext): rebuilds the
 # deterministic doc_id%4 wrapping and runs the byte-identical RE2 chain in
 # the same op order as operators/parse.py. Used by the parse_extract oracle
-# and composed under the BM25 CTEs by ft_parse_pipeline.
-_PARSE_CTE = """w AS (
+# and composed under the BM25 CTEs by ft_parse_pipeline. The entity-decode
+# chain is GENERATED from parse.XML_ENTITIES so the oracle can never drift
+# from the operator's table/order.
+def _entity_chain_sql(inner: str) -> str:
+    from xltsearch_spark.operators.parse import AMP_ENTITY_RE, XML_ENTITIES
+    out = inner
+    for ent, ch in XML_ENTITIES:
+        e, c = ent.replace("'", "''"), ch.replace("'", "''")
+        out = f"replace({out}, '{e}', '{c}')"
+    # the '&'-producing entities decode in ONE regexp pass (no rescan of
+    # replacement output), exactly like the operator
+    return f"regexp_replace({out}, '{AMP_ENTITY_RE}', '&', 'g')"
+
+
+_MARKUP_X_SQL = _entity_chain_sql("""regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(content,
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g')""")
+
+_PARSE_CTE_TEMPLATE = """w AS (
       SELECT doc_id,
              CASE doc_id % 4
                WHEN 0 THEN '<html><head><title>T</title><style>p {color: red}'
@@ -703,18 +744,7 @@ _PARSE_CTE = """w AS (
                              WHEN 2 THEN 'markdown' ELSE 'binary' END AS format
       FROM w),
     markup AS (
-      SELECT doc_id,
-             replace(replace(replace(replace(replace(replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(content,
-                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                   '(?s)<!--.*?-->', ' ', 'g'),
-                 '<[^>]*>', ' ', 'g'),
-               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x
+      SELECT doc_id, {MARKUP_X} AS x
       FROM fm WHERE format IN ('html', 'xml')),
     md AS (
       SELECT doc_id,
@@ -733,6 +763,10 @@ _PARSE_CTE = """w AS (
                                            '\\s+', ' ', 'g')) END AS extracted
       FROM fm LEFT JOIN markup ON fm.doc_id = markup.doc_id
               LEFT JOIN md ON fm.doc_id = md.doc_id)"""
+
+# plain .replace, not .format(): the template carries literal braces
+# ('p {color: red}', '#{1,6}') that .format() would mis-parse
+_PARSE_CTE = _PARSE_CTE_TEMPLATE.replace("{MARKUP_X}", _MARKUP_X_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -956,8 +990,9 @@ def oracle_sql() -> dict[str, str]:
                                                      "d.doc_id % 2 = 0")
 
     # meta.cjk:索 AND merge — UAX#29 path: the de-docs' meta.cjk value
-    # 分散索引エンジン analyzes to 5 tokens (4 ideographic singles + 1
-    # katakana run), so tf(索)=1, dl=5; other docs hold 'plain' (dl=1);
+    # 分散索引テ<U+3099>ータ analyzes to 5 tokens (4 ideographic singles +
+    # 1 katakana run whose combining voice mark joins via Extend), so
+    # tf(索)=1, dl=5; other docs hold 'plain' (dl=1);
     # avgdl(meta.cjk) = (5*n_de + (n-n_de))/n, df(索) = n_de
     o["ft_unicode_cjk"] = f"""WITH {_TOK_CTE},
     tc AS (SELECT count(*) AS dfc FROM documents WHERE lang = 'de'),
@@ -1012,6 +1047,49 @@ def oracle_sql() -> dict[str, str]:
                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * qd.qdl / st.avgdl)), 4) AS score
         FROM t JOIN d ON true JOIN qd ON t.doc_id = qd.doc_id CROSS JOIN st
         ORDER BY 2 DESC, t.doc_id LIMIT 20)"""
+
+    # quantized-norm breadth: the same floatToByte315 dl-interval VALUES
+    # table composed under the boolean-conjunction and phrase CTEs
+    _qd_ctes = f"""qt(lo, hi, qdl) AS (VALUES {_qdl_values()}),
+    qd AS (SELECT dl.doc_id, qt.qdl FROM dl JOIN qt ON dl.dl BETWEEN qt.lo AND qt.hi)"""
+
+    def _bm25_q_sql(term: str) -> str:
+        return f"""
+        SELECT t.doc_id,
+               ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * qd.qdl / st.avgdl)) AS score
+        FROM (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id) t
+        JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{term}') d ON true
+        JOIN qd ON t.doc_id = qd.doc_id
+        CROSS JOIN st
+        """
+
+    o["ft_bool_quantized"] = f"""WITH {_TOK_CTE},
+    {_qd_ctes}
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(sum(score), 4) AS score, count(*) AS nc
+        FROM ({_bm25_q_sql('merge')} UNION ALL {_bm25_q_sql('vector')})
+        GROUP BY doc_id HAVING count(*) = 2
+        ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
+
+    o["ft_phrase_quantized"] = f"""WITH {_TOK_CTE},
+    {_qd_ctes},
+    pf AS (SELECT a.doc_id, count(*) AS pf
+           FROM tok_all a JOIN tok_all b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE a.term = 'merge' AND b.term = 'vector'
+           GROUP BY a.doc_id),
+    idfs AS (SELECT ln(1 + (st.n - d1.df + 0.5) / (d1.df + 0.5))
+                  + ln(1 + (st.n - d2.df + 0.5) / (d2.df + 0.5)) AS idf
+             FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='merge') d1,
+                  (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='vector') d2,
+                  st)
+    SELECT doc_id, score FROM (
+        SELECT pf.doc_id,
+               round(idfs.idf * 2.2 * pf.pf
+                     / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * qd.qdl / st.avgdl)), 4) AS score
+        FROM pf JOIN qd ON pf.doc_id = qd.doc_id CROSS JOIN idfs CROSS JOIN st
+        ORDER BY 2 DESC, pf.doc_id LIMIT 20)"""
 
     # incremental update: stats (N, df, avgdl) count tombstoned docs until
     # compaction (Lucene 4.6 pre-merge), results come from live docs only
@@ -1078,21 +1156,31 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN pst
         """
 
-    o["ft_parse_pipeline"] = f"""
+    # two failure contracts, driver-verified separately: parity (default)
+    # counts ONLY parse-ok docs in N/avgdl (binary = doc_id%4==3 wrappers
+    # are skipped entirely, as the reference's IndexTask does on a ParseTask
+    # failure); keep_failed counts every doc (the extension). Binary docs
+    # contribute no tokens either way, so only the collection stats differ.
+    def _parse_pipeline_sql(n_expr: str) -> str:
+        return f"""
     WITH {_PARSE_CTE},
     ptok_all AS (SELECT doc_id,
                         unnest(regexp_extract_all(lower(extracted), '[a-z0-9_]+')) AS term
                  FROM ext),
     ptok AS (SELECT * FROM ptok_all WHERE term NOT IN {_STOPS_SQL}),
     pdl AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
-    pst AS (SELECT (SELECT count(*) FROM documents) AS n,
-                   (SELECT count(*) FROM ptok) * 1.0
-                     / (SELECT count(*) FROM documents) AS avgdl)
+    pst AS (SELECT ({n_expr}) AS n,
+                   (SELECT count(*) FROM ptok) * 1.0 / ({n_expr}) AS avgdl)
     SELECT doc_id, score FROM (
         SELECT doc_id, round(sum(score), 4) AS score
         FROM ({_pbm25('merge')} UNION ALL {_pbm25('heading')})
         GROUP BY doc_id
         ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
+
+    o["ft_parse_pipeline"] = _parse_pipeline_sql(
+        "SELECT count(*) FROM documents WHERE doc_id % 4 <> 3")
+    o["ft_parse_keep_failed"] = _parse_pipeline_sql(
+        "SELECT count(*) FROM documents")
 
     o["text_token_count"] = """
     SELECT doc_id,

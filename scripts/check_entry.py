@@ -23,13 +23,15 @@ def norm(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
-def main(sf_dir="/root/testdata/sf0.01"):
+def main(sf_dir="/root/testdata/sf0.01", *only):
     spark = get_spark("check_entry", cores=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:  # check a subset: scripts/check_entry.py <sf_dir> name1 name2 ...
+        qs = {k: v for k, v in qs.items() if k in only}
     n_bad = 0
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir).toPandas()

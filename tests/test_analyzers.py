@@ -135,3 +135,55 @@ def test_uax29_ascii_behavior_unchanged():
     toks = [t for t, _ in analyze_text(
         "Spark_index v1.2 don't MERGE-sort", "standard")]
     assert toks == ["spark_index", "v1.2", "don't", "merge", "sort"]
+
+
+def test_uax29_extend_combining_marks_join_word_runs():
+    # UAX#29 WB4: Extend attaches to the base char — an NFD-decomposed
+    # accent must not split the run, and the mark stays IN the token
+    # (Lucene StandardAnalyzer does no folding)
+    import unicodedata
+    nfd = unicodedata.normalize("NFD", "Café résumé")
+    toks = [t for t, _ in analyze_text(nfd, "standard")]
+    assert toks == [unicodedata.normalize("NFD", "café"),
+                    unicodedata.normalize("NFD", "résumé")]
+
+
+def test_uax29_combining_voice_mark_joins_kana():
+    # U+3099 COMBINING KATAKANA-HIRAGANA VOICED SOUND MARK is Extend:
+    # katakana runs continue through it, hiragana singles absorb it
+    assert [t for t, _ in analyze_text("デ゙ータ", "standard")] == \
+        ["デ゙ータ"]
+    assert [t for t, _ in analyze_text("が", "standard")] == \
+        ["が"]
+
+
+def test_uax29_spacing_voice_mark_is_katakana():
+    # U+309B/309C (SPACING voice marks) have Word_Break=Katakana: they
+    # emit as/join katakana tokens and BREAK from a preceding hiragana
+    # single (they are not Script:Hiragana)
+    assert [t for t, _ in analyze_text("は゛", "standard")] == ["は", "゛"]
+    assert [t for t, _ in analyze_text("カ゛キ", "standard")] == ["カ゛キ"]
+
+
+def test_email_url_patterns_do_not_absorb_cjk():
+    # a CJK codepoint adjacent to an address/URL emits separately instead
+    # of being swallowed into the email/URL token (the sub-grammars use
+    # the CJK-excluding word class, not raw \w)
+    assert [t for t, _ in analyze_text("分abc@x.io", "uax29urlemail")] == \
+        ["分", "abc@x.io"]
+    assert [t for t, _ in analyze_text("分abc@x.io", "classic")] == \
+        ["分", "abc@x.io"]
+    assert [t for t, _ in analyze_text("分http://x.io/a", "uax29urlemail")] == \
+        ["分", "http://x.io/a"]
+
+
+def test_uax29_remaining_deviations_documented():
+    # KNOWN deviations from bit-exact Lucene 4.6 StandardTokenizer after
+    # the r4 Extend tier (documented, not silently wrong):
+    # * Extend coverage is the common combining blocks, not the full
+    #   Grapheme_Extend set (e.g. Indic matras U+093E+ not included)
+    # * ExtendNumLet beyond '_' (e.g. U+2040) does not join runs
+    # vertical kana repeat marks U+3031-3035 (Word_Break=Katakana) DO join
+    # katakana runs as of r4:
+    toks = [t for t, _ in analyze_text("〱ア", "standard")]
+    assert toks == ["〱ア"]

@@ -105,6 +105,73 @@ def test_block_max_is_upper_bound(bm25_setup, spark):
         assert blk["block_max_score"] >= sc.max() - 1e-12
 
 
+def test_block_min_is_lower_bound(bm25_setup, spark):
+    """block_min_score must floor every per-doc score in its block (it seeds
+    the WAND tau without a probe job, so a violated floor silently drops
+    true top-k hits)."""
+    engine, _, _ = bm25_setup
+    from pyspark.sql import functions as F
+    blocks = engine.postings.filter(F.col("field") == "content").limit(50).collect()
+    import numpy as np
+    from xltsearch_spark.functions.varint import decode_varint
+    from xltsearch_spark.functions.norms import quantized_doc_length
+    from xltsearch_spark.plans import scoring
+    stats = engine.stats
+    for blk in blocks:
+        tfs = decode_varint(blk["tfs_bin"], blk["n_docs"]).astype(np.int64)
+        dls = decode_varint(blk["dls_bin"], blk["n_docs"]).astype(np.int64)
+        df = engine.dictionary.filter(
+            (F.col("field") == "content") & (F.col("term") == blk["term"])
+        ).collect()[0]["doc_freq"]
+        idf = scoring.bm25_idf(stats.n_docs, df)
+        dlq = quantized_doc_length(dls)
+        sc = idf * 2.2 * scoring.bm25_tf_norm(tfs, dlq, stats.avgdl["content"], 1.2, 0.75)
+        assert blk["block_min_score"] <= sc.min() + 1e-12
+
+
+def test_wand_metadata_tau_skips_probe(spark):
+    """With exact stats and full blocks, tau comes from block metadata (no
+    probe job); with stale stats the probe fallback runs — both must return
+    the identical top-k as the brute-force path."""
+    from xltsearch_spark.sources.corpus import generate_corpus
+    corpus = generate_corpus(600)
+    cfg = IndexConfig(doc_range_size=64, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    engine.wand_min_df = 1
+    meta_hits = [(r["doc_id"], round(r["score"], 9)) for r in
+                 engine.search_scores("common_token", 5).collect()]
+    assert engine._last_wand_tau_source == "metadata"
+    engine.stats_exact = False  # stored per-doc scores no longer trusted
+    probe_hits = [(r["doc_id"], round(r["score"], 9)) for r in
+                  engine.search_scores("common_token", 5).collect()]
+    assert engine._last_wand_tau_source == "probe"
+    engine.stats_exact = True
+    engine.wand_min_df = 10**12  # brute force
+    brute = [(r["doc_id"], round(r["score"], 9)) for r in
+             engine.search_scores("common_token", 5).collect()]
+    assert meta_hits == probe_hits == brute and len(brute) == 5
+
+
+def test_fuzzy_distributed_path_matches_driver(spark, tiny_corpus):
+    """Above fuzzy_driver_cap the Damerau rerank runs as a pandas UDF with a
+    JVM TakeOrdered(50) — the driver sees <= 50 rows — and must expand to
+    exactly the driver path's (term, sim) set."""
+    cfg = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle = OracleIndex(tiny_corpus, cfg)
+    driver = [(r["doc_id"], r["score"]) for r in
+              engine.search_scores("gradd~2", 100).collect()]
+    assert engine._last_fuzzy_distributed is False
+    engine.fuzzy_driver_cap = 1  # force the distributed rerank
+    dist = [(r["doc_id"], r["score"]) for r in
+            engine.search_scores("gradd~2", 100).collect()]
+    assert engine._last_fuzzy_distributed is True
+    assert [d for d, _ in driver] == [d for d, _ in dist]
+    for (_, a), (_, b) in zip(driver, dist):
+        assert a == pytest.approx(b, rel=1e-9)
+    assert_rank_identical(engine, oracle, ["gradd~2"])
+
+
 def test_wand_topk_rank_identical(spark):
     """Block-max WAND pruning must stay rank-identical: small blocks + small
     k on a larger corpus so pruning genuinely triggers."""

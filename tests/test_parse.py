@@ -89,6 +89,9 @@ def _parse_corpus(spark):
 
 
 def test_parse_content_indexes_extracted_text(spark, tmp_path):
+    """Default = reference parity: a parse-failed doc is NOT indexed at all
+    (ParseTask.java:70-75 sets Status.PASS on failure; IndexTask's
+    `case PASS: break;` skips it)."""
     from xltsearch_spark.catalog import IndexCatalog
     from xltsearch_spark.config import IndexConfig
     cfg = IndexConfig(name="p", parse_content=True, term_buckets=4,
@@ -101,21 +104,41 @@ def test_parse_content_indexes_extracted_text(spark, tmp_path):
     assert sorted(h["path"] for h in hits) == ["p0", "p1"]
     # term that only occurred inside <script> is NOT indexed
     assert eng.search("secretword", 10).collect() == []
-    # binary doc degrades to metadata-only: no content terms...
+    # parse-failed doc is skipped entirely: no content terms, no metadata
+    # row, not counted in N (reference parity)
     assert eng.search("unparseable", 10).collect() == []
-    # ...but stays queryable via keyword fields (Tika degradation)
-    failed = eng.search("parse_status:failed", 10).collect()
-    assert [h["path"] for h in failed] == ["p2"]
+    assert eng.search("parse_status:failed", 10).collect() == []
+    assert {h["path"] for h in eng.search("*:*", 10).collect()} == {"p0", "p1"}
+    assert eng.stats.n_docs == 2
     fmt = eng.search("format:html", 10).collect()
     assert [h["path"] for h in fmt] == ["p0"]
 
 
+def test_parse_keep_failed_extension(spark, tmp_path):
+    """parse_keep_failed=True (documented extension): the failed doc stays
+    as a metadata-only row, queryable via parse_status/format keywords and
+    counted in N."""
+    from xltsearch_spark.catalog import IndexCatalog
+    from xltsearch_spark.config import IndexConfig
+    cfg = IndexConfig(name="pk", parse_content=True, parse_keep_failed=True,
+                      term_buckets=4, quantize_norms=False)
+    cat = IndexCatalog(spark, str(tmp_path / "whk"), cfg)
+    cat.build(_parse_corpus(spark), fingerprint="v1")
+    eng = cat.engine()
+    assert eng.search("unparseable", 10).collect() == []  # no content terms
+    failed = eng.search("parse_status:failed", 10).collect()
+    assert [h["path"] for h in failed] == ["p2"]
+    assert eng.stats.n_docs == 3
+
+
 def test_parse_content_hashsum_is_raw_content(spark, tmp_path):
-    """The sha256 row invariant hashes the INPUT bytes, not extracted text."""
+    """The sha256 row invariant hashes the INPUT bytes, not extracted text
+    (keep_failed=True so the binary doc's hash is checked too)."""
     import hashlib
     from xltsearch_spark.catalog import IndexCatalog
     from xltsearch_spark.config import IndexConfig
-    cfg = IndexConfig(name="p2", parse_content=True, term_buckets=4)
+    cfg = IndexConfig(name="p2", parse_content=True, parse_keep_failed=True,
+                      term_buckets=4)
     cat = IndexCatalog(spark, str(tmp_path / "wh2"), cfg)
     corpus = _parse_corpus(spark)
     cat.build(corpus, fingerprint="v1")
@@ -140,3 +163,65 @@ def test_detection_sniffs_head_window_only(spark):
     assert out[0][0] == "plain"
     # the same marker inside the window is detected
     assert _extract(spark, ["<p>early tag</p>" + "x " * 50])[0][0] == "html"
+
+
+def test_binary_detection_is_full_content(spark):
+    """The binary check is a linear character-class scan, so unlike the
+    markup heuristics it is NOT head-capped: a NUL past the sniff window
+    still degrades the row (Tika detects from the whole stream)."""
+    late_binary = "x " * (parse.SNIFF_LEN // 2) + "tail\x00garbage"
+    out = _extract(spark, [late_binary])
+    assert out[0] == ("binary", False, "")
+
+
+def test_numeric_and_hex_entities_decode(spark):
+    [(_, _, text)] = _extract(spark, [
+        '<p>&#60;a&#62; &#x27;q&#x27; &#34;w&#34; A&#38;B &#x26;amp;</p>'])
+    # &#38; -> '&' decodes ONCE (the output '&amp;' stays literal), same
+    # single-level contract as test_amp_entity_decoded_last
+    assert text == "<a> 'q' \"w\" A&B &amp;"
+
+
+def test_register_custom_parser_end_to_end(spark, tmp_path):
+    """The AutoDetectParser seam: a custom format registered at runtime
+    flows through detection, extraction, and a parse_content=True build."""
+    from pyspark.sql import functions as F
+    from xltsearch_spark.catalog import IndexCatalog
+    from xltsearch_spark.config import IndexConfig
+    parse.register_parser(
+        "csvish",
+        detect=lambda c, h: h.rlike("^#csv\\b"),
+        extract=lambda c: parse._collapse_ws(
+            F.regexp_replace(F.regexp_replace(c, "^#csv", " "), ",", " ")),
+        before="markdown")
+    try:
+        out = _extract(spark, ["#csv alpha,beta,gamma"])
+        assert out[0] == ("csvish", True, "alpha beta gamma")
+        rows = [("r", "p0", "c0", "en", "#csv findme,too", None),
+                ("r", "p1", "c1", "en", "plain text here", None)]
+        corpus = spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, "
+                  "content string, title string")
+        cfg = IndexConfig(name="reg", parse_content=True, term_buckets=4)
+        cat = IndexCatalog(spark, str(tmp_path / "whreg"), cfg)
+        cat.build(corpus, fingerprint="v1")
+        eng = cat.engine()
+        assert [h["path"] for h in eng.search("findme", 10).collect()] == ["p0"]
+        assert [h["path"] for h in
+                eng.search("format:csvish", 10).collect()] == ["p0"]
+    finally:
+        parse.unregister_parser("csvish")
+
+
+def test_register_detection_only_parser_degrades(spark):
+    """extract=None registers detection WITHOUT a parser: rows of that
+    format degrade exactly like binary (ParseTask.java:68-77 contract for
+    formats Tika detects but cannot parse)."""
+    parse.register_parser("pdf", detect=lambda c, h: h.startswith("%PDF-"),
+                          extract=None, before="xml")
+    try:
+        out = _extract(spark, ["%PDF-1.7 stream...", "plain words"])
+        assert out[0] == ("pdf", False, "")
+        assert out[1] == ("plain", True, "plain words")
+    finally:
+        parse.unregister_parser("pdf")

@@ -55,22 +55,42 @@ ENGLISH_STOP_WORDS = frozenset(
 
 # UAX#29 script blocks with special word-break behavior (Lucene 4.6
 # StandardTokenizer): Han ideographs + Hiragana emit one codepoint per
-# token; Katakana (incl. halfwidth + prolonged-sound mark) and Hangul
-# (syllables + jamo) emit runs. U+30FB KATAKANA MIDDLE DOT and U+30A0
-# are punctuation (excluded so they break runs, as UAX#29 does).
-_IDEO = "㐀-䶿一-鿿豈-﫿"
-_HIRA = "぀-ゟ"
-_KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ"
-_HANGUL = "ᄀ-ᇿ가-힣"
+# token; Katakana (incl. halfwidth, prolonged-sound mark, and the SPACING
+# voice marks U+309B-309C, whose Word_Break property IS Katakana) and
+# Hangul (syllables + jamo) emit runs. U+30FB KATAKANA MIDDLE DOT and
+# U+30A0 are punctuation (excluded so they break runs, as UAX#29 does).
+# Hiragana = Script:Hiragana proper (U+3041-3096 + iteration marks /
+# digraph U+309D-309F): the voice/combining marks inside the U+3040 block
+# are NOT Hiragana and must not emit as single-char tokens.
+_IDEO = "\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff"
+_HIRA = "\u3041-\u3096\u309d-\u309f"
+_KATA = ("\u30a1-\u30fa\u30fc-\u30ff\u31f0-\u31ff\uff66-\uff9f"
+         "\u309b\u309c\u3031-\u3035")  # + vertical kana repeat marks (WB=Katakana)
+_HANGUL = "\u1100-\u11ff\uac00-\ud7a3"
+# UAX#29 Extend (partial coverage): combining marks attach to the
+# preceding base character and never break a token (WB4: X (Extend)* — the
+# jflex grammar's {...Ex} aliases). Covered blocks: combining diacriticals
+# + extended + supplement, combining marks for symbols, combining half
+# marks, and the kana combining voice marks U+3099-309A. Wider Extend
+# categories (e.g. Indic matras) remain documented deviations — see
+# tests/test_analyzers.py.
+_EXT = ("\u0300-\u036f\u1ab0-\u1aff\u1dc0-\u1dff\u20d0-\u20ff"
+        "\ufe20-\ufe2f\u3099\u309a")
 # a "word" char = \w minus the CJK blocks above (identical to plain \w on
 # ASCII/Latin text, so the pre-CJK fixtures tokenize unchanged)
 _WC = f"[^\\W{_IDEO}{_HIRA}{_KATA}{_HANGUL}]"
+_WCX = f"{_WC}[{_EXT}]*"       # word char + attached combining marks
 _STANDARD_PATTERN = (
-    f"[{_KATA}]+|[{_HANGUL}]+|[{_IDEO}{_HIRA}]|"
-    rf"{_WC}+(?:[.']{_WC}+)*")
-_EMAIL_PATTERN = r"\w+(?:[.+-]\w+)*@\w+(?:[.-]\w+)+"
+    f"(?:[{_KATA}][{_EXT}]*)+|(?:[{_HANGUL}][{_EXT}]*)+|"
+    f"[{_IDEO}{_HIRA}][{_EXT}]*|"
+    rf"(?:{_WCX})+(?:[.'](?:{_WCX})+)*")
+# email/URL sub-grammars use the SAME CJK-excluding word class: a CJK
+# codepoint adjacent to an address must emit as its own token, never be
+# absorbed into the email/URL token (raw \w here would swallow it — e.g.
+# '分abc@x.io' must tokenize as 分 + abc@x.io)
+_EMAIL_PATTERN = rf"{_WC}+(?:[.+-]{_WC}+)*@{_WC}+(?:[.-]{_WC}+)+"
 _ACRONYM_PATTERN = r"(?:[A-Za-z]\.){2,}"
-_URL_PATTERN = r"\w+://[^\s<>\"']+"
+_URL_PATTERN = rf"{_WC}+://[^\s<>\"']+"
 
 _PATTERNS = {
     "standard": re.compile(_STANDARD_PATTERN),

@@ -53,11 +53,17 @@ class IndexConfig:
     term_buckets: int = 64           # postings table term-hash partition count
     # run the B3 parse/extract stage (operators/parse.py) on `content`
     # before tokenization — the reference's Tika step inside the pipeline
-    # (ParseTask.java:55-77): markup becomes text, binary content degrades
-    # to a metadata-only doc (parse_status=failed), and `format` /
+    # (ParseTask.java:55-77): markup becomes text, and `format` /
     # `parse_status` become queryable keyword fields. hashsum stays the
     # sha256 of the RAW content (the row invariant hashes input bytes).
     parse_content: bool = False
+    # parse-failure contract: False (default) = reference parity — a doc
+    # whose parse fails is NOT indexed at all (ParseTask sets Status.PASS
+    # on error, ParseTask.java:70-75, and IndexTask's `case PASS: break;`
+    # skips it). True = EXTENSION beyond the reference: failed docs stay
+    # indexed metadata-only (parse_status:failed queryable, counted in
+    # N/avgdl) so they remain discoverable.
+    parse_keep_failed: bool = False
     # position gap between instances of a MULTI-VALUED field (Tika metadata,
     # Config.java:112-144; one Lucene field added per value,
     # IndexTask.java:74-78). 0 = vanilla Analyzer.getPositionIncrementGap:

@@ -90,6 +90,10 @@ POSTING_SCHEMA = StructType([
     StructField("skip_first_doc", LongType()),
     StructField("skip_last_doc", LongType()),
     StructField("block_max_score", DoubleType()),
+    # exact per-block score FLOOR: lets the engine seed the WAND threshold
+    # tau from metadata alone (a full block of n_docs >= k proves the k-th
+    # best score >= block_min_score), skipping the probe-scoring job
+    StructField("block_min_score", DoubleType()),
     # stats-independent bound ingredients: an upper bound that stays valid
     # after incremental updates shift N/df/avgdl (block_max_score is exact
     # only for the stats at build time)
@@ -412,7 +416,8 @@ def make_block_merge_udf():
                 if not dead:
                     out.append((r.field, r.term, r.bucket, r.block_id,
                                 r.n_docs, r.skip_first_doc, r.skip_last_doc,
-                                r.block_max_score, r.max_tf, r.min_dl,
+                                r.block_max_score, r.block_min_score,
+                                r.max_tf, r.min_dl,
                                 r.docs_bin, r.tfs_bin, r.dls_bin, r.pos_bin))
                     continue
                 nd = int(r.n_docs)
@@ -432,9 +437,14 @@ def make_block_merge_udf():
                 else:
                     pos_out = r.pos_bin
                 kd, kt, kl = docs[keep], tfs[keep], dls[keep]
+                # old block_min_score stays a valid FLOOR for the kept subset
+                # (min over a subset can only rise); the stored value is kept,
+                # like block_max_score, and the post-merge stats_exact=False
+                # gate keeps the engine from seeding tau off it anyway
                 out.append((r.field, r.term, r.bucket, r.block_id,
                             int(keep.sum()), int(kd.min()), int(kd.max()),
-                            r.block_max_score, int(kt.max()), int(kl.min()),
+                            r.block_max_score, r.block_min_score,
+                            int(kt.max()), int(kl.min()),
                             encode_deltas(kd),
                             encode_varint(kt.astype(np.uint64)),
                             encode_varint(kl.astype(np.uint64)), pos_out))
@@ -550,6 +560,7 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
         blk_tidx = tidx[blk_starts]
         # block metadata via segment reductions
         blk_max_score = np.maximum.reduceat(scores, blk_starts)
+        blk_min_score = np.minimum.reduceat(scores, blk_starts)
         blk_max_tf = np.maximum.reduceat(tfs, blk_starts)
         blk_min_dl = np.minimum.reduceat(dls, blk_starts)
         skip_first = abs_ids[blk_starts]
@@ -585,8 +596,8 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
             out.append((run_fields[t], run_terms[t], int(run_buckets[t]),
                         int(blk_ids[i]), int(blk_ends[i] - blk_starts[i]),
                         int(skip_first[i]), int(skip_last[i]),
-                        float(blk_max_score[i]), int(blk_max_tf[i]),
-                        int(blk_min_dl[i]),
+                        float(blk_max_score[i]), float(blk_min_score[i]),
+                        int(blk_max_tf[i]), int(blk_min_dl[i]),
                         docs_buf[docs_off[i]:docs_end[i]],
                         tfs_raw[tf_off[i]:tf_end[i]],
                         dls_raw[dl_off[i]:dl_end[i]],
@@ -621,9 +632,14 @@ class IndexBuilder:
             df = df.withColumn("hashsum", F.sha2(F.col("content").cast("binary"), 256))
         if self.config.parse_content:
             # B3 Tika stage inside the pipeline (ParseTask.java:55-77):
-            # markup -> text; binary keeps its row metadata-only
+            # markup -> text. Failure contract per config.parse_keep_failed:
+            # default = reference parity (failed docs skipped entirely,
+            # IndexTask's `case PASS: break;`); True = metadata-only rows
+            # survive as a documented extension.
             from xltsearch_spark.operators.parse import extract_text
             df = extract_text(df, "content", out_col="_extracted")
+            if not self.config.parse_keep_failed:
+                df = df.filter(F.col("parse_ok"))
             df = (df.withColumn("content", F.col("_extracted"))
                   .withColumn("parse_status",
                               F.when(F.col("parse_ok"), F.lit("ok"))

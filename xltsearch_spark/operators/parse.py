@@ -1,29 +1,48 @@
 """B3 — document parsing / text extraction (the reference's Tika stage).
 
 The reference pipes every file through Tika's ``AutoDetectParser``
-(ParseTask.java:55-77): content-type detection, markup-to-text extraction,
-and the failure-degradation contract — a document whose body fails to parse
-is still indexed with its metadata, flagged as a parse failure
-(ParseTask.java:70-75 catches per-document and keeps going).
+(ParseTask.java:55-77): content-type detection and markup-to-text
+extraction. The FAILURE contract differs by level:
 
-Spark-first re-expression: both stages are pure column expressions
-(``F.when`` + ``F.regexp_replace`` chains), so they run inside whole-stage
-codegen on the JVM — no UDF, no Python worker, trivially scalable: the
-plan is a map-only projection with full predicate pushdown below it.
+* Operator level (``extract_text``): rows NEVER drop — every input row
+  comes back with ``format`` / ``parse_ok`` / extracted-text columns and
+  the caller decides. Unparseable (binary) content yields ``parse_ok=false``
+  and an empty body.
+* Pipeline level (``parse_content=True`` builds): the reference SKIPS a
+  parse-failed document entirely — ``ParseTask`` catches per-document and
+  sets ``Status.PASS`` (ParseTask.java:70-75), and ``IndexTask``'s
+  ``case PASS: break;`` never indexes it. The build mirrors that: failed
+  rows are DROPPED by default. ``parse_keep_failed=True`` is a documented
+  EXTENSION beyond the reference: failed docs stay indexed metadata-only
+  (``parse_status:failed`` is queryable), counted in N/avgdl.
 
-Supported formats (the text-bearing subset that matters for a plain-text /
-source-code corpus; binary formats like PDF/DOCX need external parser libs
-not present in this sandbox and degrade per the contract):
+Spark-first re-expression: detection and extraction are pure column
+expressions (``F.when`` + ``F.regexp_replace`` chains), so they run inside
+whole-stage codegen on the JVM — no UDF, no Python worker; the plan is a
+map-only projection with full predicate pushdown below it.
 
-* ``html`` / ``xml``  — drop <script>/<style> subtrees and comments, strip
+Pluggable parser registry — the ``AutoDetectParser`` seam: each format is a
+``ParserSpec(name, detect, extract)`` held in priority order. ``detect``
+receives (full content, head window) and returns a boolean Column;
+``extract`` maps the content Column to extracted text, or is ``None`` for
+formats that are *detected* but not parseable here (they degrade exactly
+like ``binary``). A real deployment registers e.g. a PDF extractor with
+``register_parser`` without touching the pipeline; this sandbox ships the
+text-bearing built-ins (html/xml/markdown + binary detection) because
+binary-format parser libraries are not available here.
+
+Built-in formats:
+
+* ``binary``   — NUL/C0-control detection over the FULL content (the check
+  is a linear scan, so unlike the markup heuristics it needs no head cap;
+  a control byte after the sniff window still degrades the row, matching
+  Tika's stream-wide behavior). No extractor: ``parse_ok=false``.
+* ``xml`` / ``html`` — drop <script>/<style> subtrees and comments, strip
   tags (replaced by a space, as Tika's ToTextContentHandler inserts
-  whitespace between elements), decode the five XML entities + ``&nbsp;``.
-* ``markdown``        — strip ATX heading markers, code-fence markers,
+  whitespace between elements), decode entities per ``XML_ENTITIES``.
+* ``markdown`` — strip ATX heading markers, code-fence markers,
   emphasis/backtick runs, and rewrite ``[text](url)`` links to ``text``.
-* ``plain``           — identity.
-* ``binary``          — detection only: content containing NUL/control
-  bytes sets ``parse_ok=false`` and extracts an empty body; the row (and
-  its metadata columns) stays in the output, mirroring Tika's degradation.
+* ``plain``    — identity (the fallback when nothing detects).
 
 All regexes are deliberately RE2-compatible (no lookaround, no backrefs in
 patterns) so the DuckDB oracle can run the byte-identical chain.
@@ -31,9 +50,12 @@ patterns) so the DuckDB oracle can run the byte-identical chain.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-# format sniffing, in priority order (first match wins) -------------------
+# format sniffing regexes, used by the built-in specs ---------------------
 # NUL or C0 control chars (minus \t \n \r) => binary payload
 _BINARY_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
 _XML_DECL_RE = "^\\s*<\\?xml"
@@ -45,29 +67,32 @@ _MARKDOWN_RE = "(?m)(^#{1,6} )|(^```)|(\\[[^\\]]+\\]\\([^)]+\\))"
 
 
 # Tika sniffs a bounded head window (its detectors read a prefix, not the
-# whole stream); we do the same. This is also the scale guard: _TAG_RE's
-# `.*` backtracks O(tags x bytes) on pathological markup, so detection
-# regexes must never see an unbounded document — 4 KiB caps that cost,
-# while the extraction chain below stays full-doc and linear.
+# whole stream); the markup/markdown heuristics do the same. This is also
+# the scale guard: _TAG_RE's `.*` backtracks O(tags x bytes) on pathological
+# markup, so those detection regexes must never see an unbounded document —
+# 4 KiB caps that cost. The BINARY check is exempt: a character-class scan
+# is linear, so it runs over the full content (a control byte after the
+# window must still degrade the row). The extraction chain below is
+# full-doc and linear too.
 SNIFF_LEN = 4096
 
-
-def detect_format(content: Column, sniff_len: int = SNIFF_LEN) -> Column:
-    """Content-type sniffing as a single JVM CASE expression.
-
-    Mirrors Tika detection priorities: container/binary signatures first,
-    declared markup prologs next, then content heuristics, else plain —
-    all evaluated on the first ``sniff_len`` chars only.
-    """
-    head = F.substring(content, 1, sniff_len)
-    return (
-        F.when(content.isNull(), F.lit("binary"))
-        .when(head.rlike(_BINARY_RE), F.lit("binary"))
-        .when(head.rlike(_XML_DECL_RE), F.lit("xml"))
-        .when(head.rlike(_HTML_RE), F.lit("html"))
-        .when(head.rlike(_TAG_RE), F.lit("html"))
-        .when(head.rlike(_MARKDOWN_RE), F.lit("markdown"))
-        .otherwise(F.lit("plain")))
+# entity -> character decode table (literal replaces; none of these emit
+# '&', so order among them is irrelevant and no cascade is possible).
+# Numeric/hex forms: a regexp chain cannot compute arbitrary codepoints, so
+# the frequent markup-relevant ones are mapped and the rest pass through
+# literally — a documented gap vs Tika's full entity decoding.
+XML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&#34;", "\""), ("&#60;", "<"), ("&#62;", ">"), ("&#160;", " "),
+    ("&#x22;", "\""), ("&#x27;", "'"), ("&#x3c;", "<"), ("&#x3e;", ">"),
+)
+# every '&'-PRODUCING entity (&amp; / &#38; / &#x26;) decodes in ONE regexp
+# pass, run LAST: regex replacement output is never rescanned, so
+# '&amp;lt;' -> '&lt;' and '&#38;amp;' -> '&amp;' each decode exactly one
+# level (a sequence of literal replaces cannot achieve this — whichever
+# amp-form ran later would re-decode the earlier one's output).
+AMP_ENTITY_RE = "&(amp;|#38;|#x26;)"
 
 
 def _strip_markup(c: Column) -> Column:
@@ -76,11 +101,9 @@ def _strip_markup(c: Column) -> Column:
     c = F.regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, "<[^>]*>", " ")
-    # entity decode; &amp; LAST so '&amp;lt;' becomes '&lt;' not '<'
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
-                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+    for ent, ch in XML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
-    return c
+    return F.regexp_replace(c, AMP_ENTITY_RE, "&")
 
 
 def _strip_markdown(c: Column) -> Column:
@@ -98,24 +121,119 @@ def _collapse_ws(c: Column) -> Column:
     return F.trim(F.regexp_replace(c, "\\s+", " "))
 
 
+# ------------------------- parser registry -------------------------------
+@dataclass(frozen=True)
+class ParserSpec:
+    """One registered format.
+
+    ``detect(content, head)`` -> boolean Column; specs are tried in registry
+    order, first match wins (Tika detector priority). ``extract(content)``
+    -> extracted-text Column, or ``None`` when the format is detectable but
+    not parseable in this deployment — such rows degrade exactly like
+    ``binary`` (``parse_ok=false``, empty body, metadata survives)."""
+    name: str
+    detect: Callable[[Column, Column], Column]
+    extract: Callable[[Column], Column] | None
+
+
+_BUILTINS = (
+    # binary first (container signatures beat declared markup in Tika);
+    # NULL content is unreadable-stream degradation
+    ParserSpec("binary",
+               lambda c, h: c.isNull() | c.rlike(_BINARY_RE), None),
+    ParserSpec("xml",
+               lambda c, h: h.rlike(_XML_DECL_RE),
+               lambda c: _collapse_ws(_strip_markup(c))),
+    ParserSpec("html",
+               lambda c, h: h.rlike(_HTML_RE) | h.rlike(_TAG_RE),
+               lambda c: _collapse_ws(_strip_markup(c))),
+    ParserSpec("markdown",
+               lambda c, h: h.rlike(_MARKDOWN_RE),
+               lambda c: _collapse_ws(_strip_markdown(c))),
+)
+
+# insertion order = detection priority; "plain" is the implicit fallback
+# (identity + whitespace collapse) and cannot be unregistered
+_REGISTRY: dict[str, ParserSpec] = {p.name: p for p in _BUILTINS}
+
+
+def registered_parsers() -> tuple[str, ...]:
+    """Format names in detection-priority order (excluding the 'plain'
+    fallback)."""
+    return tuple(_REGISTRY)
+
+
+def register_parser(name: str,
+                    detect: Callable[[Column, Column], Column],
+                    extract: Callable[[Column], Column] | None,
+                    before: str | None = None) -> None:
+    """Register (or replace) a format parser — the AutoDetectParser seam.
+
+    ``before`` inserts the spec ahead of an existing format in detection
+    priority (default: lowest priority, just above the 'plain' fallback).
+    Pass ``extract=None`` to register detection-only (rows of that format
+    degrade like binary)."""
+    spec = ParserSpec(name, detect, extract)
+    if before is not None:
+        if before not in _REGISTRY:
+            raise KeyError(f"unknown format to insert before: {before!r}")
+        items = []
+        for k, v in list(_REGISTRY.items()):
+            if k == before:
+                items.append((name, spec))
+            if k != name:
+                items.append((k, v))
+        _REGISTRY.clear()
+        _REGISTRY.update(items)
+    else:
+        _REGISTRY.pop(name, None)
+        _REGISTRY[name] = spec
+
+
+def unregister_parser(name: str) -> None:
+    if name not in _REGISTRY:
+        raise KeyError(f"format not registered: {name!r}")
+    del _REGISTRY[name]
+
+
+def detect_format(content: Column, sniff_len: int = SNIFF_LEN) -> Column:
+    """Content-type sniffing as a single JVM CASE expression over the
+    registry (first matching spec wins, else 'plain')."""
+    head = F.substring(content, 1, sniff_len)
+    expr = None
+    for spec in _REGISTRY.values():
+        cond = spec.detect(content, head)
+        expr = F.when(cond, F.lit(spec.name)) if expr is None \
+            else expr.when(cond, F.lit(spec.name))
+    if expr is None:
+        return F.lit("plain")
+    return expr.otherwise(F.lit("plain"))
+
+
 def extract_text(df: DataFrame, content_col: str = "content",
                  out_col: str = "extracted") -> DataFrame:
     """Add ``format``, ``parse_ok`` and ``out_col`` columns.
 
-    One map-only projection; rows never drop (Tika degradation: binary /
-    unparseable content yields ``parse_ok=false`` with an empty body while
-    the metadata columns survive to be indexed).
+    One map-only projection; rows never drop at THIS level (the
+    ``parse_content=True`` build applies the reference's skip-on-failure
+    afterwards — see the module docstring for the two-level contract).
     """
     c = F.col(content_col)
     fmt = detect_format(c)
-    markup = _collapse_ws(_strip_markup(c))
-    md = _collapse_ws(_strip_markdown(c))
+    extracted = None
+    failed_cond = None
+    for spec in _REGISTRY.values():
+        hit = fmt == F.lit(spec.name)
+        if spec.extract is None:
+            failed_cond = hit if failed_cond is None else (failed_cond | hit)
+            branch = F.lit("")
+        else:
+            branch = spec.extract(c)
+        extracted = F.when(hit, branch) if extracted is None \
+            else extracted.when(hit, branch)
     plain = _collapse_ws(c)
-    extracted = (
-        F.when(fmt == "binary", F.lit(""))
-        .when((fmt == "html") | (fmt == "xml"), markup)
-        .when(fmt == "markdown", md)
-        .otherwise(plain))
+    extracted = plain if extracted is None else extracted.otherwise(plain)
+    parse_ok = F.lit(True) if failed_cond is None else ~failed_cond
     return (df.withColumn("format", fmt)
-            .withColumn("parse_ok", fmt != F.lit("binary"))
+            .withColumn("parse_ok", parse_ok)
             .withColumn(out_col, extracted))

@@ -35,9 +35,17 @@ _MOD = 1 << 31
 
 
 def bucket_hash(id_col: Column, salt: int = 0) -> Column:
-    """(((id + salt) mod 2^31) * 2654435761) mod 2^31, overflow-free in
-    int64: the folded operand < 2^31 keeps the product < 2^63."""
-    folded = (id_col.cast("long") + F.lit(salt)) % F.lit(_MOD)
+    """(((id + salt) pmod 2^31) * 2654435761) mod 2^31, overflow-free in
+    int64: the folded operand < 2^31 keeps the product < 2^63.
+
+    ``pmod`` (not ``%``) for the fold: Spark's ``%`` keeps the dividend's
+    sign, so a negative id+salt would fold negative, go right through the
+    split bounds, and diverge from any engine that mods into [0, 2^31).
+    After a non-negative fold the product is non-negative, so the outer
+    reduction needs no pmod. For non-negative id+salt (the common case —
+    doc_ids are dense from 0) pmod == %, so existing splits are unchanged
+    and the DuckDB oracle expression stays bit-identical."""
+    folded = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(_MOD))
     return (folded * F.lit(_KNUTH)) % F.lit(_MOD)
 
 

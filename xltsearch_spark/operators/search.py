@@ -129,6 +129,16 @@ class SearchEngine:
         # posting volume dwarfs job overhead (cluster scale), not at the
         # sandbox's 10^5-doc indexes
         self.wand_min_df = 200_000
+        # fuzzy expansion: candidate count above which the exact Damerau
+        # rerank runs distributed (pandas UDF + JVM TakeOrdered(50)) instead
+        # of on the driver. The driver path saves a Python-worker stage
+        # (~2 s/query in local mode) and is safe for the common case — the
+        # length-window + 2x-lev prefilter usually leaves a handful of terms
+        # — but a short query term over a 10^8-term dictionary can defeat
+        # the prefilter, so the collect is hard-capped here.
+        self.fuzzy_driver_cap = 10_000
+        self._last_fuzzy_distributed = False   # introspection for tests
+        self._last_wand_tau_source: str | None = None
         from xltsearch_spark.operators.build import KEYWORD_FIELDS
         self.parser = QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
 
@@ -175,15 +185,16 @@ class SearchEngine:
         """(doc_id, score) top-k without the stored-field join.
 
         Pure term / disjunctive BM25 queries go through the block-max WAND
-        path (north-star mandate): a cheap probe of each term's best block
-        establishes a score floor tau, then the full scan SKIPS every block
-        whose upper bound (own block-max + other terms' global maxima)
-        cannot beat tau — the skip condition is a pushed-down parquet filter
-        on the block_max_score column, so pruned blocks are never read."""
-        wand = self._wand_topk(query, limit)
+        path (north-star mandate): a score floor tau is established — from
+        block metadata alone when a full block proves it, else by probing
+        each term's best block — then the full scan SKIPS every block whose
+        upper bound (own block-max + other terms' global maxima) cannot beat
+        tau; the skip condition is a pushed-down parquet filter on the
+        block_max_score column, so pruned blocks are never read."""
+        wand, idf_map = self._wand_topk(query, limit)
         if wand is not None:
             return wand
-        scored = self.score_all(query)
+        scored = self.score_all(query, _idf_map=idf_map)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     # --------------------- block-max WAND top-k ----------------------------
@@ -197,30 +208,42 @@ class SearchEngine:
             return [sub for _, sub in ast.clauses]
         return None
 
-    def _wand_topk(self, query: str, limit: int):
+    def _wand_topk(self, query: str, limit: int) -> tuple[DataFrame | None, dict | None]:
+        """(top-k DataFrame | None, idf_map | None).
+
+        ONE driver round-trip gathers everything the threshold logic needs:
+        the block-metadata aggregate over the pruned postings scan also
+        yields per-term doc freq (sum of block n_docs == the dictionary's
+        doc_freq by construction), so there is no separate dictionary job.
+        When the path declines (non-WAND shape / volume below the gate) the
+        idf_map is handed back so the general path reuses it instead of
+        re-collecting doc freqs."""
         if self.config.scoring_model != "bm25" or self.has_tombstones:
-            return None
+            return None, None
         ast = self._rewrite(self.parser.parse(query))
         leaves = self._wand_terms(ast)
         if leaves is None or len({(t.field, t.term) for t in leaves}) != len(leaves):
-            return None  # duplicate terms with separate boosts -> general path
+            return None, None  # duplicate terms w/ separate boosts -> general path
         terms = sorted({(t.field, t.term) for t in leaves})
         boost = {(t.field, t.term): t.boost for t in leaves}
-        idf_map = self._doc_freqs(terms)
-        # WAND pays for its probe round-trips only when the posting volume is
-        # substantial; tiny scans are cheaper brute-force (general path)
-        if sum(idf_map.values()) < max(self.wand_min_df, 20 * limit):
-            return None
         cond = self._terms_cond(terms, [])
-        # global per-term score ceilings from block metadata (tiny agg scan:
-        # only the metadata columns are read, binaries pruned away)
-        meta = (self.postings.filter(cond)
-                .groupBy("field", "term")
-                .agg(F.max("block_max_score").alias("bm"),
-                     F.max("max_tf").alias("mtf"), F.min("min_dl").alias("mdl"),
-                     F.sum("n_docs").alias("nd")).collect())
-        if not meta:
-            return self._empty_scores().limit(limit)
+        # ONE metadata agg scan (column-pruned: binaries never read) serves
+        # as doc-freq lookup + ceiling ingredients + tau floor seed
+        has_bmin = "block_min_score" in self.postings.columns
+        aggs = [F.max("block_max_score").alias("bm"),
+                F.max("max_tf").alias("mtf"), F.min("min_dl").alias("mdl"),
+                F.sum("n_docs").alias("nd")]
+        if has_bmin:
+            # a block with n_docs >= limit proves >= limit distinct docs each
+            # scoring >= its block_min_score -> a valid tau floor, no probe
+            aggs.append(F.max(F.when(F.col("n_docs") >= limit,
+                                     F.col("block_min_score"))).alias("bmin_full"))
+        meta = self.postings.filter(cond).groupBy("field", "term").agg(*aggs).collect()
+        idf_map = {(r["field"], r["term"]): int(r["nd"]) for r in meta}
+        # WAND pays for its threshold round-trips only when the posting
+        # volume is substantial; tiny scans are cheaper brute-force
+        if sum(idf_map.values()) < max(self.wand_min_df, 20 * limit):
+            return None, idf_map
         ub_raw = {(r["field"], r["term"]): float(r["bm"]) for r in meta}
         # per-term ceiling from (max_tf, min_dl) with CURRENT stats — stays
         # an upper bound after incremental segments (stored maxima are stale)
@@ -234,8 +257,21 @@ class SearchEngine:
             ub[key] = boost.get(key, 1.0) * idf * (k1c + 1) * tfn
         total_docs = sum(int(r["nd"]) for r in meta)
         tau = None
-        if total_docs > 4 * limit:
-            # phase 1: score each term's best block(s) -> floor tau.
+        self._last_wand_tau_source = None  # introspection for tests/audits
+        if self.stats_exact and has_bmin:
+            # tau seeded from metadata alone: any full block's min score is a
+            # floor on the k-th best final score (other terms contribute >= 0
+            # in a disjunction; boost scales the whole block uniformly).
+            # Valid only while stored per-doc scores are exact (stats_exact).
+            seeds = [boost.get((r["field"], r["term"]), 1.0) * float(r["bmin_full"])
+                     for r in meta
+                     if r["bmin_full"] is not None
+                     and boost.get((r["field"], r["term"]), 1.0) > 0]
+            if seeds:
+                tau = max(seeds)
+                self._last_wand_tau_source = "metadata"
+        if tau is None and total_docs > 4 * limit:
+            # fallback probe: score each term's best block(s) -> floor tau.
             # (equality filter on the known per-term max — no window shuffle)
             probe_cond = None
             for (f, t), m in ub_raw.items():
@@ -248,6 +284,7 @@ class SearchEngine:
                                .limit(limit).collect()
             if len(rows) == limit:
                 tau = float(rows[-1]["score"])
+                self._last_wand_tau_source = "probe"
         scan = self.postings.filter(cond)
         if tau is not None:
             # prune: block of term t is competitive only if its own upper
@@ -289,7 +326,7 @@ class SearchEngine:
             scan = scan.filter(prune)
         self._last_wand_scan = scan
         out = self._wand_score(scan, idf_map, boost, limit)
-        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit), idf_map
 
     def _wand_score(self, blocks: DataFrame, idf_map, boost, limit: int) -> DataFrame:
         """Decode + per-doc disjunctive BM25 sum over a block subset."""
@@ -381,11 +418,14 @@ class SearchEngine:
         shown = n if limit is None else min(n, limit)
         return n, f"{shown} results"
 
-    def score_all(self, query: str) -> DataFrame:
-        """(doc_id, score) for EVERY matching doc (no limit) — oracle checks."""
+    def score_all(self, query: str, _idf_map: dict | None = None) -> DataFrame:
+        """(doc_id, score) for EVERY matching doc (no limit) — oracle checks.
+
+        ``_idf_map``: doc freqs already collected by a declined WAND attempt
+        (same (field, term) keys by construction) — skips the re-collect."""
         ast = self._rewrite(self.parser.parse(query))
         terms, preds = self._collect_leaves(ast)
-        idf_map = self._doc_freqs(terms)
+        idf_map = _idf_map if _idf_map is not None else self._doc_freqs(terms)
         decoded = self._decode_postings(terms, preds, idf_map, needs_positions(ast))
         if self.config.scoring_model == "bm25":
             out = self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=None)
@@ -417,13 +457,14 @@ class SearchEngine:
             # (|len(t)-len(q)| <= maxEdits is necessary for ed <= maxEdits)
             # plus a lossless levenshtein prefilter (lev <= 2*damerau, so
             # lev <= 2*maxEdits keeps every true candidate) cut the
-            # dictionary scan before the exact Damerau distance runs in a
-            # vectorized pandas UDF over the few survivors; distinct()
-            # merges per-segment duplicates, and the 4.6 top-50 similarity
-            # cut (TopTermsScoringBooleanQueryRewrite) runs as a TakeOrdered
-            # LIMIT — the driver only ever sees <= 50 rows. (Lucene walks a
-            # Levenshtein automaton with transpositions over the sorted term
-            # dict; the length window is the analogous scan pruner here.)
+            # dictionary scan; distinct() merges per-segment duplicates.
+            # The exact Damerau rerank + 4.6 top-50 cut
+            # (TopTermsScoringBooleanQueryRewrite) then run driver-side for
+            # small candidate sets, or as a pandas UDF + JVM TakeOrdered(50)
+            # above `fuzzy_driver_cap` — see _fuzzy_expansion for the gate.
+            # (Lucene walks a Levenshtein automaton with transpositions over
+            # the sorted term dict; the length window is the analogous scan
+            # pruner here.)
             clauses = tuple((SHOULD, TermQuery(ast.field, term,
                                                ast.boost * sim))
                             for term, sim in self._fuzzy_expansion(ast))
@@ -448,21 +489,53 @@ class SearchEngine:
         """Top-50 (term, sim) fuzzy expansion — see _rewrite.
 
         Distance = true Damerau-Levenshtein (transpositions count 1 edit),
-        matching Lucene 4.6 FuzzyQuery's transpositions=true default. The
-        exact distance runs DRIVER-SIDE over the collected JVM-pruned
-        candidates (a handful of short strings after the length window +
-        2x-lev prefilter): a pandas UDF here costs a ~2 s Python-worker
-        stage per query for microseconds of actual distance math."""
+        matching Lucene 4.6 FuzzyQuery's transpositions=true default.
+
+        Two gated paths, identical semantics (same distance, same
+        (-sim, term) ordering, same top-50 cut):
+
+        * <= ``fuzzy_driver_cap`` pruned candidates: the exact distance runs
+          DRIVER-SIDE over the already-collected probe rows — a pandas UDF
+          would cost a ~2 s Python-worker stage per query for microseconds
+          of distance math.
+        * above the cap (short query term whose ``lev <= 2*maxEdits``
+          prefilter admits a large slice of a huge dictionary): the rerank
+          runs DISTRIBUTED — a vectorized pandas UDF computes the exact
+          Damerau distance per partition, and the 4.6 top-50 cut is a JVM
+          ``orderBy(sim desc, term).limit(50)`` (TakeOrderedAndProject), so
+          the driver only ever sees <= 50 rows regardless of dictionary
+          size. The probe itself is a LIMIT cap+1 collect — one job, bounded
+          rows, and its output is reused by the driver path."""
         qterm, cap, qlen = ast.term, ast.max_edits, len(ast.term)
-        cands = [r["term"] for r in self._fuzzy_candidates_df(ast).collect()]
-        scored = []
-        for t in cands:
-            ed = _damerau_capped(qterm, t, cap)
-            if ed <= cap:
-                sim = 1.0 if ed == 0 else 1.0 - ed / min(len(t), qlen)
-                scored.append((t, sim))
-        scored.sort(key=lambda x: (-x[1], x[0]))
-        return scored[:FUZZY_TOP_TERMS]
+        cands_df = self._fuzzy_candidates_df(ast)
+        probe = cands_df.limit(self.fuzzy_driver_cap + 1).collect()
+        if len(probe) <= self.fuzzy_driver_cap:
+            self._last_fuzzy_distributed = False
+            scored = []
+            for r in probe:
+                t = r["term"]
+                ed = _damerau_capped(qterm, t, cap)
+                if ed <= cap:
+                    sim = 1.0 if ed == 0 else 1.0 - ed / min(len(t), qlen)
+                    scored.append((t, sim))
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            return scored[:FUZZY_TOP_TERMS]
+        self._last_fuzzy_distributed = True
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("integer")
+        def damerau(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: _damerau_capped(qterm, t, cap))
+
+        rows = (cands_df.withColumn("ed", damerau(F.col("term")))
+                .filter(F.col("ed") <= cap)
+                .withColumn("sim", F.when(F.col("ed") == 0, F.lit(1.0))
+                            .otherwise(F.lit(1.0) - F.col("ed") /
+                                       F.least(F.length("term"), F.lit(qlen))
+                                       .cast("double")))
+                .orderBy(F.desc("sim"), F.asc("term"))
+                .limit(FUZZY_TOP_TERMS).collect())
+        return [(r["term"], float(r["sim"])) for r in rows]
 
     # --------------------- pruned posting scan + decode --------------------
     def _collect_leaves(self, ast):

@@ -42,8 +42,9 @@ from xltsearch_spark.plans.parser import (
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.rewrite import ConstScoreTerms, rewrite
 
-ANALYZED_FIELDS = ("content", "title")
-KEYWORD_FIELDS = ("repo", "path", "commit", "lang", "hashsum")
+# single source of truth with the engine (drift between the two silently
+# breaks keyword-field query parity — e.g. a `format:html` query)
+from xltsearch_spark.operators.build import ANALYZED_FIELDS, KEYWORD_FIELDS
 
 
 class OracleIndex:
