@@ -39,6 +39,20 @@ def main() -> int:
     from xltsearch_spark.sources.corpus import generate_corpus
     import __spark_entry__ as entry_mod
 
+    # host-load telemetry: this sandbox suffers intermittent 2-8x
+    # hypervisor-level slowdowns invisible to /proc/stat (see
+    # BENCH/BASELINE.md variance notes). Two probes are recorded so a
+    # reader can classify steal-vs-real directly from the artifact:
+    # loadavg catches self-inflicted load (overlapping suites), and a
+    # fixed numpy matmul calibrates raw host speed (~2.0 s healthy on
+    # this box; 3.5 s+ = degraded, scale ratios accordingly).
+    loadavg_1m = os.getloadavg()[0]
+    t_cal = time.time()
+    a = np.random.default_rng(0).standard_normal((2000, 2000))
+    for _ in range(3):
+        a @ a
+    calib_sec = round(time.time() - t_cal, 3)
+
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
     timings: dict[str, float] = {}
     t_total0 = time.time()
@@ -182,6 +196,8 @@ def main() -> int:
         "build_docs_per_sec": round(build_docs_per_sec, 1),
         "query_p95_sec": round(query_p95, 4),
         "query_p95_best_sec": round(query_p95_best, 4),
+        "host_loadavg_1m": round(loadavg_1m, 2),
+        "host_calib_matmul_sec": calib_sec,
     }))
     spark.stop()
     return 0

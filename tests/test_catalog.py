@@ -100,3 +100,53 @@ def test_manifest_records_lineage(spark, tiny_corpus, warehouse):
     assert m["input_fingerprint"] == "v1"
     assert m["rows"] > 0 and m["wall_ms"] >= 0
     assert m["config_hash"] == CFG.config_hash()
+
+
+# ---- TableStore seam (SCALE.md Iceberg mapping's code seam) ----
+
+def test_catalog_routes_all_io_through_table_store(spark, small_corpus, tmp_path):
+    """Every stage read/write (incl. tombstone batches) must pass through
+    the injected TableStore — the adapter seam an IcebergTableStore plugs
+    into without touching catalog logic."""
+    from pyspark.sql import functions as F
+    from xltsearch_spark.catalog import IndexCatalog
+    from xltsearch_spark.config import IndexConfig
+    from xltsearch_spark.sources.table_store import ParquetFilesystemStore
+
+    class CountingStore(ParquetFilesystemStore):
+        def __init__(self):
+            self.writes, self.reads = [], []
+
+        def write(self, df, target, partition_by=(), mode="overwrite"):
+            self.writes.append(target)
+            super().write(df, target, partition_by, mode)
+
+        def read(self, spark, target):
+            self.reads.append(target)
+            return super().read(spark, target)
+
+    store = CountingStore()
+    cfg = IndexConfig(name="seam", term_buckets=4)
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), cfg, store=store)
+    corpus = spark.createDataFrame(small_corpus)
+    cat.build(corpus, fingerprint="v1")
+    # all 5 stages written through the store
+    assert sum(1 for w in store.writes if "/seg_000000/" in w) == 5
+    # a delete-only update writes a tombstone batch through the store too
+    cat.update(corpus.filter(F.col("path") != corpus.collect()[0]["path"]),
+               fingerprint="v2")
+    assert any("/tombstones/" in w for w in store.writes)
+    store.reads.clear()
+    eng = cat.engine()
+    assert eng.search_scores("common_token", 3).count() <= 3
+    assert any("/postings" in r for r in store.reads)
+    assert any("/tombstones/" in r for r in store.reads)
+
+
+def test_iceberg_store_requires_configured_catalog(spark):
+    """Without the Iceberg runtime configured the adapter must fail fast
+    at construction with setup guidance, not deep inside a write."""
+    import pytest
+    from xltsearch_spark.sources.table_store import IcebergTableStore
+    with pytest.raises(RuntimeError, match="spark.sql.catalog.icy"):
+        IcebergTableStore(spark, "icy")

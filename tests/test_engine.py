@@ -146,7 +146,7 @@ def test_wand_metadata_tau_skips_probe(spark):
                   engine.search_scores("common_token", 5).collect()]
     assert engine._last_wand_tau_source == "probe"
     engine.stats_exact = True
-    engine.wand_min_df = 10**12  # brute force
+    engine.wand_enabled = False  # brute force
     brute = [(r["doc_id"], round(r["score"], 9)) for r in
              engine.search_scores("common_token", 5).collect()]
     assert meta_hits == probe_hits == brute and len(brute) == 5
@@ -261,7 +261,7 @@ def test_wand_pushed_blockmax_filter(spark, small_corpus, tmp_path):
         assert a == pytest.approx(b, rel=1e-9)
     # and the general (non-WAND) path agrees
     eng.stats_exact = True
-    eng.wand_min_df = 10**12
+    eng.wand_enabled = False
     brute = [(r["doc_id"], r["score"]) for r in
              eng.search_scores("common_token OR graded", 5).collect()]
     assert [d for d, _ in exact] == [d for d, _ in brute]
@@ -350,7 +350,7 @@ def test_wand_zero_boost_term_does_not_crash(spark, small_corpus, tmp_path):
     eng.wand_min_df = 1
     wand = [(r["doc_id"], round(r["score"], 9)) for r in
             eng.search_scores("common_token^0 OR graded", 5).collect()]
-    eng.wand_min_df = 10**12  # general path
+    eng.wand_enabled = False  # general path
     brute = [(r["doc_id"], round(r["score"], 9)) for r in
              eng.search_scores("common_token^0 OR graded", 5).collect()]
     assert wand == brute and len(wand) == 5

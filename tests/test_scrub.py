@@ -42,3 +42,41 @@ def test_plan_is_udf_and_shuffle_free(spark):
     plan = scrub.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_ipv4_octet_range_validation(spark):
+    """Strict dotted-quad contract: octets 0-255, no leading zeros —
+    out-of-range 'quads' are NOT PII and must survive."""
+    rows = _run(spark, [
+        "valid 255.255.255.255 edge",
+        "valid 0.0.0.0 zeros",
+        "invalid 999.999.999.999 garbage",
+        "invalid 256.1.1.1 octet",
+        "padded 010.1.2.3 octet",
+    ])
+    assert rows[0]["redacted"] == "valid <IP> edge"
+    assert rows[1]["redacted"] == "valid <IP> zeros"
+    assert rows[2]["redacted"] == "invalid 999.999.999.999 garbage"
+    assert rows[3]["redacted"] == "invalid 256.1.1.1 octet"
+    assert rows[4]["redacted"] == "padded 010.1.2.3 octet"
+    assert [r["n_ipv4"] for r in rows] == [1, 1, 0, 0, 0]
+
+
+def test_pii_boundary_golden_cases(spark):
+    """Golden boundary fixtures: plus-tagged emails, version-like dotted
+    numbers, phones embedded in longer digit runs."""
+    rows = _run(spark, [
+        "tagged bob+filter@mail.example.co end",        # plus tag kept whole
+        "release v1.2.3.4 is not an address",            # version quad IS a
+                                                         # valid in-range quad
+        "id 0012345678901234 carries no + so no phone",  # bare digit run
+        "call +49 30 901820 now",                        # spaced intl phone
+    ])
+    assert rows[0]["redacted"] == "tagged <EMAIL> end"
+    # 'v1.2.3.4' survives: there is no \b between the word chars 'v' and
+    # '1', so the quad never starts — version strings are not redacted
+    assert rows[1]["redacted"] == "release v1.2.3.4 is not an address"
+    assert rows[1]["n_ipv4"] == 0
+    assert rows[2]["n_phone"] == 0
+    assert rows[2]["redacted"].endswith("no + so no phone")
+    assert rows[3]["redacted"] == "call <PHONE> now"

@@ -48,10 +48,16 @@ CORPUS_COLS = ("repo", "path", "commit", "lang", "content", "title", "meta")
 
 class IndexCatalog:
     def __init__(self, spark: SparkSession, warehouse: str,
-                 config: IndexConfig | None = None):
+                 config: IndexConfig | None = None,
+                 store=None):
+        from xltsearch_spark.sources.table_store import ParquetFilesystemStore
         self.spark = spark
         self.config = config or IndexConfig()
         self.root = os.path.join(warehouse, self.config.name)
+        # every stage-table read/write goes through the TableStore seam
+        # (sources/table_store.py): default = directory-partitioned parquet;
+        # an IcebergTableStore drops in here per SCALE.md's Iceberg mapping
+        self.store = store or ParquetFilesystemStore()
         os.makedirs(self.root, exist_ok=True)
 
     # ------------------------- state machine --------------------------------
@@ -108,11 +114,8 @@ class IndexCatalog:
                      partition_by: tuple[str, ...] = ()) -> None:
         t0 = time.time()
         out = self._stage_dir(seg, stage)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(out)
-        rows = self.spark.read.parquet(out).count()
+        self.store.write(df, out, partition_by=partition_by)
+        rows = self.store.read(self.spark, out).count()
         with open(self._manifest_path(seg, stage), "w") as f:
             json.dump({"stage": stage, "segment": seg, "status": "success",
                        "input_fingerprint": fingerprint, "rows": rows,
@@ -121,14 +124,14 @@ class IndexCatalog:
                       f, indent=1, sort_keys=True)
 
     def _read_stage(self, seg: str, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._stage_dir(seg, stage))
+        return self.store.read(self.spark, self._stage_dir(seg, stage))
 
     def _read_all(self, stage: str, meta: dict | None = None) -> DataFrame:
         """Union view over all segments (each read separately: the stages are
         directory-partitioned per segment, so a single multi-root read would
         conflict)."""
         meta = meta or self.read_meta()
-        dfs = [self.spark.read.parquet(self._stage_dir(s["name"], stage))
+        dfs = [self.store.read(self.spark, self._stage_dir(s["name"], stage))
                for s in meta["segments"]]
         out = dfs[0]
         for d in dfs[1:]:
@@ -245,10 +248,10 @@ class IndexCatalog:
         batch = None
         if n_dead > 0:
             batch = f"batch_{len(meta.get('tombstone_batches', [])):06d}"
-            (diff.filter(F.col("change_status").isin("update", "delete"))
-             .select(F.col("old_doc_id").alias("doc_id"))
-             .write.mode("overwrite")
-             .parquet(os.path.join(self.root, "tombstones", batch)))
+            self.store.write(
+                diff.filter(F.col("change_status").isin("update", "delete"))
+                .select(F.col("old_doc_id").alias("doc_id")),
+                os.path.join(self.root, "tombstones", batch))
         self._write_meta({**meta, "last_updated": INDEX_UPDATE_FAILED})
         prior = BuildStats(n_docs=int(meta["n_docs"]),
                            avgdl={k: float(v) for k, v in meta["avgdl"].items()},
@@ -418,7 +421,7 @@ class IndexCatalog:
         """Lazy union view over the persisted tombstone batches (plus any
         legacy in-meta id list), or None when the index has no deletes."""
         meta = meta or self.read_meta()
-        dfs = [self.spark.read.parquet(os.path.join(self.root, "tombstones", b))
+        dfs = [self.store.read(self.spark, os.path.join(self.root, "tombstones", b))
                for b in meta.get("tombstone_batches", [])]
         legacy = meta.get("tombstones", [])
         if legacy:

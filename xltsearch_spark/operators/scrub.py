@@ -10,7 +10,11 @@ Patterns are deliberately RE2-compatible (no lookaround, no backrefs) so
 the DuckDB oracle runs the byte-identical chain:
 
 * email  -> ``<EMAIL>``  — local@domain.tld with the common charset
-* ipv4   -> ``<IP>``     — four 1-3 digit octets, word-bounded
+* ipv4   -> ``<IP>``     — strict dotted quad, each octet 0-255 with no
+                           leading zeros, word-bounded. Out-of-range quads
+                           (``999.999.999.999``) and zero-padded octets
+                           (``010.1.2.3``) are NOT redacted: the pattern
+                           validates ranges rather than over-matching.
 * phone  -> ``<PHONE>``  — international-style ``+`` then 7-15 digits
                            (optionally separated by single spaces/dashes)
 
@@ -25,9 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 # (category, pattern, replacement) in REPLACEMENT ORDER — RE2-safe.
+# valid octet: 250-255 | 200-249 | 100-199 | 0-99 without leading zeros
+_OCTET = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 PII_PATTERNS = (
     ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
-    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ipv4", f"\\b{_OCTET}(?:\\.{_OCTET}){{3}}\\b", "<IP>"),
     ("phone", "\\+\\d[\\d -]{5,13}\\d\\b", "<PHONE>"),
 )
 

@@ -124,10 +124,14 @@ class SearchEngine:
         # parquet row-group stats, so pruned blocks are never even READ.
         self.stats_exact = stats_exact
         self._last_wand_scan: DataFrame | None = None  # plan-audit hook
-        # minimum total docFreq before the WAND probe phase pays for itself:
-        # the probe adds ~3 driver round-trips, worthwhile once the decoded
-        # posting volume dwarfs job overhead (cluster scale), not at the
-        # sandbox's 10^5-doc indexes
+        # wand_enabled=False forces the brute-force path (tests/A-B runs).
+        # wand_min_df gates only the PROBE fallback: metadata-seeded tau
+        # (block_min_score of a full block) costs zero extra driver jobs —
+        # the one metadata aggregate doubles as the doc-freq lookup — so
+        # seeded WAND runs at ANY posting volume; the probe's extra
+        # round-trip pays off only once the decoded posting volume dwarfs
+        # job overhead (cluster scale), not at the sandbox's 10^5 docs
+        self.wand_enabled = True
         self.wand_min_df = 200_000
         # fuzzy expansion: candidate count above which the exact Damerau
         # rerank runs distributed (pandas UDF + JVM TakeOrdered(50)) instead
@@ -218,7 +222,8 @@ class SearchEngine:
         When the path declines (non-WAND shape / volume below the gate) the
         idf_map is handed back so the general path reuses it instead of
         re-collecting doc freqs."""
-        if self.config.scoring_model != "bm25" or self.has_tombstones:
+        if self.config.scoring_model != "bm25" or self.has_tombstones \
+                or not self.wand_enabled:
             return None, None
         ast = self._rewrite(self.parser.parse(query))
         leaves = self._wand_terms(ast)
@@ -240,22 +245,6 @@ class SearchEngine:
                                      F.col("block_min_score"))).alias("bmin_full"))
         meta = self.postings.filter(cond).groupBy("field", "term").agg(*aggs).collect()
         idf_map = {(r["field"], r["term"]): int(r["nd"]) for r in meta}
-        # WAND pays for its threshold round-trips only when the posting
-        # volume is substantial; tiny scans are cheaper brute-force
-        if sum(idf_map.values()) < max(self.wand_min_df, 20 * limit):
-            return None, idf_map
-        ub_raw = {(r["field"], r["term"]): float(r["bm"]) for r in meta}
-        # per-term ceiling from (max_tf, min_dl) with CURRENT stats — stays
-        # an upper bound after incremental segments (stored maxima are stale)
-        k1c, bc = self.config.k1, self.config.b
-        ub = {}
-        for r in meta:
-            key = (r["field"], r["term"])
-            idf = scoring.bm25_idf(self.stats.n_docs, idf_map.get(key, 0))
-            ad = self.stats.avgdl.get(r["field"], 1.0) or 1.0
-            tfn = r["mtf"] / (r["mtf"] + k1c * (1 - bc + bc * r["mdl"] / ad))
-            ub[key] = boost.get(key, 1.0) * idf * (k1c + 1) * tfn
-        total_docs = sum(int(r["nd"]) for r in meta)
         tau = None
         self._last_wand_tau_source = None  # introspection for tests/audits
         if self.stats_exact and has_bmin:
@@ -270,6 +259,23 @@ class SearchEngine:
             if seeds:
                 tau = max(seeds)
                 self._last_wand_tau_source = "metadata"
+        # a metadata-seeded threshold costs zero extra jobs, so it runs at
+        # ANY posting volume; without a seed, the probe's extra round-trip
+        # only pays for itself past the volume gate
+        if tau is None and sum(idf_map.values()) < max(self.wand_min_df, 20 * limit):
+            return None, idf_map
+        ub_raw = {(r["field"], r["term"]): float(r["bm"]) for r in meta}
+        # per-term ceiling from (max_tf, min_dl) with CURRENT stats — stays
+        # an upper bound after incremental segments (stored maxima are stale)
+        k1c, bc = self.config.k1, self.config.b
+        ub = {}
+        for r in meta:
+            key = (r["field"], r["term"])
+            idf = scoring.bm25_idf(self.stats.n_docs, idf_map.get(key, 0))
+            ad = self.stats.avgdl.get(r["field"], 1.0) or 1.0
+            tfn = r["mtf"] / (r["mtf"] + k1c * (1 - bc + bc * r["mdl"] / ad))
+            ub[key] = boost.get(key, 1.0) * idf * (k1c + 1) * tfn
+        total_docs = sum(int(r["nd"]) for r in meta)
         if tau is None and total_docs > 4 * limit:
             # fallback probe: score each term's best block(s) -> floor tau.
             # (equality filter on the known per-term max — no window shuffle)
