@@ -343,6 +343,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_docs")))
     q["ft_matchall_count"] = ft_matchall
 
+    def ft_hit_count(s, d):
+        """Q13 hit count + the reference's capped status message
+        (SearchTask.java:63,83: 'hits.length + " results"' reports the
+        COLLECTED count, capped at the search limit, while the count
+        itself is the uncapped total)."""
+        n, msg = _get_engine(s, d).hit_count("merge", limit=20)
+        return s.createDataFrame([(n, msg)], "n_hits long, message string")
+    q["ft_hit_count"] = ft_hit_count
+
     # ---- dedup suite ----
     def dedup_exact(s, d):
         docs = s.read.parquet(f"{d}/documents.parquet")
@@ -824,6 +833,13 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_id"""
 
     o["ft_matchall_count"] = "SELECT count(*) AS n_docs FROM documents"
+
+    # Q13: uncapped total + the limit-capped reference message
+    o["ft_hit_count"] = f"""WITH {_TOK_CTE},
+    h AS (SELECT count(DISTINCT doc_id) AS n FROM tok WHERE term = 'merge')
+    SELECT n AS n_hits,
+           (CASE WHEN n < 20 THEN n ELSE 20 END)::VARCHAR || ' results' AS message
+    FROM h"""
 
     o["ft_resume"] = topk(_bm25_sql("merge"), 20)
 

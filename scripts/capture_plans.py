@@ -52,6 +52,25 @@ def main(out_path: str | None = None) -> int:
     eng = cat.engine()
     sections = []
 
+    # 0) core scans: pruned term lookup, single-pass conjunction, pushed
+    #    prefix predicate — the plans SCALE.md's query-side claims cite
+    eng.wand_enabled = False  # capture the general-path scan shape
+    sections.append(("single term: score_all('graded')",
+                     "Expected: (field, bucket) PartitionFilters + term "
+                     "IN-list in PushedFilters on the postings scan; top-k "
+                     "via TakeOrderedAndProject downstream.",
+                     explain_str(eng.score_all("graded"))))
+    sections.append(("conjunction: score_all('common_token AND graded')",
+                     "Expected: ONE pruned scan + decode for the whole "
+                     "boolean (conditional aggregation per clause), no "
+                     "per-leaf rescan.",
+                     explain_str(eng.score_all("common_token AND graded"))))
+    sections.append(("prefix (pushed predicate): score_all('need*')",
+                     "Expected: StartsWith(term, ...) reaches PushedFilters "
+                     "— constant-score expansion never builds driver "
+                     "IN-lists.", explain_str(eng.score_all("need*"))))
+    eng.wand_enabled = True
+
     # 1) fuzzy candidates: length-window filter BEFORE levenshtein reaches
     #    the dictionary scan (the Damerau rerank runs driver-side over the
     #    collected survivors — never a full-dictionary collect)
@@ -71,14 +90,20 @@ def main(out_path: str | None = None) -> int:
                      "<= Q*k unioned rows, never the raw match set.",
                      explain_str(many, mode="simple")))
 
-    # 2b) WAND with exact stats: the block skip is a PUSHED parquet filter
+    # 2b) WAND with exact stats: the block skip is a PUSHED parquet filter;
+    #     r4: tau is seeded from block metadata (no probe job) — recorded
+    #     in the section title so the audit shows which phase ran
     eng.wand_min_df = 1
     eng.search_scores("common_token OR graded", 5).collect()
     if eng._last_wand_scan is not None:
-        sections.append(("WAND tau-prune (stats exact): pushed block_max filter",
+        sections.append((f"WAND tau-prune (stats exact, tau from "
+                         f"{eng._last_wand_tau_source}): pushed block_max filter",
                          "Expected: GreaterThanOrEqual(block_max_score, ...) in "
                          "PushedFilters — non-competitive blocks are skipped by "
-                         "parquet row-group stats, never read.",
+                         "parquet row-group stats, never read. tau_source="
+                         "metadata means the threshold came from block_min_score"
+                         " metadata in the SAME aggregate that collected doc "
+                         "freqs: 2 driver jobs total for the query.",
                          explain_str(eng._last_wand_scan)))
     eng.wand_min_df = 200_000
 
@@ -107,8 +132,10 @@ def main(out_path: str | None = None) -> int:
                      "codegen'd column expressions.",
                      explain_str(parsed, mode="simple")))
 
-    with open(out_path, "a") as f:
-        f.write("\n\n# Round-3 plan evidence (regenerated)\n")
+    with open(out_path, "w") as f:  # fresh file: stale plans are worse
+        f.write("# Plan evidence (regenerated at HEAD by "
+                "scripts/capture_plans.py — one complete capture, "
+                "overwritten each run)\n")
         for title, expect, plan in sections:
             plan = re.sub(r"#\d+", "#N", plan)  # stable ids for diffing
             f.write(f"\n## {title}\n\n{expect}\n\n```\n{plan}\n```\n")

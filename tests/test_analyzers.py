@@ -187,3 +187,25 @@ def test_uax29_remaining_deviations_documented():
     # katakana runs as of r4:
     toks = [t for t, _ in analyze_text("〱ア", "standard")]
     assert toks == ["〱ア"]
+
+
+def test_standard_pattern_flat_run_equivalence_fuzz():
+    """The performance-shaped run form `X+ ([EXT]+ X*)*` must accept
+    exactly the language of the natural WB4 form `(X [EXT]*)+` — fuzzed
+    over mixed script/mark/punctuation soup."""
+    import random
+    import re
+    from xltsearch_spark.analyzers import (_EXT, _HANGUL, _HIRA, _IDEO,
+                                           _KATA, _PATTERNS, _WC)
+    wcx = f"{_WC}[{_EXT}]*"
+    natural = re.compile(
+        f"(?:[{_KATA}][{_EXT}]*)+|(?:[{_HANGUL}][{_EXT}]*)+|"
+        f"[{_IDEO}{_HIRA}][{_EXT}]*|"
+        rf"(?:{wcx})+(?:[.'](?:{wcx})+)*")
+    fast = _PATTERNS["standard"]
+    alphabet = list("ab1_.' -") + ["́", "゙", "カ", "ー", "分",
+                                   "か", "한", "ᄀ", "゛", "・", "é"]
+    rng = random.Random(42)
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        assert fast.findall(s) == natural.findall(s), repr(s)
