@@ -512,6 +512,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.language_id(s.read.parquet(f"{d}/documents.parquet"))
     q["text_lang_id"] = lang_id
 
+    def text_repetition(s, d):
+        """Gopher-style repetition signals (dup-line fractions + top-2gram
+        coverage) — the filters pretraining pipelines apply before
+        training; every fraction reproduced exactly by the SQL oracle."""
+        out = textstats.repetition_scores(s.read.parquet(f"{d}/documents.parquet"))
+        return (out.select(
+            "doc_id", F.col("n_lines").cast("long").alias("n_lines"),
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+            "top_2gram",
+            F.round("top_2gram_char_frac", 6).alias("top_2gram_char_frac"))
+            .orderBy("doc_id"))
+    q["text_repetition"] = text_repetition
+
+    def decontaminate(s, d):
+        """Benchmark decontamination: flag docs sharing any word 5-gram
+        with a deterministic 'benchmark' slice (doc_id %% 50 == 0).
+        String shingles + broadcast join — the oracle joins the same
+        strings, no hash-identity caveat."""
+        from xltsearch_spark.operators.contamination import ngram_contamination
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        out = ngram_contamination(docs, bench, n=5)
+        return (out.select(
+            "doc_id", F.col("n_hit_shingles").cast("long").alias("n_hit_shingles"),
+            F.col("contaminated").cast("long").alias("contaminated"))
+            .orderBy("doc_id"))
+    q["decontaminate"] = decontaminate
+
     def fingerprint(s, d):
         """Fingerprint EQUALITY CLASSES (derived property): the xxhash64
         value itself is not SQL-reproducible, but its partition of the corpus
@@ -1391,6 +1420,61 @@ def oracle_sql() -> dict[str, str]:
     FROM comp c JOIN (SELECT component, count(*) AS group_size
                       FROM comp GROUP BY component) cnt USING (component)
     ORDER BY c.doc_id"""
+
+    # repetition signals: line stats via per-(doc, line) counts, top 2-gram
+    # via (cnt desc, gram asc) argmax — byte-identical token/line rules
+    o["text_repetition"] = """
+    WITH ln AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                        x -> trim(x)), x -> x <> '') AS lines,
+             length(text) AS total_chars
+      FROM documents),
+    pl AS (SELECT doc_id, l AS line, count(*) AS cnt
+           FROM ln, unnest(lines) AS t(l) GROUP BY doc_id, l),
+    ls AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct,
+                  sum(cnt * length(line)) AS line_chars,
+                  sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_chars
+           FROM pl GROUP BY doc_id),
+    tk AS (SELECT doc_id,
+                  list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+    pg AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS gram, count(*) AS cnt
+           FROM tk, unnest(range(greatest(len(toks) - 1, 0))) AS t(i)
+           GROUP BY doc_id, gram),
+    tg AS (SELECT doc_id, gram, cnt FROM (
+             SELECT doc_id, gram, cnt,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY cnt DESC, gram ASC) AS rn
+             FROM pg) WHERE rn = 1)
+    SELECT d.doc_id,
+           coalesce(ls.n_lines, 0)::BIGINT AS n_lines,
+           round(coalesce((ls.n_lines - ls.n_distinct) * 1.0
+                          / greatest(ls.n_lines, 1), 0.0), 6) AS dup_line_frac,
+           round(coalesce(ls.dup_chars * 1.0
+                          / greatest(ls.line_chars, 1), 0.0), 6) AS dup_line_char_frac,
+           tg.gram AS top_2gram,
+           round(coalesce(tg.cnt * (length(tg.gram) - 1) * 1.0
+                          / greatest(length(d.text), 1), 0.0), 6) AS top_2gram_char_frac
+    FROM documents d LEFT JOIN ls USING (doc_id) LEFT JOIN tg USING (doc_id)
+    ORDER BY d.doc_id"""
+
+    # decontamination: distinct word 5-gram STRING join (no hashing), the
+    # benchmark slice = doc_id % 50 == 0
+    o["decontaminate"] = """
+    WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+                FROM documents WHERE doc_id % 50 = 0),
+    bg AS (SELECT DISTINCT array_to_string(toks[i+1:i+5], ' ') AS sh
+           FROM bt, unnest(range(greatest(len(toks) - 4, 0))) AS t(i)),
+    dt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS sh
+           FROM dt, unnest(range(greatest(len(toks) - 4, 0))) AS t(i)),
+    h AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (sh) GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hit_shingles,
+           (coalesce(h.n, 0) > 0)::BIGINT AS contaminated
+    FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"""
 
     # fingerprint equality classes == canonical-text equality classes
     o["text_fingerprint"] = """

@@ -285,3 +285,58 @@ def test_dedup_groups_end_to_end(docs_df):
            for r in dedup.dedup_groups(docs_df, n=3, threshold=0.6).collect()}
     assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
     assert all(v[0] == 0 for v in out.values())  # unrelated docs share no shingles
+
+
+# ---- Gopher repetition signals + benchmark decontamination (r4) ----
+
+def test_repetition_scores_hand_computed(spark):
+    from xltsearch_spark.operators import textstats
+    df = spark.createDataFrame(
+        [(0, "a b\na b\nc d c d"), (1, "unique line only"), (2, ""), (3, "x")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            textstats.repetition_scores(df).orderBy("doc_id").collect()}
+    r0 = rows[0]
+    assert r0["n_lines"] == 3
+    assert abs(r0["dup_line_frac"] - 1 / 3) < 1e-9       # 'a b' repeats
+    assert abs(r0["dup_line_char_frac"] - 6 / 13) < 1e-9  # 2x3 of 13 chars
+    # tie 'a b' vs 'c d' (both x2) -> lexicographically smallest wins
+    assert r0["top_2gram"] == "a b"
+    assert abs(r0["top_2gram_char_frac"] - 4 / 15) < 1e-9  # 2 occ x 2 chars
+    r1 = rows[1]
+    assert r1["n_lines"] == 1 and r1["dup_line_frac"] == 0.0
+    assert r1["top_2gram"] == "line only" or r1["top_2gram"] == "unique line"
+    assert rows[2]["n_lines"] == 0 and rows[2]["top_2gram"] is None
+    assert rows[3]["top_2gram"] is None  # single token: no 2-grams
+
+
+def test_ngram_contamination_hand_computed(spark):
+    from xltsearch_spark.operators.contamination import ngram_contamination
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps high"),
+         (1, "totally different text here now"),
+         (2, "quick brown fox jumps over it and quick brown fox jumps too")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "quick brown fox jumps over lazy dogs")],
+        "bid long, text string")
+    rows = {r["doc_id"]: r for r in
+            ngram_contamination(docs, bench, n=4).collect()}
+    # doc0 shares 'quick brown fox jumps' (1 distinct shingle)
+    assert (rows[0]["n_hit_shingles"], rows[0]["contaminated"]) == (1, True)
+    assert (rows[1]["n_hit_shingles"], rows[1]["contaminated"]) == (0, False)
+    # doc2 shares exactly 'quick brown fox jumps' + 'brown fox jumps over';
+    # the doc's repeated occurrence counts once (grams are distinct per doc)
+    assert rows[2]["contaminated"] and rows[2]["n_hit_shingles"] == 2
+
+
+def test_contamination_plan_is_jvm_broadcast(spark):
+    """Corpus shingles must meet the benchmark via a BroadcastHashJoin with
+    no Python eval nodes — the corpus side never shuffles its shingles."""
+    from xltsearch_spark.operators.contamination import ngram_contamination
+    docs = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(0, "a b c d")], "bid long, text string")
+    plan = ngram_contamination(docs, bench, n=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

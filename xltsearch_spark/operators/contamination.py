@@ -1,0 +1,76 @@
+"""Benchmark decontamination — train/test n-gram overlap flagging.
+
+Standard practice for pretraining corpora (public methodology: GPT-3 /
+PaLM / Llama reports all describe removing training documents that share
+long word n-grams with evaluation benchmarks). This operator flags every
+corpus document sharing at least one word ``n``-gram with a benchmark set
+and reports how many distinct shingles overlap.
+
+Scale shape (the part that matters at 100 TB):
+
+* the CORPUS side never shuffles its shingles — grams are built with
+  map-only higher-order expressions (split -> zip/slice), exploded, and
+  immediately joined against the BROADCAST benchmark shingle set; only
+  the surviving (doc_id, shingle-hit) rows reach the per-doc aggregate
+  (partial-agg map-side combine on doc_id).
+* the benchmark side is tiny by definition (eval sets are thousands of
+  rows, not billions) — distinct shingles broadcast comfortably. For a
+  pathological benchmark too big to broadcast, drop the explicit
+  ``F.broadcast`` and AQE plans a shuffle join; semantics identical.
+* everything is pure JVM column expressions / joins — no Python workers,
+  and shingles join as STRINGS, so the DuckDB oracle is byte-identical
+  (no hash-collision caveat needed).
+
+Tokenization matches the dedup family: lowercase ``\\w+`` runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _gram_array(text_col: Column, n: int) -> Column:
+    """Distinct word n-grams of a text column as 'w1 w2 ... wn' strings —
+    map-only (split + per-index slice/join), no explode until the caller
+    chooses to."""
+    toks = F.filter(F.split(F.lower(text_col), r"[^\w]+"),
+                    lambda t: t != "")
+    k = F.size(toks) - n + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def benchmark_shingles(benchmark: DataFrame, n: int = 8,
+                       text_col: str = "text") -> DataFrame:
+    """DISTINCT word n-grams of the benchmark set: one small relation,
+    built once and reusable across corpus passes."""
+    return (benchmark
+            .select(F.explode(_gram_array(F.col(text_col), n)).alias("shingle"))
+            .distinct())
+
+
+def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_text_col: str = "text") -> DataFrame:
+    """(id, n_hit_shingles, contaminated) for every corpus document.
+
+    ``contaminated`` is true iff the document shares >= 1 distinct word
+    n-gram with the benchmark; ``n_hit_shingles`` counts the distinct
+    shared shingles (the triage signal: 1 hit on a common phrase vs
+    hundreds on an embedded eval item).
+    """
+    bench = benchmark_shingles(benchmark, n, bench_text_col)
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(_gram_array(F.col(text_col), n)).alias("shingle"))
+    hits = (doc_sh.join(F.broadcast(bench), "shingle", "inner")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit_shingles")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("n_hit_shingles"), F.lit(0))
+                    .alias("n_hit_shingles"))
+            .withColumn("contaminated", F.col("n_hit_shingles") > 0))

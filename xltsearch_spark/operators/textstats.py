@@ -89,3 +89,74 @@ def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     near-exact-dup key (formatting-insensitive, content-sensitive)."""
     canon = F.array_join(tokens_expr(F.col(text_col)), " ")
     return df.select("doc_id", F.xxhash64(canon).alias("fingerprint"))
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, Table A1 — public
+    methodology; these are the filters production pretraining pipelines
+    apply before training):
+
+    * ``n_lines``            — non-empty (trimmed) lines
+    * ``dup_line_frac``      — fraction of lines whose text repeats an
+                               earlier line (1 - distinct/total)
+    * ``dup_line_char_frac`` — fraction of line characters sitting in
+                               lines whose text occurs more than once
+    * ``top_2gram``          — the most frequent word 2-gram (ties break
+                               to the lexicographically smallest)
+    * ``top_2gram_char_frac``— characters covered by occurrences of that
+                               2-gram (count x non-space gram length)
+                               over total document characters
+
+    Scale shape: line stats need per-(doc, line) occurrence counts, so the
+    lines explode once and aggregate in two partial-agg friendly levels
+    (shuffle key = doc_id; an in-row higher-order alternative would be
+    O(lines^2) per doc). The 2-gram stats build the gram array with
+    zip_with (map-only) and reuse the same two-level aggregate. Every doc
+    survives (left join back), zeros for empty docs.
+    """
+    ln = F.filter(F.transform(F.split(F.col(text_col), "\n"),
+                              lambda x: F.trim(x)), lambda x: x != "")
+    base = df.select("doc_id",
+                     F.length(F.col(text_col)).alias("total_chars"),
+                     ln.alias("lines"))
+    per_line = (base.select("doc_id", F.explode("lines").alias("line"))
+                .groupBy("doc_id", "line")
+                .agg(F.count("*").alias("cnt")))
+    line_stats = (per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line"))
+              .otherwise(0)).alias("dup_line_chars")))
+    toks = tokens_expr(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))),
+                   F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (df.select("doc_id", F.explode(grams).alias("gram"))
+                .groupBy("doc_id", "gram").agg(F.count("*").alias("cnt")))
+    # argmax with smallest-gram tie-break: min of (-cnt, gram)
+    top_gram = (per_gram.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg_cnt"),
+                       F.col("gram").alias("gram"))).alias("top")))
+    out = (df.select("doc_id", F.length(F.col(text_col)).alias("total_chars"))
+           .join(line_stats, "doc_id", "left")
+           .join(top_gram, "doc_id", "left"))
+    safe_lines = F.greatest(F.col("n_lines"), F.lit(1))
+    safe_line_chars = F.greatest(F.col("line_chars"), F.lit(1))
+    safe_chars = F.greatest(F.col("total_chars"), F.lit(1))
+    top_cnt = -F.col("top.neg_cnt")
+    # covered chars count the gram's non-space characters per occurrence
+    top_chars = top_cnt * (F.length(F.col("top.gram")) - 1)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+        F.coalesce((F.col("n_lines") - F.col("n_distinct_lines")) / safe_lines,
+                   F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce(F.col("dup_line_chars") / safe_line_chars,
+                   F.lit(0.0)).alias("dup_line_char_frac"),
+        F.col("top.gram").alias("top_2gram"),
+        F.coalesce(top_chars / safe_chars, F.lit(0.0))
+        .alias("top_2gram_char_frac"))
