@@ -354,3 +354,27 @@ def test_wand_zero_boost_term_does_not_crash(spark, small_corpus, tmp_path):
     brute = [(r["doc_id"], round(r["score"], 9)) for r in
              eng.search_scores("common_token^0 OR graded", 5).collect()]
     assert wand == brute and len(wand) == 5
+
+
+def test_term_stats_cache_repeat_queries_identical(bm25_setup):
+    """df/meta caches (the Lucene terms-dict role) must be transparent:
+    repeated and overlapping queries return identical results, negatives
+    are cached (absent term -> 0), and the cache actually populates."""
+    engine, oracle, _ = bm25_setup
+    engine.clear_stats_cache()
+    # WAND-shaped (SHOULD-of-terms) queries populate the META cache
+    first = [(r["doc_id"], r["score"]) for r in
+             engine.search_scores("graded OR nosuchterm_xyz", 10).collect()]
+    assert engine._meta_cache[("content", "graded", 10)] is not None
+    assert engine._meta_cache[("content", "nosuchterm_xyz", 10)] is None
+    second = [(r["doc_id"], r["score"]) for r in
+              engine.search_scores("graded OR nosuchterm_xyz", 10).collect()]
+    assert first == second
+    # non-WAND (conjunction) queries populate the DF cache
+    engine.search_scores("graded AND alpha", 10).collect()
+    assert ("content", "alpha") in engine._df_cache
+    assert engine._df_cache[("content", "graded")] > 0
+    exp = [h["doc_id"] for h in oracle.search("graded AND alpha", 10)]
+    got = [int(r["doc_id"]) for r in
+           engine.search_scores("graded AND alpha", 10).collect()]
+    assert got == exp

@@ -133,6 +133,14 @@ class SearchEngine:
         # job overhead (cluster scale), not at the sandbox's 10^5 docs
         self.wand_enabled = True
         self.wand_min_df = 200_000
+        # term-statistics caches — the role Lucene's in-memory terms
+        # dictionary plays: df and block metadata are IMMUTABLE for one
+        # index generation (the catalog builds a fresh SearchEngine after
+        # every update/merge), so steady-state queries skip the stats job
+        # entirely. Negative results are cached too (absent term -> 0/None)
+        # or every miss would re-query. `clear_stats_cache()` resets both.
+        self._df_cache: dict[tuple[str, str], int] = {}
+        self._meta_cache: dict[tuple[str, str, int], dict | None] = {}
         # fuzzy expansion: candidate count above which the exact Damerau
         # rerank runs distributed (pandas UDF + JVM TakeOrdered(50)) instead
         # of on the driver. The driver path saves a Python-worker stage
@@ -231,20 +239,41 @@ class SearchEngine:
             return None, None  # duplicate terms w/ separate boosts -> general path
         terms = sorted({(t.field, t.term) for t in leaves})
         boost = {(t.field, t.term): t.boost for t in leaves}
-        cond = self._terms_cond(terms, [])
+        cond = self._terms_cond(terms, [])  # scan predicate for probe/final
         # ONE metadata agg scan (column-pruned: binaries never read) serves
-        # as doc-freq lookup + ceiling ingredients + tau floor seed
+        # as doc-freq lookup + ceiling ingredients + tau floor seed. Rows
+        # are cached per (field, term, limit) — limit enters the key
+        # because bmin_full conditions on n_docs >= limit — so repeat
+        # queries skip this job too (immutable per index generation).
         has_bmin = "block_min_score" in self.postings.columns
-        aggs = [F.max("block_max_score").alias("bm"),
-                F.max("max_tf").alias("mtf"), F.min("min_dl").alias("mdl"),
-                F.sum("n_docs").alias("nd")]
-        if has_bmin:
-            # a block with n_docs >= limit proves >= limit distinct docs each
-            # scoring >= its block_min_score -> a valid tau floor, no probe
-            aggs.append(F.max(F.when(F.col("n_docs") >= limit,
-                                     F.col("block_min_score"))).alias("bmin_full"))
-        meta = self.postings.filter(cond).groupBy("field", "term").agg(*aggs).collect()
+        missing = [t for t in terms if (t[0], t[1], limit) not in self._meta_cache]
+        if missing:
+            cond_m = self._terms_cond(missing, [])
+            aggs = [F.max("block_max_score").alias("bm"),
+                    F.max("max_tf").alias("mtf"), F.min("min_dl").alias("mdl"),
+                    F.sum("n_docs").alias("nd")]
+            if has_bmin:
+                # a block with n_docs >= limit proves >= limit distinct docs
+                # each scoring >= its block_min_score -> a tau floor, no probe
+                aggs.append(F.max(F.when(F.col("n_docs") >= limit,
+                                         F.col("block_min_score")))
+                            .alias("bmin_full"))
+            rows = (self.postings.filter(cond_m)
+                    .groupBy("field", "term").agg(*aggs).collect())
+            found = {}
+            for r in rows:
+                d = {"field": r["field"], "term": r["term"], "bm": r["bm"],
+                     "mtf": r["mtf"], "mdl": r["mdl"], "nd": r["nd"],
+                     "bmin_full": r["bmin_full"] if has_bmin else None}
+                found[(r["field"], r["term"])] = d
+            for t in missing:
+                self._meta_cache[(t[0], t[1], limit)] = found.get(t)
+        meta = [m for t in terms
+                for m in [self._meta_cache[(t[0], t[1], limit)]]
+                if m is not None]
         idf_map = {(r["field"], r["term"]): int(r["nd"]) for r in meta}
+        for t in terms:  # absent terms: df 0 (keeps score_all reuse exact)
+            idf_map.setdefault(t, 0)
         tau = None
         self._last_wand_tau_source = None  # introspection for tests/audits
         if self.stats_exact and has_bmin:
@@ -564,14 +593,23 @@ class SearchEngine:
         walk(ast)
         return sorted(set(terms)), preds
 
+    def clear_stats_cache(self) -> None:
+        self._df_cache.clear()
+        self._meta_cache.clear()
+
     def _doc_freqs(self, terms: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
         if not terms:
             return {}
-        cond = self._terms_cond(terms, [])
-        # sum across segments (a term's df is split over segment dictionaries)
-        rows = (self.dictionary.filter(cond).groupBy("field", "term")
-                .agg(F.sum("doc_freq").alias("doc_freq")).collect())
-        return {(r["field"], r["term"]): int(r["doc_freq"]) for r in rows}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            cond = self._terms_cond(missing, [])
+            # sum across segments (a term's df splits over segment dicts)
+            rows = (self.dictionary.filter(cond).groupBy("field", "term")
+                    .agg(F.sum("doc_freq").alias("doc_freq")).collect())
+            found = {(r["field"], r["term"]): int(r["doc_freq"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def _terms_cond(self, terms, preds):
         """Scan predicate: exact terms prune on (bucket, term); predicate
