@@ -416,6 +416,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["dedup_groups"] = dedup_groups_entry
 
+    def dedup_substring_entry(s, d):
+        """Span-level exact substring dedup (Lee et al. 2022): per-doc
+        maximal duplicated >= 20-token spans plus the dup_frac curation
+        signal. String-keyed windows here so the DuckDB oracle is
+        byte-exact; hashed=True is the fixed-width-key 100-TB path (test
+        asserts both paths agree)."""
+        from xltsearch_spark.operators import substring
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return (substring.substring_dedup_stats(docs, min_len=20, hashed=False)
+                .select("doc_id", "n_spans", "dup_tokens",
+                        F.col("max_span_len").cast("long").alias("max_span_len"),
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        "dup_frac")
+                .orderBy("doc_id"))
+    q["dedup_substring"] = dedup_substring_entry
+
     # ---- document parsing / text extraction (B3, ParseTask.java:55-77) ----
     def _wrap_documents(docs):
         """Deterministic doc_id%4 containers: html / xml / markdown / binary
@@ -540,6 +556,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("contaminated").cast("long").alias("contaminated"))
             .orderBy("doc_id"))
     q["decontaminate"] = decontaminate
+
+    def pipeline_curate(s, d):
+        """Composed curation verdict: quality gate -> lang filter -> exact
+        dedup -> decontamination -> split, ONE declarative plan (one
+        sha256 window shuffle + broadcast shingle joins; rules 1-3 and the
+        split are a single map-only pass). The oracle recomputes every
+        rule and the same first-failure precedence in SQL."""
+        from xltsearch_spark.operators.curation import curate
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        return (curate(docs, bench, min_tokens=5, min_quality=0.25,
+                       allowed_langs=("en",), contamination_n=5)
+                .orderBy("doc_id"))
+    q["pipeline_curate"] = pipeline_curate
 
     def fingerprint(s, d):
         """Fingerprint EQUALITY CLASSES (derived property): the xxhash64
@@ -1421,6 +1451,34 @@ def oracle_sql() -> dict[str, str]:
                       FROM comp GROUP BY component) cnt USING (component)
     ORDER BY c.doc_id"""
 
+    # span-level substring dedup: sliding-window formulation of Lee et al.
+    # suffix-array dedup — maximal runs of 20-token windows occurring >= 2
+    # times corpus-wide, merged per doc with the same lag/cumsum span logic
+    # as operators/substring.py
+    o["dedup_substring"] = """
+    WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+20], chr(31)) AS sh
+          FROM f, unnest(range(greatest(len(toks) - 19, 0))) AS t(i)),
+    d AS (SELECT sh FROM g GROUP BY sh HAVING count(*) >= 2),
+    h AS (SELECT doc_id, pos FROM g JOIN d USING (sh)),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                 THEN 1 ELSE 0 END AS brk FROM h),
+    s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS span_id FROM m),
+    sp AS (SELECT doc_id, min(pos) AS span_start,
+                  max(pos) + 20 - min(pos) AS span_len
+           FROM s GROUP BY doc_id, span_id),
+    agg AS (SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+                   CAST(max(span_len) AS BIGINT) AS max_span_len
+            FROM sp GROUP BY doc_id)
+    SELECT a.doc_id, a.n_spans, a.dup_tokens, a.max_span_len,
+           CAST(len(f.toks) AS BIGINT) AS n_tokens,
+           round(a.dup_tokens * 1.0 / len(f.toks), 6) AS dup_frac
+    FROM agg a JOIN f USING (doc_id) ORDER BY a.doc_id"""
+
     # repetition signals: line stats via per-(doc, line) counts, top 2-gram
     # via (cnt desc, gram asc) argmax — byte-identical token/line rules
     o["text_repetition"] = """
@@ -1475,6 +1533,57 @@ def oracle_sql() -> dict[str, str]:
     SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hit_shingles,
            (coalesce(h.n, 0) > 0)::BIGINT AS contaminated
     FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"""
+
+    # composed curation pipeline: every rule recomputed in SQL with the
+    # same first-failing-rule precedence as operators/curation.py (quality
+    # tokens use the apostrophe class, contamination shingles the \\w class
+    # — the same split the standalone oracles already encode)
+    o["pipeline_curate"] = f"""
+    WITH f AS (SELECT doc_id, text,
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'), x -> x <> '') AS toks
+               FROM documents),
+    q AS (SELECT doc_id, len(toks) AS n_tokens,
+            round(CASE WHEN len(toks) < 5 THEN 0.0 ELSE
+              0.25 * least(len(list_filter(toks, x -> x IN {_STOPS_SQL})) * 1.0
+                           / greatest(len(toks), 1) * 4.0, 1.0)
+            + 0.25 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                      / greatest(length(text), 1))
+            + 0.25 * (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1))
+            + 0.25 * (1.0 - least((length(text)
+                      - length(regexp_replace(text, '[^a-zA-Z0-9_\\s]', '', 'g')))
+                      * 1.0 / greatest(length(text), 1) * 5.0, 1.0)) END, 6) AS quality
+          FROM f),
+    sc AS ({lang_rows}),
+    lr AS (SELECT doc_id, l, s,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
+           FROM sc),
+    lg AS (SELECT doc_id, l AS pred_lang FROM lr WHERE rn = 1),
+    dk AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper
+           FROM documents),
+    ct AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ctoks
+           FROM documents),
+    bg AS (SELECT DISTINCT array_to_string(ctoks[i+1:i+5], ' ') AS sh
+           FROM ct, unnest(range(greatest(len(ctoks) - 4, 0))) AS t(i)
+           WHERE doc_id % 50 = 0),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(ctoks[i+1:i+5], ' ') AS sh
+           FROM ct, unnest(range(greatest(len(ctoks) - 4, 0))) AS t(i)),
+    hit AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (sh)),
+    v AS (SELECT d.doc_id,
+            CASE WHEN q.n_tokens < 5 THEN 'too_short'
+                 WHEN q.quality < 0.25 THEN 'low_quality'
+                 WHEN lg.pred_lang NOT IN ('en') THEN 'wrong_lang'
+                 WHEN d.doc_id <> dk.keeper THEN 'exact_dup'
+                 WHEN hit.doc_id IS NOT NULL THEN 'contaminated'
+                 ELSE 'kept' END AS reason,
+            {_hash_sql} AS hv
+          FROM documents d JOIN q USING (doc_id) JOIN lg USING (doc_id)
+          JOIN dk USING (doc_id) LEFT JOIN hit USING (doc_id))
+    SELECT doc_id, (reason = 'kept')::INT AS keep, reason,
+           CASE WHEN reason = 'kept' THEN
+             CASE WHEN hv < {_b_train} THEN 'train'
+                  WHEN hv < {_b_val} THEN 'val' ELSE 'test' END
+           END AS split
+    FROM v ORDER BY doc_id"""
 
     # fingerprint equality classes == canonical-text equality classes
     o["text_fingerprint"] = """

@@ -1,0 +1,129 @@
+"""Span-level exact substring deduplication (duplicated-passage detection).
+
+Document-level dedup (operators/dedup.py) removes whole near-duplicate
+documents; this operator finds *duplicated passages inside otherwise-unique
+documents* — the boilerplate / license-header / templated-paragraph tier
+that document-level dedup cannot see. The public methodology is Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better"
+(arXiv:2107.06499): find every token span of length >= ``min_len`` that
+occurs more than once in the corpus, and report the *maximal* duplicated
+spans per document so a curation pipeline can cut or down-weight them.
+
+Lee et al. build a single-machine suffix array; that does not distribute.
+The standard scalable equivalent (and what this implements) is the
+sliding-window formulation: a maximal duplicated span of length >= L is
+exactly a maximal run of L-token windows each of which occurs >= 2 times
+corpus-wide. That turns the problem into three Spark-native steps:
+
+1. **window emission** — map-only: tokenize (lower + ``\\w+`` runs, the
+   same convention as the dedup family), then one higher-order-function
+   pass builds every L-window per doc; ``posexplode`` tags each window
+   with its 0-based start position. No Python workers anywhere.
+2. **global window count** — ONE shuffle, keyed on the window. With
+   ``hashed=True`` the key is ``xxhash64`` (8-byte fixed-width keys, the
+   100-TB path: collisions only ever over-flag a span, the safe direction
+   for dedup); with ``hashed=False`` keys are the joined token strings,
+   byte-exact for oracle comparison. Counting is a partial-aggregated
+   groupBy, so hot boilerplate windows combine map-side.
+3. **span merge** — windows surviving the count filter join back (same
+   key, same shuffle partitioning — AQE reuses the exchange) to recover
+   (doc_id, pos) hits, then a per-doc window function merges overlapping
+   or adjacent L-windows into maximal spans: a new span starts where the
+   gap between consecutive duplicated positions exceeds L. Per-doc
+   ordering is a ``Window.partitionBy(doc_id)`` — partitions are single
+   documents, never the corpus, so the sort is bounded by doc length.
+
+At 100 TB the shuffle volume is the dominant cost and it is one row per
+token position (8-byte hash + doc_id + int pos) — comparable to the index
+build's posting shuffle, and far below a suffix-array's O(corpus) *string*
+shuffle. Hot windows (a license header duplicated 10^6 times) are a skew
+risk on the join-back; AQE skew-join handles it, and the count side is
+already combined map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ASCII unit separator: joins window tokens so token-boundary ambiguity
+# ("a b"+"c" vs "a"+"b c") cannot collide two different windows
+_SEP = "\x1f"
+
+
+def _window_hits(docs: DataFrame, min_len: int, text_col: str,
+                 id_col: str, hashed: bool) -> DataFrame:
+    """(doc_id, pos, w): every ``min_len``-token window of every doc,
+    0-based start position, window keyed as string or xxhash64."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^\w]+"),
+                    lambda t: t != "")
+    n = min_len
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - n + 1),
+        lambda i: F.array_join(F.slice("toks", i, n), _SEP))
+    out = (docs
+           .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+           .filter(F.size("toks") >= n)
+           .select("doc_id", F.posexplode(grams).alias("pos", "w")))
+    if hashed:
+        out = out.withColumn("w", F.xxhash64("w"))
+    return out
+
+
+def duplicated_spans(docs: DataFrame, min_len: int = 20,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     hashed: bool = True) -> DataFrame:
+    """Maximal duplicated token spans: (doc_id, span_start, span_len).
+
+    A row means: tokens [span_start, span_start + span_len) of ``doc_id``
+    are covered by ``min_len``-token windows that each occur >= 2 times
+    anywhere in the corpus (including elsewhere in the same document —
+    self-repetition is duplication too, per Lee et al.). Spans are
+    maximal: consecutive duplicated windows whose starts differ by
+    <= ``min_len`` merge into one span, so ``span_len >= min_len`` always
+    and a fully-duplicated document yields exactly one row.
+
+    ``hashed=True`` (default) keys windows by ``xxhash64`` — the scale
+    path. ``hashed=False`` keys by the literal token string — byte-exact,
+    used by the driver oracle entry.
+    """
+    hits = _window_hits(docs, min_len, text_col, id_col, hashed)
+    dup = (hits.groupBy("w").agg(F.count("*").alias("c"))
+           .filter(F.col("c") >= 2))
+    pos = hits.join(dup.select("w"), "w").select("doc_id", "pos")
+
+    per_doc = Window.partitionBy("doc_id").orderBy("pos")
+    # NULL lag (first row) compares NULL > n -> NULL -> otherwise(0):
+    # the first duplicated position never opens with a break, same as the
+    # SQL CASE WHEN in the oracle
+    brk = F.when(F.col("pos") - F.lag("pos").over(per_doc) > min_len,
+                 F.lit(1)).otherwise(F.lit(0))
+    return (pos
+            .withColumn("brk", brk)
+            .withColumn("span_id", F.sum("brk").over(per_doc))
+            .groupBy("doc_id", "span_id")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + min_len - F.min("pos")).alias("span_len"))
+            .select("doc_id", "span_start", "span_len"))
+
+
+def substring_dedup_stats(docs: DataFrame, min_len: int = 20,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          hashed: bool = True) -> DataFrame:
+    """Per-document rollup of duplicated-span coverage:
+    (doc_id, n_spans, dup_tokens, max_span_len, n_tokens, dup_frac).
+
+    ``dup_frac`` (duplicated tokens / total tokens) is the curation
+    signal: pipelines typically drop docs above ~0.8 and strip spans
+    below it. Only docs with >= 1 duplicated span appear."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^\w]+"),
+                    lambda t: t != "")
+    sizes = docs.select(F.col(id_col).alias("doc_id"),
+                        F.size(toks).alias("n_tokens"))
+    spans = duplicated_spans(docs, min_len, text_col, id_col, hashed)
+    return (spans.groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum("span_len").alias("dup_tokens"),
+                 F.max("span_len").alias("max_span_len"))
+            .join(sizes, "doc_id")
+            .withColumn("dup_frac",
+                        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6)))

@@ -37,41 +37,57 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("n_ws_tokens"))
 
 
+def quality_struct(text_col: Column) -> Column:
+    """All quality features + composite score as ONE struct expression —
+    composable into single-pass pipelines (operators/curation.py) without
+    a join per signal. Field math is the contract `quality_scores` has
+    always exposed; that function now just unpacks this struct."""
+    toks = tokens_expr(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    stopword_ratio = n_stop / safe_tok
+    punct_ratio = n_punct / safe_chars
+    alpha_ratio = n_alpha / safe_chars
+    distinct_ratio = n_distinct / safe_tok
+    score = (F.when(n_tok < 5, 0.0).otherwise(
+        0.25 * F.least(stopword_ratio * F.lit(4.0), F.lit(1.0))
+        + 0.25 * alpha_ratio
+        + 0.25 * distinct_ratio
+        + 0.25 * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))))
+    return F.struct(
+        n_tok.alias("n_tokens"),
+        (n_chars / safe_tok).alias("mean_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        F.round(score, 6).alias("quality"))
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score in one projection:
     doc length, mean word length, stopword ratio, punctuation density,
     alpha ratio, repetition (distinct/total tokens)."""
-    toks = tokens_expr(F.col(text_col))
-    n_tok = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    stop_arr = F.array(*[F.lit(w) for w in sorted(ENGLISH_STOP_WORDS)])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-    n_distinct = F.size(F.array_distinct(toks))
-    safe_tok = F.greatest(n_tok, F.lit(1))
-    safe_chars = F.greatest(n_chars, F.lit(1))
-    out = df.select(
+    q = quality_struct(F.col(text_col))
+    return df.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        (n_chars / safe_tok).alias("mean_token_len"),
-        (n_stop / safe_tok).alias("stopword_ratio"),
-        (n_punct / safe_chars).alias("punct_ratio"),
-        (n_alpha / safe_chars).alias("alpha_ratio"),
-        (n_distinct / safe_tok).alias("distinct_ratio"),
-    )
-    score = (F.when(F.col("n_tokens") < 5, 0.0).otherwise(
-        0.25 * F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
-        + 0.25 * F.col("alpha_ratio")
-        + 0.25 * F.col("distinct_ratio")
-        + 0.25 * (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(5.0), F.lit(1.0)))))
-    return out.withColumn("quality", F.round(score, 6))
+        *[q[f].alias(f) for f in
+          ("n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio",
+           "alpha_ratio", "distinct_ratio", "quality")])
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang, lang_score): argmax of marker-word hit ratios.
-    Deterministic tie-break on language code."""
-    toks = tokens_expr(F.col(text_col))
+def lang_struct(text_col: Column) -> Column:
+    """struct(pred_lang, lang_score): argmax of marker-word hit ratios as
+    one composable expression. Deterministic tie-break on language code
+    (array_max compares (s, l) lexicographically)."""
+    toks = tokens_expr(text_col)
     safe = F.greatest(F.size(toks), F.lit(1))
     scores = []
     for lang, markers in sorted(_LANG_MARKERS.items()):
@@ -79,8 +95,16 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ratio = F.size(F.filter(toks, lambda t: F.array_contains(marr, t))) / safe
         scores.append(F.struct(ratio.alias("s"), F.lit(lang).alias("l")))
     best = F.array_max(F.array(*scores))
-    return df.select("doc_id", best["l"].alias("pred_lang"),
-                     F.round(best["s"], 6).alias("lang_score"))
+    return F.struct(best["l"].alias("pred_lang"),
+                    F.round(best["s"], 6).alias("lang_score"))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, lang_score): argmax of marker-word hit ratios.
+    Deterministic tie-break on language code."""
+    lg = lang_struct(F.col(text_col))
+    return df.select("doc_id", lg["pred_lang"].alias("pred_lang"),
+                     lg["lang_score"].alias("lang_score"))
 
 
 def fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
