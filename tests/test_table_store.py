@@ -1,0 +1,125 @@
+"""SnapshotParquetStore — Iceberg-semantics commit protocol over parquet:
+snapshot isolation, time travel, rollback, expiration, commit locking,
+and full catalog lifecycle parity through the seam."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xltsearch_spark.sources.table_store import (
+    ConcurrentCommitError, ParquetFilesystemStore, SnapshotParquetStore)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(i, v) for i, v in rows], "id long, v string")
+
+
+def test_overwrite_and_append_version_history(spark, tmp_path):
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    st.write(_df(spark, [(2, "b")]), t, mode="append")
+    st.write(_df(spark, [(9, "z")]), t)  # overwrite resets contents
+    hist = st.versions(t)
+    assert [s["version"] for s in hist] == [1, 2, 3]
+    assert [s["operation"] for s in hist] == ["overwrite", "append", "overwrite"]
+    assert hist[1]["parent"] == 1 and len(hist[1]["dirs"]) == 2
+    assert sorted(r.id for r in st.read(spark, t).collect()) == [9]
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    st.write(_df(spark, [(2, "b")]), t, mode="append")
+    assert sorted(r.id for r in st.read_version(spark, t, 1).collect()) == [1]
+    assert sorted(r.id for r in st.read_version(spark, t, 2).collect()) == [1, 2]
+    st.rollback(t, 1)
+    assert st.current_version(t) == 1
+    assert sorted(r.id for r in st.read(spark, t).collect()) == [1]
+    with pytest.raises(FileNotFoundError):
+        st.rollback(t, 99)
+
+
+def test_snapshot_isolation_under_overwrite(spark, tmp_path):
+    # THE property the default store lacks: a DataFrame read before an
+    # overwrite still evaluates against its snapshot afterwards
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "old")]), t)
+    reader = st.read(spark, t)          # lazy — binds to snapshot v1 dirs
+    st.write(_df(spark, [(2, "new")]), t)  # overwrite commits v2
+    assert [r.v for r in reader.collect()] == ["old"]
+    assert [r.v for r in st.read(spark, t).collect()] == ["new"]
+
+
+def test_expire_snapshots_removes_unreachable_data(spark, tmp_path):
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    st.write(_df(spark, [(2, "b")]), t, mode="append")
+    st.write(_df(spark, [(3, "c")]), t)          # v3: only d-000003 live
+    removed = st.expire_snapshots(t, keep_last=1)
+    assert removed == 2                          # v1+v2 data dirs dropped
+    assert [s["version"] for s in st.versions(t)] == [3]
+    assert sorted(r.id for r in st.read(spark, t).collect()) == [3]
+    with pytest.raises(FileNotFoundError):
+        st.read_version(spark, t, 1)
+
+
+def test_expire_after_rollback_drops_bad_snapshot(spark, tmp_path):
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "good")]), t)
+    st.write(_df(spark, [(2, "bad")]), t)
+    st.rollback(t, 1)
+    st.expire_snapshots(t, keep_last=1)
+    assert [s["version"] for s in st.versions(t)] == [1]
+    assert [r.v for r in st.read(spark, t).collect()] == ["good"]
+
+
+def test_commit_lock_rejects_concurrent_writer(spark, tmp_path):
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    os.close(os.open(os.path.join(t, "_commit.lock"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    with pytest.raises(ConcurrentCommitError):
+        st.write(_df(spark, [(2, "b")]), t)
+    os.unlink(os.path.join(t, "_commit.lock"))
+    st.write(_df(spark, [(2, "b")]), t)  # lock released -> commit succeeds
+    assert st.current_version(t) == 2
+
+
+def test_partitioned_append_roundtrips_partition_columns(spark, tmp_path):
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "x", 0), (2, "y", 1)],
+                               "id long, v string, bucket int")
+    st.write(df, t, partition_by=("bucket",))
+    st.write(spark.createDataFrame([(3, "z", 0)],
+                                   "id long, v string, bucket int"),
+             t, partition_by=("bucket",), mode="append")
+    out = st.read(spark, t)
+    assert sorted((r.id, r.bucket) for r in out.collect()) == \
+        [(1, 0), (2, 1), (3, 0)]
+
+
+def test_catalog_lifecycle_through_snapshot_store(spark, tiny_corpus, tmp_path):
+    # the seam contract: build + search through SnapshotParquetStore give
+    # byte-identical results to the default store, and every stage table
+    # carries a snapshot history
+    from xltsearch_spark.catalog import IndexCatalog
+    from xltsearch_spark.config import IndexConfig
+
+    corpus = spark.createDataFrame(tiny_corpus)
+
+    def run(store, wh):
+        cat = IndexCatalog(spark, wh, IndexConfig(name="v", term_buckets=4),
+                           store=store)
+        cat.build(corpus, fingerprint="v1")
+        hits = cat.engine().search("merge", 10).collect()
+        return cat, [(r.doc_id, round(r.score, 6)) for r in hits]
+
+    cat_s, hits_s = run(SnapshotParquetStore(), str(tmp_path / "snap"))
+    _, hits_d = run(ParquetFilesystemStore(), str(tmp_path / "plain"))
+    assert hits_s == hits_d and len(hits_s) > 0
+
+    seg = cat_s.read_meta()["segments"][0]["name"]
+    docs_dir = cat_s._stage_dir(seg, "docs")
+    assert cat_s.store.current_version(docs_dir) == 1
+    assert cat_s.store.versions(docs_dir)[0]["operation"] == "overwrite"

@@ -9,11 +9,20 @@ merge-on-read, ``merge()`` = ``rewrite_data_files``, the meta JSON =
 snapshot properties; this module makes that mapping a code seam instead of
 a paper one.
 
-Two implementations:
+Three implementations:
 
 * ``ParquetFilesystemStore`` (default) — plain directory-partitioned
   parquet under the warehouse path, byte-identical to the catalog's
   historical inline behavior. What the sandbox runs.
+* ``SnapshotParquetStore`` — the Iceberg *semantics* implemented over
+  plain parquet, runnable in this sandbox: every write commits a new
+  immutable snapshot (data directories never mutate; a JSON manifest
+  lists the directories composing each version, exactly Iceberg's
+  manifest-list role), readers resolve the current snapshot once at
+  ``read()`` so in-flight DataFrames are snapshot-isolated from later
+  overwrites, and the table supports time travel, rollback, snapshot
+  expiration and optimistic commit locking. See the class docstring for
+  the commit protocol.
 * ``IcebergTableStore`` — routes the same operations through a configured
   Spark SQL catalog backed by the Iceberg runtime (``writeTo(...)``
   V2 writes, identifier-addressed reads). The Iceberg runtime jars are not
@@ -35,7 +44,12 @@ atomic snapshot commit, which is precisely what this seam isolates.
 from __future__ import annotations
 
 import abc
+import contextlib
+import json
+import os
 import re
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -70,6 +84,168 @@ class ParquetFilesystemStore(TableStore):
 
     def read(self, spark: SparkSession, target: str) -> DataFrame:
         return spark.read.parquet(target)
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer holds the table's commit lock (optimistic
+    concurrency: the caller retries from a fresh snapshot, Iceberg's
+    contract for CommitFailedException)."""
+
+
+class SnapshotParquetStore(TableStore):
+    """Versioned parquet with atomic snapshot commits — the Iceberg table
+    semantics (snapshots, manifest lists, append/overwrite operations,
+    time travel, rollback, expiration, optimistic locking) implemented
+    over the filesystem so the SCALE.md mapping is demonstrable in-sandbox.
+
+    Layout per table ``target``::
+
+        target/
+          data/d-000001/...        immutable parquet dirs (never rewritten)
+          _v000001.json            snapshot: {"version", "parent",
+                                   "operation", "dirs": [...], "ts_ms"}
+          _current.json            pointer {"version": N} — the commit point
+
+    Commit protocol (what Iceberg's atomic metadata swap does, reduced to
+    POSIX primitives):
+
+    1. take the per-table commit lock (``O_CREAT|O_EXCL`` — a second
+       concurrent writer gets :class:`ConcurrentCommitError` instead of a
+       corrupted table);
+    2. write the new data directory (a crash here leaves only unreachable
+       files — the current snapshot never references them);
+    3. write the new snapshot manifest: ``overwrite`` lists just the new
+       directory, ``append`` lists the parent snapshot's directories plus
+       the new one (data is never copied — exactly Iceberg's fast append);
+    4. atomically swap ``_current.json`` via ``os.replace`` — the single
+       linearization point;
+    5. release the lock.
+
+    Snapshot isolation falls out of immutability: ``read()`` resolves the
+    pointer once, and the returned (lazy) DataFrame binds to that
+    snapshot's directories, which no later commit ever mutates — an
+    overwrite racing a long scan cannot change rows under it. (The
+    default ``ParquetFilesystemStore`` does NOT have this property:
+    ``mode=overwrite`` deletes files a concurrent reader may hold.)
+    """
+
+    def _snap_path(self, target: str, v: int) -> str:
+        return os.path.join(target, f"_v{v:06d}.json")
+
+    def _current_path(self, target: str) -> str:
+        return os.path.join(target, "_current.json")
+
+    def current_version(self, target: str) -> int | None:
+        p = self._current_path(target)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["version"]
+
+    def versions(self, target: str) -> list[dict]:
+        """Snapshot history, oldest first (Iceberg ``table.history()``)."""
+        out = []
+        for name in sorted(os.listdir(target)):
+            if name.startswith("_v") and name.endswith(".json"):
+                with open(os.path.join(target, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _read_snapshot(self, target: str, v: int) -> dict:
+        with open(self._snap_path(target, v)) as f:
+            return json.load(f)
+
+    @contextlib.contextmanager
+    def _commit_lock(self, target: str):
+        lock = os.path.join(target, "_commit.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"concurrent commit in flight for {target} (lock {lock})")
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def write(self, df: DataFrame, target: str,
+              partition_by: tuple[str, ...] = (),
+              mode: str = "overwrite") -> None:
+        os.makedirs(target, exist_ok=True)
+        with self._commit_lock(target):
+            parent = self.current_version(target)
+            v = (parent or 0) + 1
+            ddir = os.path.join(target, "data", f"d-{v:06d}")
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(ddir)
+            if mode == "append" and parent is not None:
+                dirs = self._read_snapshot(target, parent)["dirs"] + [ddir]
+            else:
+                dirs = [ddir]
+            snap = {"version": v, "parent": parent, "operation": mode,
+                    "dirs": dirs, "ts_ms": int(time.time() * 1000)}
+            with open(self._snap_path(target, v), "w") as f:
+                json.dump(snap, f, indent=1, sort_keys=True)
+            tmp = self._current_path(target) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": v}, f)
+            os.replace(tmp, self._current_path(target))
+
+    def read(self, spark: SparkSession, target: str) -> DataFrame:
+        v = self.current_version(target)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {target}")
+        return self.read_version(spark, target, v)
+
+    def read_version(self, spark: SparkSession, target: str,
+                     version: int) -> DataFrame:
+        """Time-travel read: the table exactly as of ``version``. Multiple
+        data dirs (fast appends) union per-dir — each dir is a complete
+        partitioned parquet root, so partition columns round-trip."""
+        snap = self._read_snapshot(target, version)
+        dfs = [spark.read.parquet(d) for d in snap["dirs"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def rollback(self, target: str, version: int) -> None:
+        """Point the table back at an earlier snapshot (Iceberg
+        ``rollback_to_snapshot``): a pure pointer swap — the bad
+        snapshot's data stays on disk until expired."""
+        if not os.path.exists(self._snap_path(target, version)):
+            raise FileNotFoundError(f"no snapshot v{version} at {target}")
+        with self._commit_lock(target):
+            tmp = self._current_path(target) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": version}, f)
+            os.replace(tmp, self._current_path(target))
+
+    def expire_snapshots(self, target: str, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` snapshots ending at the
+        current pointer, then delete data directories no retained snapshot
+        references (Iceberg ``expire_snapshots``). Returns the number of
+        data dirs removed. Never touches the current snapshot's data."""
+        cur = self.current_version(target)
+        snaps = self.versions(target)
+        retained = [s for s in snaps if s["version"] <= cur][-keep_last:]
+        retained_v = {s["version"] for s in retained}
+        keep_dirs = {d for s in retained for d in s["dirs"]}
+        removed = 0
+        with self._commit_lock(target):
+            for s in snaps:
+                if s["version"] not in retained_v and s["version"] != cur:
+                    os.unlink(self._snap_path(target, s["version"]))
+            data_root = os.path.join(target, "data")
+            for name in sorted(os.listdir(data_root)):
+                d = os.path.join(data_root, name)
+                if d not in keep_dirs:
+                    shutil.rmtree(d)
+                    removed += 1
+        return removed
 
 
 class IcebergTableStore(TableStore):
