@@ -160,10 +160,23 @@ def main() -> int:
                               max_shingle_df=100).count()
     timings["dedup_ngram_jaccard"] = round(time.time() - t0, 3)
 
+    # span-level substring dedup (hashed scale path: xxhash64 window keys)
+    t0 = time.time()
+    from xltsearch_spark.operators import substring as substr_ops
+    substr_ops.substring_dedup_stats(documents, min_len=20, hashed=True).count()
+    timings["dedup_substring"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     textstats.quality_scores(documents).count()
     textstats.language_id(documents).count()
     timings["text_stats"] = round(time.time() - t0, 3)
+
+    # composed curation verdict (quality+lang+split single pass, sha256
+    # dedup window, broadcast contamination join)
+    t0 = time.time()
+    from xltsearch_spark.operators.curation import curate
+    curate(documents, documents.filter(F.col("doc_id") % 50 == 0)).count()
+    timings["pipeline_curate"] = round(time.time() - t0, 3)
 
     # B3 parse stage: pure JVM regexp chain, map-only (no shuffle, no UDF)
     t0 = time.time()
