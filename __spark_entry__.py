@@ -432,6 +432,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["dedup_substring"] = dedup_substring_entry
 
+    def dedup_substring_clean_entry(s, d):
+        """The dedup ACTION: duplicated spans cut, one corpus-wide first
+        occurrence surviving per passage (min (doc_id,pos) policy). The
+        oracle re-derives first-occurrence windows with a row_number over
+        the same ordering and rebuilds the surviving token stream."""
+        from xltsearch_spark.operators import substring
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return (substring.remove_duplicated_spans(docs, min_len=20,
+                                                  hashed=False)
+                .select("doc_id",
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        F.col("n_cut_tokens").cast("long").alias("n_cut_tokens"),
+                        "clean_text")
+                .orderBy("doc_id"))
+    q["dedup_substring_clean"] = dedup_substring_clean_entry
+
     # ---- document parsing / text extraction (B3, ParseTask.java:55-77) ----
     def _wrap_documents(docs):
         """Deterministic doc_id%4 containers: html / xml / markdown / binary
@@ -1478,6 +1494,40 @@ def oracle_sql() -> dict[str, str]:
            CAST(len(f.toks) AS BIGINT) AS n_tokens,
            round(a.dup_tokens * 1.0 / len(f.toks), 6) AS dup_frac
     FROM agg a JOIN f USING (doc_id) ORDER BY a.doc_id"""
+
+    # span REMOVAL: non-first duplicated windows (row_number over
+    # (doc_id, pos) per window = the operator's min-struct argmin) merge
+    # into cut intervals; surviving tokens re-join with single spaces
+    o["dedup_substring_clean"] = """
+    WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+20], chr(31)) AS sh
+          FROM f, unnest(range(greatest(len(toks) - 19, 0))) AS t(i)),
+    r AS (SELECT doc_id, pos,
+            row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+            count(*) OVER (PARTITION BY sh) AS c
+          FROM g),
+    cut AS (SELECT DISTINCT doc_id, pos FROM r WHERE c >= 2 AND rn >= 2),
+    m AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                 THEN 1 ELSE 0 END AS brk FROM cut),
+    s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS span_id FROM m),
+    iv AS (SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+           FROM s GROUP BY doc_id, span_id),
+    tp AS (SELECT doc_id, i AS p, toks[i+1] AS tok
+           FROM f, unnest(range(len(toks))) t(i)),
+    cutpos AS (SELECT DISTINCT tp.doc_id, tp.p FROM tp JOIN iv
+               ON tp.doc_id = iv.doc_id AND tp.p >= iv.s AND tp.p < iv.e),
+    keep AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp LEFT JOIN cutpos cp
+             ON tp.doc_id = cp.doc_id AND tp.p = cp.p WHERE cp.p IS NULL),
+    ka AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(tok, ' ' ORDER BY p) AS clean_text
+           FROM keep GROUP BY doc_id)
+    SELECT f.doc_id, CAST(len(f.toks) AS BIGINT) AS n_tokens,
+           CAST(len(f.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_cut_tokens,
+           coalesce(ka.clean_text, '') AS clean_text
+    FROM f LEFT JOIN ka USING (doc_id) ORDER BY f.doc_id"""
 
     # repetition signals: line stats via per-(doc, line) counts, top 2-gram
     # via (cnt desc, gram asc) argmax — byte-identical token/line rules

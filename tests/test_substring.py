@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from xltsearch_spark.operators.substring import (
-    duplicated_spans, substring_dedup_stats)
+    duplicated_spans, remove_duplicated_spans, substring_dedup_stats)
 
 
 def _docs(spark, texts):
@@ -82,6 +82,40 @@ def test_hashed_path_matches_string_path(spark, small_corpus):
     a = sorted(map(tuple, duplicated_spans(docs, 10, hashed=False).collect()))
     b = sorted(map(tuple, duplicated_spans(docs, 10, hashed=True).collect()))
     assert a == b
+
+
+def test_remove_spans_keeps_first_occurrence_only(spark):
+    # doc 0 holds the corpus-first occurrence -> untouched; docs 1 and 2
+    # get the shared passage cut but keep their unique tokens
+    shared = words("d", 6)
+    docs = _docs(spark, [
+        f"{shared} {words('a', 3)}",
+        f"{words('b', 3)} {shared}",
+        f"{shared}",
+    ])
+    out = {r.doc_id: r for r in
+           remove_duplicated_spans(docs, min_len=6, hashed=False).collect()}
+    assert out[0].n_cut_tokens == 0 and out[0].clean_text == \
+        f"{shared} {words('a', 3)}"
+    assert out[1].n_cut_tokens == 6 and out[1].clean_text == words("b", 3)
+    assert out[2].n_cut_tokens == 6 and out[2].clean_text == ""
+    assert all(out[i].n_tokens == 9 for i in (0, 1)) and out[2].n_tokens == 6
+
+
+def test_remove_spans_self_repetition_keeps_first_copy(spark):
+    phrase = words("r", 5)
+    docs = _docs(spark, [f"{phrase} {words('m', 8)} {phrase}"])
+    out = remove_duplicated_spans(docs, 5, hashed=False).collect()[0]
+    assert out.clean_text == f"{phrase} {words('m', 8)}"
+    assert out.n_cut_tokens == 5
+
+
+def test_remove_spans_noop_without_duplicates(spark):
+    docs = _docs(spark, [words("u", 30), "short one"])
+    out = {r.doc_id: r for r in
+           remove_duplicated_spans(docs, 6, hashed=False).collect()}
+    assert out[0].n_cut_tokens == 0 and out[0].clean_text == words("u", 30)
+    assert out[1].n_cut_tokens == 0 and out[1].clean_text == "short one"
 
 
 def test_tokenization_matches_dedup_family(spark):

@@ -106,6 +106,68 @@ def duplicated_spans(docs: DataFrame, min_len: int = 20,
             .select("doc_id", "span_start", "span_len"))
 
 
+def remove_duplicated_spans(docs: DataFrame, min_len: int = 20,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            hashed: bool = True) -> DataFrame:
+    """The curation ACTION: cut every duplicated span occurrence except
+    the corpus-wide first, per Lee et al.'s dedup policy (one copy of
+    each duplicated passage survives training).
+
+    "First" is the minimum (doc_id, pos) occurrence of each duplicated
+    window — deterministic and engine-invariant. A token position is cut
+    iff some non-first duplicated window covers it; covered-only-by-first
+    positions survive, so exactly one copy of each passage remains.
+
+    Returns every input doc: (doc_id, n_tokens, n_cut_tokens, clean_text)
+    where ``clean_text`` is the surviving token stream joined with single
+    spaces — the canonical whitespace form curation pipelines feed
+    tokenizers (original inter-token bytes are not preserved; the index
+    stores originals separately if needed).
+
+    Scale shape: ONE combined aggregate per window key computes the
+    occurrence count AND the argmin occurrence (same shuffle the span
+    detector pays — count and min fold in the same map-side combine);
+    cut-interval merge is the per-doc window function; the final cut is a
+    higher-order filter over the token array — map-only, pure JVM.
+    """
+    n = min_len
+    hits = _window_hits(docs, n, text_col, id_col, hashed)
+    agg = (hits.groupBy("w")
+           .agg(F.count("*").alias("c"),
+                F.min(F.struct("doc_id", "pos")).alias("first"))
+           .filter(F.col("c") >= 2))
+    cut = (hits.join(agg, "w")
+           .filter((F.col("doc_id") != F.col("first.doc_id"))
+                   | (F.col("pos") != F.col("first.pos")))
+           .select("doc_id", "pos").distinct())
+
+    per_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(per_doc) > n,
+                 F.lit(1)).otherwise(F.lit(0))
+    ivs = (cut
+           .withColumn("brk", brk)
+           .withColumn("span_id", F.sum("brk").over(per_doc))
+           .groupBy("doc_id", "span_id")
+           .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+           .groupBy("doc_id")
+           .agg(F.collect_list(F.struct("s", "e")).alias("ivs")))
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^\w]+"),
+                    lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    ivs_or_empty = F.coalesce(
+        F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(ivs_or_empty,
+                               lambda iv: (i >= iv["s"]) & (i < iv["e"])))
+    return (base.join(ivs, "doc_id", "left")
+            .select("doc_id",
+                    F.size("toks").alias("n_tokens"),
+                    (F.size("toks") - F.size(kept)).alias("n_cut_tokens"),
+                    F.array_join(kept, " ").alias("clean_text")))
+
+
 def substring_dedup_stats(docs: DataFrame, min_len: int = 20,
                           text_col: str = "text", id_col: str = "doc_id",
                           hashed: bool = True) -> DataFrame:
