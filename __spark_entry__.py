@@ -736,6 +736,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_cosine_lsh"] = ann_lsh
 
+    def ann_ivf_kmeans(s, d):
+        """IVF with TRAINED centroids: one distributed Lloyd iteration
+        (cosine argmax assignment + per-dim mean aggregate) refines the
+        seed centroids before the nprobe probe. The oracle unrolls the
+        same iteration in SQL — seed assignment, per-dim AVG refine
+        (empty clusters keep their seed via left-join coalesce),
+        reassignment, probe, exact rerank."""
+        emb = (s.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")))
+        cm = similarity.kmeans_fit(emb, n_centroids=16, n_iter=1)
+        qvec = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+        out = similarity.cosine_topk_ivf(emb, qvec, k=10, n_centroids=16,
+                                         nprobe=4, centroids=cm)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+    q["ann_cosine_ivf_kmeans"] = ann_ivf_kmeans
+
     return q
 
 
@@ -1701,4 +1717,51 @@ def oracle_sql() -> dict[str, str]:
           FROM z GROUP BY vec_id)
     SELECT vec_id, round(dot / (nx * ny), 6) AS cosine
     FROM s ORDER BY dot / (nx * ny) DESC, vec_id LIMIT 5"""
+
+    # IVF + one Lloyd iteration, fully unrolled: seed assignment -> per-dim
+    # AVG refine (left-join coalesce = empty-cluster-keeps-seed) ->
+    # reassignment with refined centroids -> nprobe probe -> exact rerank
+    o["ann_cosine_ivf_kmeans"] = """
+    WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                      embedding::DOUBLE[] AS ce
+               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+    cn AS (SELECT cid, ce, sqrt(list_dot_product(ce, ce)) AS cnrm FROM c),
+    n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+    sim1 AS (SELECT n.vec_id, cn.cid,
+                    list_dot_product(n.e, cn.ce) / (n.nrm * cn.cnrm) AS s
+             FROM n CROSS JOIN cn),
+    asg1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                 FROM sim1) WHERE rn = 1),
+    mu AS (SELECT a.cid, t.d, avg(n.e[t.d + 1]) AS v
+           FROM asg1 a JOIN n USING (vec_id)
+           CROSS JOIN unnest(range(64)) AS t(d)
+           GROUP BY a.cid, t.d),
+    c2 AS (SELECT cid, array_agg(v ORDER BY d) AS ce FROM mu GROUP BY cid),
+    cn2 AS (SELECT cn.cid, coalesce(c2.ce, cn.ce) AS ce,
+                   sqrt(list_dot_product(coalesce(c2.ce, cn.ce),
+                                         coalesce(c2.ce, cn.ce))) AS cnrm
+            FROM cn LEFT JOIN c2 USING (cid)),
+    sim2 AS (SELECT n.vec_id, cn2.cid,
+                    list_dot_product(n.e, cn2.ce) / (n.nrm * cn2.cnrm) AS s
+             FROM n CROSS JOIN cn2),
+    asg2 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                 FROM sim2) WHERE rn = 1),
+    q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 5),
+    qp AS (SELECT cid FROM (
+               SELECT cn2.cid,
+                      row_number() OVER (
+                          ORDER BY list_dot_product(q.qe, cn2.ce) / (q.qn * cn2.cnrm) DESC,
+                                   cn2.cid) AS rn
+               FROM cn2 CROSS JOIN q) WHERE rn <= 4),
+    cand AS (SELECT a.vec_id FROM asg2 a JOIN qp USING (cid)),
+    s2 AS (SELECT n.vec_id, list_dot_product(n.e, q.qe) / (n.nrm * q.qn) AS cosine
+           FROM n JOIN cand USING (vec_id) CROSS JOIN q)
+    SELECT vec_id, round(cosine, 6) AS cosine
+    FROM s2 ORDER BY cosine DESC, vec_id LIMIT 10"""
     return o

@@ -340,3 +340,65 @@ def test_contamination_plan_is_jvm_broadcast(spark):
         .executedPlan().toString()
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmeans_fit_matches_numpy_lloyd(spark):
+    # one Lloyd iteration vs a numpy reference on clustered data
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 8)) * 5
+    mat = np.concatenate([centers[i] + rng.standard_normal((20, 8))
+                          for i in range(4)])
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))],
+        ["vec_id", "embedding"])
+    got = similarity.kmeans_fit(df, n_centroids=4, n_iter=1)
+
+    seed = mat[:4]
+    vn = np.linalg.norm(mat, axis=1)
+    cn = np.linalg.norm(seed, axis=1)
+    asg = np.argmax((mat @ seed.T) / (vn[:, None] * cn[None, :]), axis=1)
+    want = np.stack([mat[asg == c].mean(axis=0) if (asg == c).any()
+                     else seed[c] for c in range(4)])
+    assert np.allclose(got, want, rtol=1e-9)
+    # deterministic: a second run is bit-stable at comparison precision
+    again = similarity.kmeans_fit(df, n_centroids=4, n_iter=1)
+    assert np.allclose(got, again, rtol=0, atol=1e-12)
+
+
+def test_kmeans_improves_clustering_objective(spark):
+    # within-cluster cosine (the spherical k-means objective) must not
+    # decrease from seed centroids to trained ones
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((3, 8)) * 4
+    mat = np.concatenate([centers[i] + rng.standard_normal((30, 8))
+                          for i in range(3)])
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))],
+        ["vec_id", "embedding"])
+
+    def objective(cm):
+        vn = np.linalg.norm(mat, axis=1)
+        cn = np.linalg.norm(cm, axis=1)
+        sims = (mat @ cm.T) / (vn[:, None] * cn[None, :])
+        return sims.max(axis=1).mean()
+
+    seed = mat[:3]
+    trained = similarity.kmeans_fit(df, n_centroids=3, n_iter=4)
+    assert objective(trained) >= objective(seed) - 1e-12
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    # two far clusters, 3 centroids seeded inside them: at least one seed
+    # captures nothing and must survive verbatim
+    a = np.tile([10.0, 0, 0, 0], (5, 1)) + 0.01 * np.arange(5)[:, None]
+    b = np.tile([0, 10.0, 0, 0], (5, 1)) + 0.01 * np.arange(5)[:, None]
+    mat = np.concatenate([a, b])
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))],
+        ["vec_id", "embedding"])
+    cm = similarity.kmeans_fit(df, n_centroids=3, n_iter=1)
+    # seeds 0-2 all sit in cluster A's direction; every vector assigns to
+    # exactly one of them (first-max tie-break), the others keep seeds
+    seeds = mat[:3]
+    unchanged = [c for c in range(3) if np.allclose(cm[c], seeds[c])]
+    assert len(unchanged) >= 1

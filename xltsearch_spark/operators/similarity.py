@@ -149,6 +149,41 @@ def ivf_assignments(vectors: DataFrame, centroids: np.ndarray,
     return vectors.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
+def kmeans_fit(vectors: DataFrame, n_centroids: int = 16, n_iter: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's algorithm) for IVF centroid
+    training — the iterative step that upgrades ``cosine_topk_ivf``'s
+    deterministic seed centroids to real cluster centers.
+
+    Per iteration: one cosine-argmax assignment map pass (the same
+    ``ivf_assignments`` kernel the probe uses) plus ONE k x dim aggregate
+    — per-dimension means partial-aggregate map-side, so the shuffle and
+    the driver each carry only k rows of dim doubles (k=16, dim=64 ->
+    8 KiB/iteration; at 10^9 vectors the cost per iteration is one scan).
+    Initialization is the first ``n_centroids`` vectors in id order —
+    deterministic, same seeds as the IVF oracle. Empty clusters keep
+    their previous centroid (the standard Lloyd degeneracy rule, and what
+    the SQL oracle's left-join coalesce reproduces)."""
+    rows = (vectors.select(id_col, vec_col).orderBy(id_col)
+            .limit(n_centroids).collect())
+    cm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    dim = cm.shape[1]
+    vec_d = F.col(vec_col).cast("array<double>").alias("_v")
+    for _ in range(n_iter):
+        asg = ivf_assignments(vectors, cm, id_col, vec_col)
+        means = (vectors.select(id_col, vec_d)
+                 .join(asg, id_col)
+                 .groupBy("centroid_id")
+                 .agg(*[F.avg(F.col("_v")[d]).alias(f"m{d}")
+                        for d in range(dim)])
+                 .collect())
+        new = cm.copy()
+        for r in means:
+            new[r["centroid_id"]] = [r[f"m{d}"] for d in range(dim)]
+        cm = new
+    return cm
+
+
 def cosine_topk_ivf(vectors: DataFrame, query_vec: list[float], k: int = 10,
                     n_centroids: int = 16, nprobe: int = 4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
