@@ -31,6 +31,10 @@ Subcommands
     update  incremental upsert/delete batch through IndexCatalog.update
     search  classic-QP query -> top-k printed as JSON lines
     bench   N repeated searches (scheduler-amortized), prints timings
+    curate  documents parquet dir -> curation verdicts + funnel report
+            (quality/lang gates, exact dedup, optional --benchmark
+            decontamination, deterministic split; writes verdict parquet
+            to --out and prints the reason/split funnel)
 """
 
 from __future__ import annotations
@@ -77,11 +81,38 @@ def _load_corpus(spark: SparkSession, path: str):
     return read_corpus(spark, path)
 
 
+def _cmd_curate(args):
+    """Curation is index-free: corpus in, verdicts + funnel out."""
+    from xltsearch_spark.operators.curation import curate, curation_report
+    if not args.corpus:
+        raise SystemExit("--corpus is required for curate")
+    spark = _session(args)
+    docs = spark.read.parquet(f"{args.corpus}/documents.parquet"
+                              if os.path.exists(f"{args.corpus}/documents.parquet")
+                              else args.corpus)
+    bench = (spark.read.parquet(args.benchmark)
+             if args.benchmark else None)
+    t0 = time.time()
+    verdicts = curate(docs, bench)
+    if args.out:
+        verdicts.write.mode("overwrite").parquet(args.out)
+        verdicts = spark.read.parquet(args.out)
+    for r in curation_report(verdicts).collect():
+        print(json.dumps({"reason": r["reason"], "split": r["split"],
+                          "n_docs": r["n_docs"]}))
+    print(json.dumps({"cmd": "curate",
+                      "docs": docs.count(),
+                      "wall_sec": round(time.time() - t0, 3)}))
+    spark.stop()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="submit_job")
-    ap.add_argument("cmd", choices=["build", "update", "search", "bench"])
+    ap.add_argument("cmd", choices=["build", "update", "search", "bench",
+                                    "curate"])
     ap.add_argument("--corpus", help="corpus parquet dir (build/update)")
-    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--warehouse", help="index warehouse dir "
+                    "(required for all index commands)")
     ap.add_argument("--index", default="default")
     ap.add_argument("--query", default="merge")
     ap.add_argument("--k", type=int, default=20)
@@ -90,7 +121,15 @@ def main(argv=None):
     ap.add_argument("--analyzer", default="standard")
     ap.add_argument("--local", type=int, default=0,
                     help="run on local[N] instead of the submit-line master")
+    ap.add_argument("--benchmark", help="eval-set parquet dir for "
+                    "decontamination (curate)")
+    ap.add_argument("--out", help="verdict parquet output dir (curate)")
     args = ap.parse_args(argv)
+
+    if args.cmd == "curate":
+        return _cmd_curate(args)
+    if not args.warehouse:
+        ap.error(f"--warehouse is required for {args.cmd}")
 
     from xltsearch_spark.catalog import IndexCatalog
     from xltsearch_spark.config import IndexConfig
