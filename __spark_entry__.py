@@ -30,8 +30,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
 from xltsearch_spark.config import IndexConfig
-from xltsearch_spark.operators import (dedup, events, multimodal, parse,
-                                       sampling, scrub, similarity, textstats)
+from xltsearch_spark.operators import (dedup, events, multimodal, packing,
+                                       parse, sampling, scrub, similarity,
+                                       textstats)
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.operators.search import SearchEngine
 
@@ -653,6 +654,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = sampling.stratified_sample_n(docs, "lang", n=20)
         return out.select("doc_id", "lang").orderBy("doc_id")
     q["sample_stratified"] = sample_strat
+
+    # ---- training-data last mile: packing / sharding / mixture ----
+    def _docs_with_tokens(s, d):
+        ntok = F.size(F.filter(F.split(F.lower(F.col("text")), r"[^\w']+"),
+                               lambda t: t != "")).cast("long")
+        return (s.read.parquet(f"{d}/documents.parquet")
+                .select("doc_id", "source", ntok.alias("n_tokens")))
+
+    def pack_seq(s, d):
+        """Concatenate-and-chunk packing at a 2048-token budget: global
+        token offsets via the two-pass prefix sum (no global window)."""
+        out = packing.pack_chunked(_docs_with_tokens(s, d), budget=2048)
+        return out.select("doc_id", "n_tokens", "start_offset", "pack_id",
+                          "pack_offset", "n_packs_spanned").orderBy("doc_id")
+    q["pack_sequences"] = pack_seq
+
+    def shard_stats(s, d):
+        """Shard manifest: per-shard doc/token totals + the first doc in
+        the reproducible within-shard shuffle order."""
+        out = packing.assign_shards(_docs_with_tokens(s, d), n_shards=8)
+        return (out.groupBy("shard")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.min("doc_id").alias("min_doc"),
+                     F.max("doc_id").alias("max_doc"),
+                     F.min_by("doc_id", "pos_in_shard").alias("first_doc"))
+                .select(F.col("shard").cast("long").alias("shard"),
+                        "n_docs", "n_tokens", "min_doc", "max_doc",
+                        "first_doc")
+                .orderBy("shard"))
+    q["shard_manifest"] = shard_stats
+
+    _MIX_FACTORS = {"src0": 2.5, "src1": 0.0, "src2": 0.5, "src3": 1.75}
+
+    def mix(s, d):
+        """Domain-mix resampling: per-source row/doc counts after
+        deterministic fractional up/down-sampling."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        out = packing.mixture_resample(docs, "source", _MIX_FACTORS,
+                                       default_factor=1.0)
+        return (out.groupBy("source")
+                .agg(F.count("*").alias("n_rows"),
+                     F.countDistinct("doc_id").alias("n_docs"))
+                .orderBy("source"))
+    q["sample_mixture"] = mix
 
     # ---- event-stream analytics (batch forms of the streaming operators) ----
     def ev_rollup(s, d):
@@ -1412,6 +1458,62 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY hv ASC, doc_id ASC) AS rk
           FROM h)
     SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id"""
+
+    # training-data last mile: packing / sharding / mixture. Same Knuth
+    # hash; window sums cast back to BIGINT (DuckDB SUM(BIGINT) widens to
+    # HUGEINT, which would break schema equality with Spark longs)
+    _ntok_sql = ("len(list_filter(regexp_extract_all(lower(text), "
+                 "'[a-z0-9_'']+'), x -> x <> ''))")
+    o["pack_sequences"] = f"""
+    WITH t AS (SELECT doc_id, {_ntok_sql} AS n_tokens, {_hash_sql} AS hv
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY hv, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_offset
+          FROM t)
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // 2048 AS pack_id,
+           start_offset % 2048 AS pack_offset,
+           (start_offset + greatest(n_tokens, 1) - 1) // 2048
+             - start_offset // 2048 + 1 AS n_packs_spanned
+    FROM c ORDER BY doc_id"""
+
+    o["shard_manifest"] = f"""
+    WITH t AS (SELECT doc_id, {_ntok_sql} AS n_tokens, {_hash_sql} AS hv
+               FROM documents),
+    s AS (SELECT hv % 8 AS shard, doc_id, n_tokens, hv FROM t),
+    a AS (SELECT shard, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM s GROUP BY shard),
+    f AS (SELECT shard, doc_id AS first_doc FROM s
+          QUALIFY row_number() OVER (PARTITION BY shard
+                                     ORDER BY hv, doc_id) = 1)
+    SELECT a.shard, a.n_docs, a.n_tokens, a.min_doc, a.max_doc,
+           f.first_doc
+    FROM a JOIN f USING (shard) ORDER BY shard"""
+
+    # the fractional-copy coin uses salt 7919 (packing._MIX_SALT); the
+    # factors' fractional parts (.5, .75, .0) are exact binary doubles so
+    # floor(frac * 2^31) is engine-exact
+    _coin_sql = f"((((doc_id + 7919) % {_MOD}) * {_KNUTH}) % {_MOD})"
+    o["sample_mixture"] = f"""
+    WITH t AS (SELECT doc_id, source,
+           CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.0
+                            WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 1.75
+                            ELSE 1.0 END AS DOUBLE) AS f,
+           {_coin_sql} AS coin
+    FROM documents),
+    n AS (SELECT doc_id, source,
+                 CAST(floor(f) AS BIGINT)
+                   + CASE WHEN coin < CAST(floor((f - floor(f))
+                          * 2147483648.0) AS BIGINT)
+                          THEN 1 ELSE 0 END AS n_copies
+          FROM t)
+    SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_rows,
+           count(*) FILTER (WHERE n_copies > 0) AS n_docs
+    FROM n GROUP BY source HAVING sum(n_copies) > 0 ORDER BY source"""
 
     # event analytics: epoch-aligned tumbling windows (integer bucket
     # arithmetic on epoch microseconds) and gaps-and-islands sessionization

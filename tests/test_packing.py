@@ -1,0 +1,151 @@
+"""Sequence packing / sharding / mixture resampling (training-pipeline
+last-mile operators)."""
+import pytest
+from pyspark.sql import functions as F
+
+from xltsearch_spark.operators import packing
+from xltsearch_spark.operators.sampling import _MOD, bucket_hash
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # token counts spread across [0, 120] incl. zeros and > budget sizes
+    rows = [(i, (i * 37) % 121, f"src{i % 5}") for i in range(400)]
+    return spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, source string").persist()
+
+
+def _knuth(i, salt=0):
+    return (((i + salt) % _MOD) * 2654435761) % _MOD
+
+
+# ---- pack_chunked -----------------------------------------------------
+
+def test_pack_chunked_matches_manual_cumsum(spark, docs):
+    out = packing.pack_chunked(docs, budget=256).collect()
+    rows = sorted(((r["doc_id"], r["n_tokens"], r["start_offset"],
+                    r["pack_id"], r["pack_offset"], r["n_packs_spanned"])
+                   for r in out))
+    # manual reference: sort by (hash, id), exclusive cumsum
+    data = sorted(((_knuth(i), i, (i * 37) % 121) for i in range(400)))
+    offset, expect = 0, {}
+    for _, i, t in data:
+        last = offset + max(t, 1) - 1
+        expect[i] = (offset, offset // 256, offset % 256,
+                     last // 256 - offset // 256 + 1)
+        offset += t
+    for doc_id, t, start, pack, poff, span in rows:
+        assert (start, pack, poff, span) == expect[doc_id]
+
+
+def test_pack_chunked_partitioning_invariant(spark, docs):
+    a = {r["doc_id"]: r["start_offset"]
+         for r in packing.pack_chunked(docs, 256).collect()}
+    b = {r["doc_id"]: r["start_offset"]
+         for r in packing.pack_chunked(docs.repartition(17), 256).collect()}
+    assert a == b
+
+
+def test_pack_chunked_rejects_bad_budget(docs):
+    with pytest.raises(ValueError):
+        packing.pack_chunked(docs, 0)
+
+
+# ---- pack_greedy ------------------------------------------------------
+
+def test_pack_greedy_respects_budget_and_covers_every_doc(spark, docs):
+    out = packing.pack_greedy(docs, budget=256).collect()
+    assert len(out) == 400
+    assert len({r["doc_id"] for r in out}) == 400
+    fills = {}
+    for r in out:
+        fills.setdefault(r["pack_id"], []).append(
+            (r["pack_offset"], r["n_tokens"]))
+    for pack, members in fills.items():
+        members.sort()
+        total = sum(t for _, t in members)
+        # a pack only exceeds the budget when a single oversize doc owns it
+        if total > 256:
+            assert len(members) == 1
+        # offsets are the running fill
+        fill = 0
+        for off, t in members:
+            assert off == fill
+            fill += t
+
+
+def test_pack_greedy_pack_ids_globally_dense(spark, docs):
+    packs = sorted({r["pack_id"]
+                    for r in packing.pack_greedy(docs, 256).collect()})
+    assert packs == list(range(len(packs)))
+
+
+# ---- shards -----------------------------------------------------------
+
+def test_assign_shards_hash_and_dense_positions(spark, docs):
+    out = packing.assign_shards(docs, n_shards=8).collect()
+    by_shard = {}
+    for r in out:
+        assert r["shard"] == _knuth(r["doc_id"]) % 8
+        by_shard.setdefault(r["shard"], []).append(
+            (r["pos_in_shard"], r["doc_id"]))
+    for shard, members in by_shard.items():
+        members.sort()
+        assert [p for p, _ in members] == list(range(len(members)))
+        # order inside the shard is (hash, id) order
+        hashes = [_knuth(d) for _, d in members]
+        assert hashes == sorted(hashes)
+
+
+def test_write_shards_roundtrip(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    packing.write_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    assert back.select("shard").distinct().count() == 4
+    # shard sizes balanced within a loose band (hash-uniform)
+    sizes = [r["n"] for r in back.groupBy("shard")
+             .agg(F.count("*").alias("n")).collect()]
+    assert min(sizes) > 60 and max(sizes) < 140
+
+
+# ---- mixture ----------------------------------------------------------
+
+def test_mixture_resample_copy_counts(spark, docs):
+    out = packing.mixture_resample(
+        docs, "source", {"src0": 2.5, "src1": 0.0, "src2": 0.5},
+        default_factor=1.0).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault((r["doc_id"], r["source"]), []).append(
+            r["copy_idx"])
+    for (doc_id, src), copies in per_doc.items():
+        assert sorted(copies) == list(range(len(copies)))
+        if src == "src0":
+            assert len(copies) in (2, 3)
+        elif src == "src2":
+            assert len(copies) == 1
+        else:
+            assert src not in ("src1",)  # src1 fully dropped
+    srcs = {s for _, s in per_doc}
+    assert "src1" not in srcs
+    # fractional halves hit ~half the docs (80 per source in the fixture)
+    n3 = sum(1 for (d, s), c in per_doc.items()
+             if s == "src0" and len(c) == 3)
+    n_src2 = sum(1 for (d, s) in per_doc if s == "src2")
+    assert 20 < n3 < 60 and 20 < n_src2 < 60
+
+
+def test_mixture_resample_deterministic(spark, docs):
+    f = {"src0": 1.25, "src3": 0.75}
+    a = sorted((r["doc_id"], r["copy_idx"]) for r in
+               packing.mixture_resample(docs, "source", f).collect())
+    b = sorted((r["doc_id"], r["copy_idx"]) for r in
+               packing.mixture_resample(docs.repartition(11), "source",
+                                        f).collect())
+    assert a == b
+
+
+def test_mixture_rejects_negative_factor(docs):
+    with pytest.raises(ValueError):
+        packing.mixture_resample(docs, "source", {"src0": -1.0})

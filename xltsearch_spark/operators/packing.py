@@ -1,0 +1,283 @@
+"""Deterministic sequence packing, shard assignment, and mixture
+resampling — the last mile of a training-data pipeline.
+
+After curation/dedup a 100-TB corpus still has to be turned into what a
+trainer actually consumes: fixed-token-budget sequences, a fixed number
+of balanced shards, and a domain mix reweighted to a target recipe.
+All three operators here are *engine- and partitioning-invariant*: every
+decision derives from pure integer arithmetic over a stable id (the same
+Knuth hash as :mod:`xltsearch_spark.operators.sampling`), so the output
+is bit-identical on 1 executor or 1000 and reproducible in the DuckDB
+oracle.
+
+Scale notes:
+
+* ``pack_chunked`` needs a GLOBAL exclusive prefix sum of token counts in
+  a deterministic order. A ``sum() over (order by ...)`` window with no
+  partition key serializes on one task, so it reuses the two-pass shape
+  of ``build.assign_doc_ids`` (range-partition + sort, tiny per-partition
+  count collect, offsets added map-side in ``mapInPandas``) — the
+  scalable equivalent of sort + scan.
+* ``pack_greedy`` is inherently sequential *within* a partition (the
+  current pack's fill is a non-associative running state) but
+  embarrassingly parallel across partitions; pack ids are made globally
+  dense with the same two-pass offset trick (pass 1 counts packs per
+  partition, pass 2 assigns). Pack *composition* at partition boundaries
+  depends on the partitioning, which is why the oracle-checked variant is
+  ``pack_chunked`` (exact, invariant) and greedy is the no-split option.
+* ``assign_shards`` / ``mixture_resample`` are one shuffle and map-only
+  respectively; the shard hash balances shard sizes by construction
+  (no hot shard, every shard ~N/n_shards).
+"""
+
+from __future__ import annotations
+
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from xltsearch_spark.operators.sampling import _MOD, bucket_hash
+
+# salt offset for the fractional-copy coin in mixture_resample; must stay
+# in sync with the oracle SQL (any fixed prime works — it only needs to
+# decorrelate the copy coin from the id hash used elsewhere)
+_MIX_SALT = 7919
+
+
+def _ordered_exclusive_cumsum(df: DataFrame, value_col: str,
+                              order_cols: list[Column],
+                              out_col: str) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` (long) over the global order
+    given by ``order_cols``, without a global window.
+
+    Two passes over a persisted range-partitioned sort (same pattern as
+    ``build.assign_doc_ids``): per-partition sums are a tiny collect
+    (one row per partition), then each partition adds its offset plus a
+    local numpy cumsum inside ``mapInPandas``. O(rows) work, no
+    single-task stage at any scale.
+    """
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sorted_df = df.repartitionByRange(n_parts, *order_cols) \
+                  .sortWithinPartitions(*order_cols).persist()
+    sums = {r["pid"]: r["s"] for r in
+            sorted_df.withColumn("pid", F.spark_partition_id())
+                     .groupBy("pid")
+                     .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
+                     .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    out_schema = StructType(sorted_df.schema.fields +
+                            [StructField(out_col, LongType())])
+
+    def add_cumsum(it):
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            vals = pdf[value_col].to_numpy("int64")
+            pdf[out_col] = base + vals.cumsum() - vals  # exclusive
+            base += int(vals.sum())
+            yield pdf
+
+    return sorted_df.mapInPandas(add_cumsum, schema=out_schema)
+
+
+def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
+                 token_col: str = "n_tokens", salt: int = 0) -> DataFrame:
+    """Concatenate-and-chunk packing: documents are laid out in the
+    deterministic order ``(hash(id), id)``, token streams concatenated,
+    and cut every ``budget`` tokens (the classic causal-LM data layout —
+    documents may straddle a cut; the trainer masks across boundaries or
+    not, its choice).
+
+    Adds columns: ``start_offset`` (global token offset of the doc),
+    ``pack_id`` (= start_offset // budget), ``pack_offset`` (position
+    inside that pack) and ``n_packs_spanned``. Pure integer arithmetic
+    over a two-pass prefix sum — invariant to partitioning, cluster size
+    and engine (bit-identical in the DuckDB oracle).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    h = bucket_hash(F.col(id_col), salt)
+    out = _ordered_exclusive_cumsum(
+        df, token_col, [h, F.col(id_col)], "start_offset")
+    start = F.col("start_offset")
+    tok = F.col(token_col).cast("long")
+    # an empty doc still *occupies* its start position for span math
+    last = start + F.greatest(tok, F.lit(1)) - F.lit(1)
+    return (out
+            .withColumn("pack_id", F.floor(start / budget))
+            .withColumn("pack_offset", start % budget)
+            .withColumn("n_packs_spanned",
+                        F.floor(last / budget) - F.floor(start / budget)
+                        + F.lit(1)))
+
+
+def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
+                token_col: str = "n_tokens", salt: int = 0) -> DataFrame:
+    """Greedy no-split packing: walk documents in ``(hash(id), id)``
+    order, open a new pack whenever the next document would overflow
+    ``budget``; documents larger than the budget get a pack of their own.
+    No document is ever split (instruction-tuning / contrastive layouts).
+
+    Adds ``pack_id`` (globally dense) and ``pack_offset`` (token offset
+    inside the pack). Greedy fill is a non-associative running state, so
+    it runs as a per-partition linear scan; pack ids are globalized with
+    a two-pass offset (pass 1 counts packs per partition — same tiny
+    collect as the prefix sum). Pack composition at partition boundaries
+    therefore depends on the partitioning (each boundary starts a fresh
+    pack); use :func:`pack_chunked` when bit-stable output across
+    cluster sizes is required.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    h = bucket_hash(F.col(id_col), salt)
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    sorted_df = df.repartitionByRange(n_parts, h, F.col(id_col)) \
+                  .sortWithinPartitions(h, F.col(id_col)).persist()
+
+    def count_packs(it):
+        # ONE greedy state across all pandas batches of the partition
+        # (state resets at batch boundaries would fabricate pack breaks)
+        import pandas as pd
+        pid = TaskContext.get().partitionId()
+        pack, fill, last = 0, 0, -1
+        for pdf in it:
+            for t in pdf[token_col]:
+                t = int(t)
+                if fill > 0 and fill + t > budget:
+                    pack, fill = pack + 1, 0
+                last = pack  # the pack this doc is assigned to
+                fill += t
+                if fill >= budget:  # oversize/exactly-full: close it
+                    pack, fill = pack + 1, 0
+        # one row per partition: number of packs opened
+        yield pd.DataFrame({"pid": [pid], "n_packs": [last + 1]})
+
+    counts_schema = "pid int, n_packs long"
+    counts = {r["pid"]: r["n_packs"]
+              for r in sorted_df.mapInPandas(count_packs,
+                                             schema=counts_schema).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = StructType(sorted_df.schema.fields +
+                            [StructField("pack_id", LongType()),
+                             StructField("pack_offset", LongType())])
+
+    def assign(it):
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        carry_pack, carry_fill = 0, 0  # greedy state across pandas batches
+        for pdf in it:
+            pdf = pdf.copy()
+            packs, offs = [], []
+            pack, fill = carry_pack, carry_fill
+            for t in pdf[token_col]:
+                t = int(t)
+                if fill > 0 and fill + t > budget:
+                    pack, fill = pack + 1, 0
+                packs.append(base + pack)
+                offs.append(fill)
+                fill += t
+                if fill >= budget:
+                    pack, fill = pack + 1, 0
+            carry_pack, carry_fill = pack, fill
+            pdf["pack_id"], pdf["pack_offset"] = packs, offs
+            yield pdf
+
+    return sorted_df.mapInPandas(assign, schema=out_schema)
+
+
+def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                  salt: int = 0, out_col: str = "shard",
+                  pos_col: str = "pos_in_shard") -> DataFrame:
+    """Deterministic shard id + dense position within the shard.
+
+    ``shard = hash(id) mod n_shards`` (uniform by construction — no hot
+    shard), ``pos_in_shard`` = rank of ``(hash(id), id)`` inside the
+    shard, i.e. a reproducible within-shard shuffle order. One shuffle on
+    the shard key; the within-shard sort is bounded by the shard size
+    (~N/n_shards — pick n_shards so a shard fits a task, exactly as you
+    would for output files).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    w = Window.partitionBy(out_col).orderBy(F.col("_h").asc(),
+                                            F.col(id_col).asc())
+    return (df.withColumn("_h", bucket_hash(F.col(id_col), salt))
+              .withColumn(out_col, F.pmod(F.col("_h"), F.lit(n_shards))
+                          .cast("int"))
+              .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
+              .drop("_h"))
+
+
+def write_shards(df: DataFrame, path: str, n_shards: int,
+                 id_col: str = "doc_id", salt: int = 0,
+                 fmt: str = "parquet") -> None:
+    """Materialize ``n_shards`` balanced, internally-shuffled shard files
+    under ``path/shard=K/``. One file per shard (repartition on the shard
+    column), rows ordered by ``pos_in_shard`` so a reader streaming shard
+    K sees the reproducible shuffled order.
+    """
+    sharded = assign_shards(df, n_shards, id_col=id_col, salt=salt)
+    (sharded.repartition(n_shards, F.col("shard"))
+            .sortWithinPartitions("shard", "pos_in_shard")
+            .write.partitionBy("shard").mode("overwrite")
+            .format(fmt).save(path))
+
+
+def mixture_factor_expr(domain_col: Column,
+                        factors: dict[str, float],
+                        default_factor: float = 1.0) -> Column:
+    """Literal CASE chain ``domain -> repeat factor`` (tiny dict: stays
+    inside whole-stage codegen, no join)."""
+    expr = None
+    for dom, f in factors.items():
+        if f < 0:
+            raise ValueError(f"negative mixture factor for {dom!r}: {f}")
+        cond = domain_col == F.lit(dom)
+        expr = F.when(cond, F.lit(float(f))) if expr is None \
+            else expr.when(cond, F.lit(float(f)))
+    return F.lit(float(default_factor)) if expr is None \
+        else expr.otherwise(F.lit(float(default_factor)))
+
+
+def n_copies_expr(id_col: Column, factor: Column, salt: int = 0) -> Column:
+    """Deterministic copy count for a fractional repeat factor f:
+    ``floor(f)`` copies always, plus one more iff the id's coin hash
+    lands below ``floor(frac(f) * 2^31)`` — exact in expectation, exactly
+    reproducible, and identical arithmetic in the DuckDB oracle (the
+    ``floor`` on the bound avoids engine-specific double->int casts)."""
+    whole = F.floor(factor).cast("long")
+    frac = factor - whole
+    bound = F.floor(frac * F.lit(float(_MOD))).cast("long")
+    coin = bucket_hash(id_col, salt + _MIX_SALT)
+    return whole + (coin < bound).cast("long")
+
+
+def mixture_resample(df: DataFrame, domain_col: str,
+                     factors: dict[str, float], id_col: str = "doc_id",
+                     salt: int = 0, default_factor: float = 1.0,
+                     copy_col: str = "copy_idx") -> DataFrame:
+    """Reweight the domain mix by deterministic up/down-sampling.
+
+    ``factors`` maps domain -> repeat factor (2.5 = every doc twice plus
+    a hash-chosen half a third time; 0.4 = keep a hash-chosen 40%; 0 =
+    drop the domain). Each kept copy gets ``copy_col`` in
+    ``[0, n_copies)`` so downstream stages (e.g. packing, which needs
+    distinct ids) can re-key as ``(id, copy_idx)``. Map-only: a CASE
+    lookup, a hash coin, and a narrow ``explode(sequence(...))`` — no
+    shuffle, no join, pipelined into the scan at any scale.
+    """
+    n = n_copies_expr(F.col(id_col),
+                      mixture_factor_expr(F.col(domain_col), factors,
+                                          default_factor), salt)
+    return (df.withColumn("_n_copies", n)
+              .filter(F.col("_n_copies") > 0)
+              .withColumn(copy_col,
+                          F.explode(F.sequence(F.lit(0),
+                                               F.col("_n_copies") - 1)))
+              .drop("_n_copies"))
