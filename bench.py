@@ -171,6 +171,14 @@ def main() -> int:
     textstats.language_id(documents).count()
     timings["text_stats"] = round(time.time() - t0, 3)
 
+    # trainer last mile: chunked packing (two-pass global prefix sum)
+    t0 = time.time()
+    from xltsearch_spark.operators import packing
+    ntok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    pdocs = documents.select("doc_id", "source", ntok.alias("n_tokens"))
+    packing.pack_chunked(pdocs, budget=2048).count()
+    timings["pack_sequences"] = round(time.time() - t0, 3)
+
     # composed curation verdict (quality+lang+split single pass, sha256
     # dedup window, broadcast contamination join)
     t0 = time.time()

@@ -132,6 +132,27 @@ def main(out_path: str | None = None) -> int:
                      "codegen'd column expressions.",
                      explain_str(parsed, mode="simple")))
 
+    # 5) packing/mixture: the chunked prefix sum is range-exchange + sort +
+    # MapInPandas (NO single-task global window); mixture is map-only
+    from xltsearch_spark.operators.packing import (mixture_resample,
+                                                   pack_chunked)
+    ntok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    pdocs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+             .select("doc_id", "source", ntok.alias("n_tokens")))
+    packed = pack_chunked(pdocs, budget=2048)
+    sections.append(("pack_chunked: two-pass global prefix sum",
+                     "Expected: Exchange rangepartitioning + Sort + "
+                     "MapInPandas — and NO `Window` node with an empty "
+                     "partition spec (a bare sum-over-order window would "
+                     "serialize the whole corpus through one task).",
+                     explain_str(packed, mode="simple")))
+    mixed = mixture_resample(pdocs, "source", {"src0": 2.5, "src1": 0.5})
+    sections.append(("mixture_resample: map-only domain reweighting",
+                     "Expected: Generate (explode) + Project/Filter directly "
+                     "over the scan — no Exchange, no join (the factor table "
+                     "is a literal CASE), no Python eval.",
+                     explain_str(mixed, mode="simple")))
+
     with open(out_path, "w") as f:  # fresh file: stale plans are worse
         f.write("# Plan evidence (regenerated at HEAD by "
                 "scripts/capture_plans.py — one complete capture, "

@@ -74,6 +74,41 @@ def test_pack_greedy_respects_budget_and_covers_every_doc(spark, docs):
             fill += t
 
 
+def test_greedy_kernel_matches_sequential_rule():
+    """The searchsorted batch kernel is bit-identical to the sequential
+    greedy rule (new pack on overflow, close on exact fill, oversize doc
+    alone) across randomized token mixes, budgets and carried-in state."""
+    import random
+
+    import numpy as np
+
+    def ref(tokens, budget, pack, fill):
+        packs, offs = [], []
+        for t in tokens:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                pack, fill = pack + 1, 0
+            packs.append(pack)
+            offs.append(fill)
+            fill += t
+            if fill >= budget:
+                pack, fill = pack + 1, 0
+        return packs, offs, pack, fill
+
+    random.seed(1)
+    for _ in range(2000):
+        n = random.randrange(0, 30)
+        budget = random.randrange(1, 20)
+        toks = [random.choice([0, 0, 1, 2, 3, 5, 8, 13, 25])
+                for _ in range(n)]
+        pack, fill = random.randrange(0, 3), random.randrange(0, budget)
+        a = packing._greedy_fill(np.array(toks, dtype=np.int64),
+                                 budget, pack, fill)
+        b = ref(toks, budget, pack, fill)
+        assert list(a[0]) == b[0] and list(a[1]) == b[1]
+        assert (a[2], a[3]) == (b[2], b[3])
+
+
 def test_pack_greedy_pack_ids_globally_dense(spark, docs):
     packs = sorted({r["pack_id"]
                     for r in packing.pack_greedy(docs, 256).collect()})

@@ -20,9 +20,11 @@ Scale notes:
   scalable equivalent of sort + scan.
 * ``pack_greedy`` is inherently sequential *within* a partition (the
   current pack's fill is a non-associative running state) but
-  embarrassingly parallel across partitions; pack ids are made globally
-  dense with the same two-pass offset trick (pass 1 counts packs per
-  partition, pass 2 assigns). Pack *composition* at partition boundaries
+  embarrassingly parallel across partitions, and the per-partition work
+  is batched numpy (``_greedy_fill`` jumps pack-by-pack via
+  searchsorted on the token cumsum, not doc-by-doc); pack ids are made
+  globally dense with the same two-pass offset trick (pass 1 counts
+  packs per partition, pass 2 assigns). Pack *composition* at partition boundaries
   depends on the partitioning, which is why the oracle-checked variant is
   ``pack_chunked`` (exact, invariant) and greedy is the no-split option.
 * ``assign_shards`` / ``mixture_resample`` are one shuffle and map-only
@@ -102,16 +104,22 @@ def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
     h = bucket_hash(F.col(id_col), salt)
     out = _ordered_exclusive_cumsum(
         df, token_col, [h, F.col(id_col)], "start_offset")
+    b = int(budget)
     start = F.col("start_offset")
     tok = F.col(token_col).cast("long")
-    # an empty doc still *occupies* its start position for span math
+    # an empty doc still *occupies* its start position for span math.
+    # `div` (integer division on longs), not floor(/): double division
+    # loses exactness past 2^53 total tokens, a range a 100-TB corpus
+    # actually reaches
     last = start + F.greatest(tok, F.lit(1)) - F.lit(1)
     return (out
-            .withColumn("pack_id", F.floor(start / budget))
-            .withColumn("pack_offset", start % budget)
+            .withColumn("pack_id", F.expr(f"start_offset div {b}"))
+            .withColumn("pack_offset", start % b)
+            .withColumn("_last_tok", last)
             .withColumn("n_packs_spanned",
-                        F.floor(last / budget) - F.floor(start / budget)
-                        + F.lit(1)))
+                        F.expr(f"_last_tok div {b}") - F.col("pack_id")
+                        + F.lit(1))
+            .drop("_last_tok"))
 
 
 def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
@@ -123,9 +131,11 @@ def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
 
     Adds ``pack_id`` (globally dense) and ``pack_offset`` (token offset
     inside the pack). Greedy fill is a non-associative running state, so
-    it runs as a per-partition linear scan; pack ids are globalized with
-    a two-pass offset (pass 1 counts packs per partition — same tiny
-    collect as the prefix sum). Pack composition at partition boundaries
+    it runs per partition — but batched, not row-at-a-time: the
+    ``_greedy_fill`` kernel binary-searches the token cumsum for each
+    pack boundary (O(n_packs·log n) numpy ops per batch). Pack ids are
+    globalized with a two-pass offset (pass 1 counts packs per
+    partition — same tiny collect as the prefix sum). Pack composition at partition boundaries
     therefore depends on the partitioning (each boundary starts a fresh
     pack); use :func:`pack_chunked` when bit-stable output across
     cluster sizes is required.
@@ -144,14 +154,10 @@ def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
         pid = TaskContext.get().partitionId()
         pack, fill, last = 0, 0, -1
         for pdf in it:
-            for t in pdf[token_col]:
-                t = int(t)
-                if fill > 0 and fill + t > budget:
-                    pack, fill = pack + 1, 0
-                last = pack  # the pack this doc is assigned to
-                fill += t
-                if fill >= budget:  # oversize/exactly-full: close it
-                    pack, fill = pack + 1, 0
+            packs, _, pack, fill = _greedy_fill(
+                pdf[token_col].to_numpy("int64"), budget, pack, fill)
+            if len(packs):
+                last = int(packs[-1])
         # one row per partition: number of packs opened
         yield pd.DataFrame({"pid": [pid], "n_packs": [last + 1]})
 
@@ -170,25 +176,52 @@ def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
     def assign(it):
         pid = TaskContext.get().partitionId()
         base = offsets.get(pid, 0)
-        carry_pack, carry_fill = 0, 0  # greedy state across pandas batches
+        pack, fill = 0, 0  # greedy state threads across pandas batches
         for pdf in it:
             pdf = pdf.copy()
-            packs, offs = [], []
-            pack, fill = carry_pack, carry_fill
-            for t in pdf[token_col]:
-                t = int(t)
-                if fill > 0 and fill + t > budget:
-                    pack, fill = pack + 1, 0
-                packs.append(base + pack)
-                offs.append(fill)
-                fill += t
-                if fill >= budget:
-                    pack, fill = pack + 1, 0
-            carry_pack, carry_fill = pack, fill
-            pdf["pack_id"], pdf["pack_offset"] = packs, offs
+            packs, offs, pack, fill = _greedy_fill(
+                pdf[token_col].to_numpy("int64"), budget, pack, fill)
+            pdf["pack_id"], pdf["pack_offset"] = base + packs, offs
             yield pdf
 
     return sorted_df.mapInPandas(assign, schema=out_schema)
+
+
+def _greedy_fill(t: "np.ndarray", budget: int, pack: int, fill: int):
+    """Batch greedy fill (the sequential rule, vectorized): pack whole
+    runs of documents at once by binary-searching the token cumsum for
+    the furthest doc that still fits — O(n_packs·log n) numpy ops
+    instead of a per-document Python loop, bit-identical to the
+    sequential rule (open a new pack when the next doc would overflow;
+    close on exact fill; an oversize doc owns its pack).
+
+    Returns ``(pack_idx, pack_offset, end_pack, end_fill)`` with the end
+    state threaded so callers can continue across pandas batches.
+    """
+    import numpy as np
+    n = len(t)
+    packs = np.empty(n, dtype=np.int64)
+    offs = np.empty(n, dtype=np.int64)
+    cs = np.concatenate(([0], np.cumsum(t, dtype=np.int64)))
+    i = 0
+    while i < n:
+        x = cs[i] + (budget - fill)  # cumsum value that exactly fills
+        m = int(np.searchsorted(cs, x, side="left"))
+        # docs i..j-1 continue the pack: up to the exact-fill boundary
+        # (inclusive — the pack then closes) else strictly below it
+        j = m if (m <= n and cs[min(m, n)] == x) else m - 1
+        if j <= i:
+            if fill > 0:          # next doc would overflow: fresh pack
+                pack, fill = pack + 1, 0
+                continue
+            j = i + 1             # oversize doc: a pack of its own
+        packs[i:j] = pack
+        offs[i:j] = fill + (cs[i:j] - cs[i])
+        fill += int(cs[j] - cs[i])
+        if fill >= budget:        # exactly-full or oversize: close it
+            pack, fill = pack + 1, 0
+        i = j
+    return packs, offs, pack, fill
 
 
 def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
