@@ -179,14 +179,44 @@ def test_email_url_patterns_do_not_absorb_cjk():
 
 def test_uax29_remaining_deviations_documented():
     # KNOWN deviations from bit-exact Lucene 4.6 StandardTokenizer after
-    # the r4 Extend tier (documented, not silently wrong):
-    # * Extend coverage is the common combining blocks, not the full
-    #   Grapheme_Extend set (e.g. Indic matras U+093E+ not included)
-    # * ExtendNumLet beyond '_' (e.g. U+2040) does not join runs
+    # the r4 generated-Extend tier (documented, not silently wrong):
+    # * ExtendNumLet beyond '_' (e.g. U+2040 undertie) does not join runs
+    # * Format chars (WB4, e.g. soft hyphen U+00AD mid-word) break runs
+    # * non-BMP combining marks (plane 1+) are not in the Extend class
     # vertical kana repeat marks U+3031-3035 (Word_Break=Katakana) DO join
     # katakana runs as of r4:
     toks = [t for t, _ in analyze_text("〱ア", "standard")]
     assert toks == ["〱ア"]
+
+
+def test_extend_class_is_exactly_combining_marks():
+    """Every codepoint matched by the [_EXT] class must be category M*
+    (or ZWNJ/ZWJ) — a range typo that swallowed a LETTER into the mark
+    class would silently glue unrelated words together."""
+    import re
+    import unicodedata
+    from xltsearch_spark.analyzers import _EXT
+    cls = re.compile(f"[{_EXT}]")
+    for cp in range(0x10000):
+        ch = chr(cp)
+        in_cls = bool(cls.match(ch))
+        is_mark = unicodedata.category(ch)[0] == "M" or ch in "‌‍"
+        assert in_cls == is_mark, hex(cp)
+
+
+def test_generated_extend_goldens():
+    # Devanagari matras + virama join (कर्म is one token, as in Lucene)
+    assert [t for t, _ in analyze_text("कर्म durchgeführt", "standard")] == \
+        ["कर्म", "durchgeführt"]
+    # Hebrew niqqud joins
+    assert [t for t, _ in analyze_text("שָׁלוֹם", "standard")] == ["שָׁלוֹם"]
+    # Arabic harakat + shadda join
+    assert [t for t, _ in analyze_text("مُحَمَّد", "standard")] == ["مُحَمَّد"]
+    # Thai vowel signs / tone marks join
+    assert [t for t, _ in analyze_text("ภาษาไทย", "standard")] == ["ภาษาไทย"]
+    # ZWNJ is Extend in Unicode 6.1 word-break (Persian morphology)
+    assert [t for t, _ in analyze_text("می‌خواهم", "standard")] == \
+        ["می‌خواهم"]
 
 
 def test_standard_pattern_flat_run_equivalence_fuzz():

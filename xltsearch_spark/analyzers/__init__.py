@@ -22,8 +22,11 @@ Semantics reproduced (public Lucene 4.6 knowledge):
   HIRAGANA emit ONE CODEPOINT per token, KATAKANA and HANGUL emit runs
   (StandardTokenizerImpl's <IDEOGRAPHIC>/<HIRAGANA>/<KATAKANA>/<HANGUL>
   token types). Accented Latin/Greek/Cyrillic etc. ride on Python's
-  Unicode-aware ``\\w``. Remaining known deviations from full UAX#29 are
-  documented in tests/test_analyzers.py (e.g. combining voice marks).
+  Unicode-aware ``\\w``; the full combining-mark Extend class (Hebrew
+  niqqud, Arabic harakat, Indic matras, Thai vowels, ZWNJ/ZWJ) is
+  generated from the Unicode tables at import. Remaining known
+  deviations from full UAX#29 (ExtendNumLet beyond '_', Format chars,
+  non-BMP marks) are documented in tests/test_analyzers.py.
 * LowerCaseFilter then StopFilter with the 33-word English default stop set;
   stop removal leaves position *gaps* (enablePositionIncrements=true), so a
   phrase across a stopped word does NOT match adjacent terms.
@@ -39,6 +42,7 @@ removal; ``overlap`` marks posIncr==0 tokens (code sub-tokens).
 from __future__ import annotations
 
 import re
+import unicodedata
 from itertools import chain
 
 import numpy as np
@@ -67,15 +71,43 @@ _HIRA = "\u3041-\u3096\u309d-\u309f"
 _KATA = ("\u30a1-\u30fa\u30fc-\u30ff\u31f0-\u31ff\uff66-\uff9f"
          "\u309b\u309c\u3031-\u3035")  # + vertical kana repeat marks (WB=Katakana)
 _HANGUL = "\u1100-\u11ff\uac00-\ud7a3"
-# UAX#29 Extend (partial coverage): combining marks attach to the
-# preceding base character and never break a token (WB4: X (Extend)* — the
-# jflex grammar's {...Ex} aliases). Covered blocks: combining diacriticals
-# + extended + supplement, combining marks for symbols, combining half
-# marks, and the kana combining voice marks U+3099-309A. Wider Extend
-# categories (e.g. Indic matras) remain documented deviations — see
-# tests/test_analyzers.py.
-_EXT = ("\u0300-\u036f\u1ab0-\u1aff\u1dc0-\u1dff\u20d0-\u20ff"
-        "\ufe20-\ufe2f\u3099\u309a")
+# UAX#29 Extend: combining marks attach to the preceding base character
+# and never break a token (WB4: X (Extend)* — the jflex grammar's
+# {...Ex} aliases). Word_Break=Extend is, to a very close
+# approximation, "general category M* plus ZWNJ/ZWJ" (Unicode 6.1, the
+# version Lucene 4.6 ships): the class is GENERATED from the
+# interpreter's Unicode tables instead of hand-enumerated blocks, which
+# covers Hebrew niqqud, Arabic harakat, Indic matras/viramas, Thai/Lao
+# vowel signs, the kana voice marks U+3099-309A, variation selectors,
+# etc. The running tables are newer than 6.1; the delta is codepoints
+# UNASSIGNED in 6.1 (marks encoded later), which cannot occur in
+# 6.1-era text — behavior on real corpora is identical. Remaining
+# deviations (ExtendNumLet beyond '_', Format chars, non-BMP marks) are
+# documented in tests/test_analyzers.py, and a test asserts every _EXT
+# codepoint is category M* (guards range typos that would swallow
+# letters into the mark class).
+
+
+def _combining_mark_class() -> str:
+    """BMP combining-mark ranges (categories Mn/Mc/Me) as a regex class
+    body — computed once at import (~30 ms, amortized over the worker's
+    lifetime)."""
+    spans = []
+    prev, start = False, 0
+    for cp in range(0x10000):
+        m = unicodedata.category(chr(cp))[0] == "M"
+        if m and not prev:
+            start = cp
+        elif prev and not m:
+            spans.append((start, cp - 1))
+        prev = m
+    if prev:
+        spans.append((start, 0xFFFF))
+    return "".join(f"\\u{a:04x}" if a == b else f"\\u{a:04x}-\\u{b:04x}"
+                   for a, b in spans)
+
+
+_EXT = _combining_mark_class() + "\u200c\u200d"  # + ZWNJ/ZWJ (WB Extend)
 # a "word" char = \w minus the CJK blocks above (identical to plain \w on
 # ASCII/Latin text, so the pre-CJK fixtures tokenize unchanged)
 _WC = f"[^\\W{_IDEO}{_HIRA}{_KATA}{_HANGUL}]"
