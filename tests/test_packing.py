@@ -46,6 +46,26 @@ def test_pack_chunked_partitioning_invariant(spark, docs):
     assert a == b
 
 
+def test_pack_chunked_bucket_and_batch_invariant(spark, docs):
+    """start_offset is independent of n_buckets AND of the pandas batch
+    size (the carry that threads an open bucket across mapInPandas
+    batches): 7-row batches over 400 rows force ~60 batch boundaries,
+    and n_buckets in {1, 3} forces many buckets per task plus a single
+    bucket spanning every batch."""
+    base = {r["doc_id"]: r["start_offset"]
+            for r in packing.pack_chunked(docs, 256).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        for nb in (1, 3):
+            got = {r["doc_id"]: r["start_offset"]
+                   for r in packing.pack_chunked(docs, 256,
+                                                 n_buckets=nb).collect()}
+            assert got == base
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_pack_chunked_rejects_bad_budget(docs):
     with pytest.raises(ValueError):
         packing.pack_chunked(docs, 0)

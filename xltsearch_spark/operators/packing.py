@@ -14,10 +14,13 @@ Scale notes:
 
 * ``pack_chunked`` needs a GLOBAL exclusive prefix sum of token counts in
   a deterministic order. A ``sum() over (order by ...)`` window with no
-  partition key serializes on one task, so it reuses the two-pass shape
-  of ``build.assign_doc_ids`` (range-partition + sort, tiny per-partition
-  count collect, offsets added map-side in ``mapInPandas``) — the
-  scalable equivalent of sort + scan.
+  partition key serializes on one task, and ``repartitionByRange`` would
+  add a boundary-sampling scan of the corpus; instead the order
+  ``(hash(id), id)`` is realized by ONE hash-bucketed shuffle
+  (``bucket = hash // width`` — arithmetic, no sampling), per-bucket
+  sums are a tiny driver collect, and offsets are added map-side in
+  ``mapInPandas`` — the scalable equivalent of sort + scan, one pass
+  over the data.
 * ``pack_greedy`` is inherently sequential *within* a partition (the
   current pack's fill is a non-associative running state) but
   embarrassingly parallel across partitions, and the per-partition work
@@ -46,47 +49,97 @@ from xltsearch_spark.operators.sampling import _MOD, bucket_hash
 _MIX_SALT = 7919
 
 
-def _ordered_exclusive_cumsum(df: DataFrame, value_col: str,
-                              order_cols: list[Column],
-                              out_col: str) -> DataFrame:
-    """Exclusive prefix sum of ``value_col`` (long) over the global order
-    given by ``order_cols``, without a global window.
+# fixed bucket count for the ordered shuffle: bucket = hash // width is
+# pure arithmetic over the uniform 31-bit hash, so bucket populations are
+# balanced by construction and the boundaries NEVER depend on sampling,
+# partitioning, or cluster size. 1024 keeps every bucket ~N/1024 docs
+# (ample parallelism up to 1024-way) while the per-bucket bookkeeping
+# (sums, offsets) stays a trivially small driver collect.
+DEFAULT_ORDER_BUCKETS = 1024
 
-    Two passes over a persisted range-partitioned sort (same pattern as
-    ``build.assign_doc_ids``): per-partition sums are a tiny collect
-    (one row per partition), then each partition adds its offset plus a
-    local numpy cumsum inside ``mapInPandas``. O(rows) work, no
-    single-task stage at any scale.
+
+def _hash_bucketed_sort(df: DataFrame, id_col: str, salt: int,
+                        n_buckets: int) -> DataFrame:
+    """ONE shuffle that realizes the global order ``(hash(id), id)`` as
+    (bucket, hash, id)-sorted partitions, where ``bucket = hash //
+    width`` slices the hash space arithmetically.
+
+    ``repartitionByRange`` would need a *sampling pass* over the input
+    to pick boundaries — a second full scan of the corpus (and
+    nondeterministic boundaries). The hash is uniform in [0, 2^31), so
+    equal-width slices are balanced without looking at the data: scan
+    once, shuffle once. Buckets are hash-distributed to partitions
+    (a partition may hold several, non-adjacent buckets), so all
+    downstream bookkeeping is keyed per BUCKET, not per partition.
     """
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    sorted_df = df.repartitionByRange(n_parts, *order_cols) \
-                  .sortWithinPartitions(*order_cols).persist()
-    sums = {r["pid"]: r["s"] for r in
-            sorted_df.withColumn("pid", F.spark_partition_id())
-                     .groupBy("pid")
+    width = (_MOD + n_buckets - 1) // n_buckets
+    return (df.withColumn("_h", bucket_hash(F.col(id_col), salt))
+              .withColumn("_b", F.floor(F.col("_h") / F.lit(width))
+                          .cast("int"))
+              .repartition(max(df.sparkSession.sparkContext
+                               .defaultParallelism, 8), F.col("_b"))
+              .sortWithinPartitions("_b", "_h", id_col))
+
+
+def _ordered_exclusive_cumsum(df: DataFrame, value_col: str, id_col: str,
+                              salt: int, out_col: str,
+                              n_buckets: int) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` (long) over the global
+    ``(hash(id), id)`` order, without a global window (which would
+    serialize on one task) and without a range-sampling pass (which
+    would scan the corpus twice).
+
+    Two passes over ONE persisted hash-bucketed shuffle: per-bucket sums
+    are a tiny collect (``n_buckets`` rows), then each task adds its
+    buckets' offsets plus a local per-bucket numpy cumsum inside
+    ``mapInPandas``. The result is independent of partitioning, cluster
+    size AND ``n_buckets`` (bucket boundaries only split the sum).
+    """
+    sorted_df = _hash_bucketed_sort(df, id_col, salt, n_buckets).persist()
+    sums = {r["_b"]: r["s"] for r in
+            sorted_df.groupBy("_b")
                      .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
                      .collect()}
     offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid] or 0
+    for b in sorted(sums):
+        offsets[b] = acc
+        acc += sums[b] or 0
     out_schema = StructType(sorted_df.schema.fields +
                             [StructField(out_col, LongType())])
 
     def add_cumsum(it):
-        base = offsets.get(TaskContext.get().partitionId(), 0)
+        import numpy as np
+        carry_b, carry = None, 0  # consumed tokens of the open bucket
         for pdf in it:
             pdf = pdf.copy()
             vals = pdf[value_col].to_numpy("int64")
-            pdf[out_col] = base + vals.cumsum() - vals  # exclusive
-            base += int(vals.sum())
+            # exclusive cumsum restarted at each bucket change (rows are
+            # sorted by _b, so buckets are contiguous segments)
+            bs = pdf["_b"].to_numpy("int64")
+            inc = vals.cumsum() - vals
+            seg_starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+            base_at_seg = inc[seg_starts]
+            seg_of_row = np.repeat(np.arange(len(seg_starts)),
+                                   np.diff(np.r_[seg_starts, len(bs)]))
+            local = inc - base_at_seg[seg_of_row]
+            start = local + pdf["_b"].map(offsets).to_numpy("int64")
+            if len(bs) and carry_b == bs[0]:
+                start[seg_of_row == 0] += carry
+            # thread the open bucket's consumed count into the next batch
+            if len(bs):
+                consumed = int(vals[seg_of_row == seg_of_row[-1]].sum())
+                carry = consumed + (carry if carry_b == bs[-1] and
+                                    seg_of_row[-1] == 0 else 0)
+                carry_b = int(bs[-1])
+            pdf[out_col] = start
             yield pdf
 
     return sorted_df.mapInPandas(add_cumsum, schema=out_schema)
 
 
 def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
-                 token_col: str = "n_tokens", salt: int = 0) -> DataFrame:
+                 token_col: str = "n_tokens", salt: int = 0,
+                 n_buckets: int = DEFAULT_ORDER_BUCKETS) -> DataFrame:
     """Concatenate-and-chunk packing: documents are laid out in the
     deterministic order ``(hash(id), id)``, token streams concatenated,
     and cut every ``budget`` tokens (the classic causal-LM data layout —
@@ -101,9 +154,9 @@ def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    h = bucket_hash(F.col(id_col), salt)
     out = _ordered_exclusive_cumsum(
-        df, token_col, [h, F.col(id_col)], "start_offset")
+        df, token_col, id_col, salt, "start_offset", n_buckets) \
+        .drop("_h", "_b")
     b = int(budget)
     start = F.col("start_offset")
     tok = F.col(token_col).cast("long")
@@ -142,10 +195,8 @@ def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    h = bucket_hash(F.col(id_col), salt)
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    sorted_df = df.repartitionByRange(n_parts, h, F.col(id_col)) \
-                  .sortWithinPartitions(h, F.col(id_col)).persist()
+    sorted_df = _hash_bucketed_sort(df, id_col, salt,
+                                    DEFAULT_ORDER_BUCKETS).persist()
 
     def count_packs(it):
         # ONE greedy state across all pandas batches of the partition
@@ -184,7 +235,8 @@ def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
             pdf["pack_id"], pdf["pack_offset"] = base + packs, offs
             yield pdf
 
-    return sorted_df.mapInPandas(assign, schema=out_schema)
+    return sorted_df.mapInPandas(assign, schema=out_schema) \
+                    .drop("_h", "_b")
 
 
 def _greedy_fill(t: "np.ndarray", budget: int, pack: int, fill: int):
