@@ -127,13 +127,24 @@ def assign_doc_ids(df: DataFrame, key_cols=("repo", "path"), id_base: int = 0,
     per partition (tiny collect), then add the per-partition offset inside a
     mapInPandas — the scalable equivalent of sort + zipWithIndex. A single
     ``row_number()`` window would serialize on one task at 10^12 rows.
+
+    The input is persisted across the two jobs range partitioning implies
+    (boundary sampling + the shuffle): without it the child plan — at this
+    point the full parse/sha256 prep over the corpus — would EXECUTE TWICE,
+    a 2x compute/IO amplification of stage 1 at 100 TB. The cache is
+    released as soon as the sorted frame is materialized by the counts
+    collect, so the transient footprint is one corpus copy (the same rows
+    the shuffle writes anyway); under eviction pressure a recompute falls
+    back to lineage — correct, just slower.
     """
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    df = df.persist()
     sorted_df = df.repartitionByRange(n_parts, *[F.col(c) for c in key_cols]) \
                   .sortWithinPartitions(*key_cols).persist()
     counts = {r["pid"]: r["cnt"] for r in
               sorted_df.withColumn("pid", F.spark_partition_id())
                        .groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    df.unpersist()  # sorted_df is materialized; the input is never re-read
     offsets = {}
     acc = id_base
     for pid in sorted(counts):
