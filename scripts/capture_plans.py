@@ -132,8 +132,9 @@ def main(out_path: str | None = None) -> int:
                      "codegen'd column expressions.",
                      explain_str(parsed, mode="simple")))
 
-    # 5) packing/mixture: the chunked prefix sum is range-exchange + sort +
-    # MapInPandas (NO single-task global window); mixture is map-only
+    # 5) packing/mixture: the chunked prefix sum is ONE hash-bucketed
+    # exchange + sort + MapInPandas (no single-task global window AND no
+    # range-boundary sampling job); mixture is map-only
     from xltsearch_spark.operators.packing import (mixture_resample,
                                                    pack_chunked)
     ntok = F.size(F.split(F.col("text"), r"\s+")).cast("long")
@@ -141,10 +142,13 @@ def main(out_path: str | None = None) -> int:
              .select("doc_id", "source", ntok.alias("n_tokens")))
     packed = pack_chunked(pdocs, budget=2048)
     sections.append(("pack_chunked: two-pass global prefix sum",
-                     "Expected: Exchange rangepartitioning + Sort + "
-                     "MapInPandas — and NO `Window` node with an empty "
-                     "partition spec (a bare sum-over-order window would "
-                     "serialize the whole corpus through one task).",
+                     "Expected: ONE Exchange hashpartitioning on the "
+                     "arithmetic hash bucket (`_b` = hash // width; NO "
+                     "rangepartitioning, which would add a boundary-"
+                     "sampling scan of the input) + Sort + MapInPandas — "
+                     "and NO `Window` node with an empty partition spec "
+                     "(a bare sum-over-order window would serialize the "
+                     "whole corpus through one task).",
                      explain_str(packed, mode="simple")))
     mixed = mixture_resample(pdocs, "source", {"src0": 2.5, "src1": 0.5})
     sections.append(("mixture_resample: map-only domain reweighting",
