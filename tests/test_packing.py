@@ -71,6 +71,49 @@ def test_pack_chunked_rejects_bad_budget(docs):
         packing.pack_chunked(docs, 0)
 
 
+def test_batch_cumsum_kernel_property():
+    """_batch_cumsum is bit-identical to the sequential rule (exclusive
+    cumsum restarting at each bucket's global offset) for ANY batch
+    split, bucket layout, and carried-in state."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 5),       # bucket id
+                              st.integers(0, 100)),    # value
+                    min_size=0, max_size=60),
+           st.lists(st.integers(1, 10), min_size=0, max_size=20),
+           st.data())
+    def run(rows, cuts, data):
+        rows.sort(key=lambda r: r[0])                  # bucket-sorted
+        bs = np.array([b for b, _ in rows], dtype=np.int64)
+        vals = np.array([v for _, v in rows], dtype=np.int64)
+        # global per-bucket offsets over the full frame
+        offsets, acc = {}, 0
+        for b in sorted(set(bs.tolist())):
+            offsets[b] = acc
+            acc += int(vals[bs == b].sum())
+        # sequential reference: running fill per bucket, rows in order
+        fill = dict.fromkeys(offsets, 0)
+        expect = []
+        for b, v in rows:
+            expect.append(offsets[b] + fill[b])
+            fill[b] += v
+        # random batch boundaries
+        bounds = sorted(data.draw(st.sets(st.integers(0, len(rows)),
+                                          max_size=8)))
+        got, carry_b, carry = [], None, 0
+        prev = 0
+        for cut in bounds + [len(rows)]:
+            start, carry_b, carry = packing._batch_cumsum(
+                vals[prev:cut], bs[prev:cut], offsets, carry_b, carry)
+            got.extend(start.tolist())
+            prev = cut
+        assert got == expect
+
+    run()
+
+
 # ---- pack_greedy ------------------------------------------------------
 
 def test_pack_greedy_respects_budget_and_covers_every_doc(spark, docs):

@@ -108,33 +108,48 @@ def _ordered_exclusive_cumsum(df: DataFrame, value_col: str, id_col: str,
                             [StructField(out_col, LongType())])
 
     def add_cumsum(it):
-        import numpy as np
         carry_b, carry = None, 0  # consumed tokens of the open bucket
         for pdf in it:
             pdf = pdf.copy()
-            vals = pdf[value_col].to_numpy("int64")
-            # exclusive cumsum restarted at each bucket change (rows are
-            # sorted by _b, so buckets are contiguous segments)
-            bs = pdf["_b"].to_numpy("int64")
-            inc = vals.cumsum() - vals
-            seg_starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
-            base_at_seg = inc[seg_starts]
-            seg_of_row = np.repeat(np.arange(len(seg_starts)),
-                                   np.diff(np.r_[seg_starts, len(bs)]))
-            local = inc - base_at_seg[seg_of_row]
-            start = local + pdf["_b"].map(offsets).to_numpy("int64")
-            if len(bs) and carry_b == bs[0]:
-                start[seg_of_row == 0] += carry
-            # thread the open bucket's consumed count into the next batch
-            if len(bs):
-                consumed = int(vals[seg_of_row == seg_of_row[-1]].sum())
-                carry = consumed + (carry if carry_b == bs[-1] and
-                                    seg_of_row[-1] == 0 else 0)
-                carry_b = int(bs[-1])
+            start, carry_b, carry = _batch_cumsum(
+                pdf[value_col].to_numpy("int64"),
+                pdf["_b"].to_numpy("int64"), offsets, carry_b, carry)
             pdf[out_col] = start
             yield pdf
 
     return sorted_df.mapInPandas(add_cumsum, schema=out_schema)
+
+
+def _batch_cumsum(vals, bs, offsets: dict, carry_b, carry: int):
+    """One pandas batch of the distributed exclusive cumsum.
+
+    Rows arrive bucket-sorted, so buckets are contiguous segments; each
+    segment's cumsum restarts at its bucket's global offset, and
+    ``(carry_b, carry)`` threads the open bucket's consumed count across
+    batch boundaries within a task. Returns ``(start, carry_b, carry)``.
+    Pure numpy — property-tested against the sequential rule in
+    tests/test_packing.py.
+    """
+    import numpy as np
+    if not len(bs):
+        return np.empty(0, dtype=np.int64), carry_b, carry
+    inc = vals.cumsum() - vals
+    # exclusive cumsum restarted at each bucket change
+    seg_starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+    base_at_seg = inc[seg_starts]
+    seg_of_row = np.repeat(np.arange(len(seg_starts)),
+                           np.diff(np.r_[seg_starts, len(bs)]))
+    local = inc - base_at_seg[seg_of_row]
+    off = np.array([offsets[int(b)] for b in bs[seg_starts]],
+                   dtype=np.int64)
+    start = local + off[seg_of_row]
+    if carry_b == bs[0]:
+        start[seg_of_row == 0] += carry
+    # thread the open bucket's consumed count into the next batch
+    consumed = int(vals[seg_of_row == seg_of_row[-1]].sum())
+    carry = consumed + (carry if carry_b == bs[-1] and
+                        seg_of_row[-1] == 0 else 0)
+    return start, int(bs[-1]), carry
 
 
 def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
