@@ -670,6 +670,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "pack_offset", "n_packs_spanned").orderBy("doc_id")
     q["pack_sequences"] = pack_seq
 
+    def pack_man(s, d):
+        """Per-(pack, doc) slice manifest: the exploded layout a trainer
+        reads to assemble each 2048-token pack (doc-local token slice +
+        in-pack position; map-only explode over the packed frame)."""
+        out = packing.pack_manifest(_docs_with_tokens(s, d), budget=2048)
+        return out.orderBy("pack_id", "doc_id")
+    q["pack_manifest"] = pack_man
+
     def shard_stats(s, d):
         """Shard manifest: per-shard doc/token totals + the first doc in
         the reproducible within-shard shuffle order."""
@@ -1478,6 +1486,29 @@ def oracle_sql() -> dict[str, str]:
            (start_offset + greatest(n_tokens, 1) - 1) // 2048
              - start_offset // 2048 + 1 AS n_packs_spanned
     FROM c ORDER BY doc_id"""
+
+    o["pack_manifest"] = f"""
+    WITH t AS (SELECT doc_id, {_ntok_sql} AS n_tokens, {_hash_sql} AS hv
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY hv, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_offset
+          FROM t),
+    spans AS (SELECT doc_id, n_tokens, start_offset,
+                     start_offset // 2048 AS first_pack,
+                     (start_offset + greatest(n_tokens, 1) - 1) // 2048
+                       AS last_pack
+              FROM c)
+    SELECT doc_id, u.p AS pack_id,
+           CAST(start_offset + greatest(0, u.p * 2048 - start_offset)
+                - u.p * 2048 AS BIGINT) AS in_pack_offset,
+           CAST(greatest(0, u.p * 2048 - start_offset) AS BIGINT)
+             AS tok_start,
+           CAST(least(n_tokens, (u.p + 1) * 2048 - start_offset)
+                AS BIGINT) AS tok_end
+    FROM spans, UNNEST(generate_series(first_pack, last_pack)) AS u(p)
+    ORDER BY pack_id, doc_id"""
 
     o["shard_manifest"] = f"""
     WITH t AS (SELECT doc_id, {_ntok_sql} AS n_tokens, {_hash_sql} AS hv

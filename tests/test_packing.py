@@ -71,6 +71,41 @@ def test_pack_chunked_rejects_bad_budget(docs):
         packing.pack_chunked(docs, 0)
 
 
+def test_pack_manifest_reassembles_packs(spark, docs):
+    """The manifest's slices tile every pack exactly: per pack, in-pack
+    offsets are contiguous from 0, slice lengths sum to the pack's fill,
+    and per doc the slices cover [0, n_tokens) in order."""
+    out = packing.pack_manifest(docs, budget=256).collect()
+    toks = {i: (i * 37) % 121 for i in range(400)}
+    by_pack, by_doc = {}, {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(
+            (r["in_pack_offset"], r["tok_end"] - r["tok_start"]))
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["tok_start"], r["tok_end"]))
+    packs = sorted(by_pack)
+    assert packs == list(range(len(packs)))
+    for pid, slices in by_pack.items():
+        slices.sort()
+        pos = 0
+        for off, ln in slices:
+            assert off == pos
+            pos += ln
+        fill = sum(ln for _, ln in slices)
+        # every pack except the last is exactly full
+        if pid != packs[-1]:
+            assert fill == 256
+    for doc_id, slices in by_doc.items():
+        slices.sort()
+        n = toks[doc_id]
+        if n == 0:
+            assert slices == [(0, 0)]
+        else:
+            assert slices[0][0] == 0 and slices[-1][1] == n
+            for (a0, a1), (b0, b1) in zip(slices, slices[1:]):
+                assert a1 == b0
+
+
 def test_batch_cumsum_kernel_property():
     """_batch_cumsum is bit-identical to the sequential rule (exclusive
     cumsum restarting at each bucket's global offset) for ANY batch

@@ -190,6 +190,43 @@ def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
             .drop("_last_tok"))
 
 
+def pack_manifest(df: DataFrame, budget: int, id_col: str = "doc_id",
+                  token_col: str = "n_tokens", salt: int = 0,
+                  n_buckets: int = DEFAULT_ORDER_BUCKETS) -> DataFrame:
+    """Per-(pack, doc) slice manifest — what a trainer actually reads to
+    assemble pack K: for each pack, the ordered documents contributing
+    tokens, with the doc-local token slice ``[tok_start, tok_end)`` and
+    the in-pack position of that slice.
+
+    Built on :func:`pack_chunked`'s per-doc layout by exploding each
+    document over the packs it spans (``explode(sequence(...))`` — a
+    narrow map-only generate over the packed frame, no extra shuffle).
+    The arithmetic: inside pack ``p``, a doc whose global token range is
+    ``[start, start + n)`` contributes its tokens
+    ``[max(0, p*budget - start), min(n, (p+1)*budget - start))`` at
+    in-pack offset ``start + tok_start - p*budget``. Zero-token docs
+    appear once with an empty slice ``[0, 0)`` (they occupy a position
+    in exactly one pack, matching ``n_packs_spanned``).
+    """
+    packed = pack_chunked(df, budget, id_col=id_col, token_col=token_col,
+                          salt=salt, n_buckets=n_buckets)
+    b = int(budget)
+    start = F.col("start_offset")
+    n = F.col(token_col).cast("long")
+    p = F.col("pack_id")
+    tok_start = F.greatest(F.lit(0).cast("long"), p * b - start)
+    tok_end = F.least(n, (p + F.lit(1)) * b - start)
+    return (packed
+            .withColumn("pack_id",
+                        F.explode(F.sequence(p, p + F.col("n_packs_spanned")
+                                             - F.lit(1))))
+            .withColumn("tok_start", tok_start)
+            .withColumn("tok_end", tok_end)
+            .withColumn("in_pack_offset", start + F.col("tok_start") - p * b)
+            .select(id_col, "pack_id", "in_pack_offset", "tok_start",
+                    "tok_end"))
+
+
 def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
                 token_col: str = "n_tokens", salt: int = 0) -> DataFrame:
     """Greedy no-split packing: walk documents in ``(hash(id), id)``
