@@ -178,30 +178,57 @@ def test_email_url_patterns_do_not_absorb_cjk():
 
 
 def test_uax29_remaining_deviations_documented():
-    # KNOWN deviations from bit-exact Lucene 4.6 StandardTokenizer after
-    # the r4 generated-Extend tier (documented, not silently wrong):
-    # * ExtendNumLet beyond '_' (e.g. U+2040 undertie) does not join runs
-    # * Format chars (WB4, e.g. soft hyphen U+00AD mid-word) break runs
-    # * non-BMP combining marks (plane 1+) are not in the Extend class
+    # KNOWN deviation from bit-exact Lucene 4.6 StandardTokenizer after
+    # the r4 generated-Extend/Format tier (documented, not silently
+    # wrong): ExtendNumLet beyond '_' (e.g. U+2040 undertie, U+FF3F
+    # fullwidth low line) does not join runs (WB13a/b).
     # vertical kana repeat marks U+3031-3035 (Word_Break=Katakana) DO join
     # katakana runs as of r4:
     toks = [t for t, _ in analyze_text("〱ア", "standard")]
     assert toks == ["〱ア"]
 
 
-def test_extend_class_is_exactly_combining_marks():
+def test_format_chars_join_runs_wb4():
+    # Format (Cf) chars are ignored mid-run per WB4, kept in the token
+    # text (Lucene behavior): soft hyphen, LRM, and Arabic letter mark
+    assert [t for t, _ in analyze_text("co­operate", "standard")] == \
+        ["co­operate"]
+    assert [t for t, _ in analyze_text("abc‎def gh", "standard")] == \
+        ["abc‎def", "gh"]
+    # a standalone Format char is not a token
+    assert [t for t, _ in analyze_text("x ­ y", "standard")] == \
+        ["x", "y"]
+
+
+def test_non_bmp_marks_join_runs():
+    # plane-1 combining marks (Brahmi U+11038 vowel sign AA) attach
+    assert [t for t, _ in
+            analyze_text("\U00011013\U00011038 base", "standard")] == \
+        ["\U00011013\U00011038", "base"]
+
+
+def test_extend_class_is_exactly_marks_and_format():
     """Every codepoint matched by the [_EXT] class must be category M*
-    (or ZWNJ/ZWJ) — a range typo that swallowed a LETTER into the mark
-    class would silently glue unrelated words together."""
+    or Cf (the WB4 ignore set) — a range typo that swallowed a LETTER
+    into the ignore class would silently glue unrelated words together.
+    Checked over the full codepoint range (the class includes non-BMP
+    marks as of r4)."""
     import re
     import unicodedata
-    from xltsearch_spark.analyzers import _EXT
-    cls = re.compile(f"[{_EXT}]")
-    for cp in range(0x10000):
+    from xltsearch_spark.analyzers import _EXT, _EXT_ASTRAL
+    cls = re.compile(f"[{_EXT}]|[{_EXT_ASTRAL}]")
+    for cp in range(0x110000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue  # surrogates: not encodable text
         ch = chr(cp)
         in_cls = bool(cls.match(ch))
-        is_mark = unicodedata.category(ch)[0] == "M" or ch in "‌‍"
-        assert in_cls == is_mark, hex(cp)
+        cat = unicodedata.category(ch)
+        is_ign = cat[0] == "M" or cat == "Cf"
+        assert in_cls == is_ign, hex(cp)
+    # and the split is clean: _EXT is BMP-only (keeps sre's bitmap
+    # optimization), _EXT_ASTRAL is astral-only
+    assert "\\U" not in _EXT
+    assert "\\u" not in _EXT_ASTRAL
 
 
 def test_generated_extend_goldens():

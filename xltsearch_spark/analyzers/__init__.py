@@ -22,11 +22,12 @@ Semantics reproduced (public Lucene 4.6 knowledge):
   HIRAGANA emit ONE CODEPOINT per token, KATAKANA and HANGUL emit runs
   (StandardTokenizerImpl's <IDEOGRAPHIC>/<HIRAGANA>/<KATAKANA>/<HANGUL>
   token types). Accented Latin/Greek/Cyrillic etc. ride on Python's
-  Unicode-aware ``\\w``; the full combining-mark Extend class (Hebrew
-  niqqud, Arabic harakat, Indic matras, Thai vowels, ZWNJ/ZWJ) is
-  generated from the Unicode tables at import. Remaining known
-  deviations from full UAX#29 (ExtendNumLet beyond '_', Format chars,
-  non-BMP marks) are documented in tests/test_analyzers.py.
+  Unicode-aware ``\\w``; the full WB4 ignore class — combining marks
+  (Hebrew niqqud, Arabic harakat, Indic matras, Thai vowels, incl.
+  non-BMP) plus Format chars (soft hyphen, bidi controls, ZWNJ/ZWJ) —
+  is generated from the Unicode tables at import. The remaining known
+  deviation from full UAX#29 (ExtendNumLet beyond '_') is documented
+  in tests/test_analyzers.py.
 * LowerCaseFilter then StopFilter with the 33-word English default stop set;
   stop removal leaves position *gaps* (enablePositionIncrements=true), so a
   phrase across a stopped word does NOT match adjacent terms.
@@ -79,35 +80,60 @@ _HANGUL = "\u1100-\u11ff\uac00-\ud7a3"
 # interpreter's Unicode tables instead of hand-enumerated blocks, which
 # covers Hebrew niqqud, Arabic harakat, Indic matras/viramas, Thai/Lao
 # vowel signs, the kana voice marks U+3099-309A, variation selectors,
-# etc. The running tables are newer than 6.1; the delta is codepoints
-# UNASSIGNED in 6.1 (marks encoded later), which cannot occur in
-# 6.1-era text — behavior on real corpora is identical. Remaining
-# deviations (ExtendNumLet beyond '_', Format chars, non-BMP marks) are
-# documented in tests/test_analyzers.py, and a test asserts every _EXT
-# codepoint is category M* (guards range typos that would swallow
-# letters into the mark class).
+# etc., and (r4) the Format class (category Cf — soft hyphen, bidi
+# controls), which WB4 equally ignores mid-run, over the FULL codepoint
+# range including non-BMP marks. The running tables are newer than 6.1;
+# the delta is codepoints UNASSIGNED in 6.1 (marks encoded later), which
+# cannot occur in 6.1-era text — behavior on real corpora is identical.
+# Remaining deviation (ExtendNumLet beyond '_') is documented in
+# tests/test_analyzers.py, and a test asserts every _EXT codepoint is
+# category M* or Cf (guards range typos that would swallow letters into
+# the ignore class).
 
 
-def _combining_mark_class() -> str:
-    """BMP combining-mark ranges (categories Mn/Mc/Me) as a regex class
-    body — computed once at import (~30 ms, amortized over the worker's
-    lifetime)."""
+def _combining_mark_class(scan) -> str:
+    """The WB4 ignore set — combining marks (categories Mn/Mc/Me, the
+    UAX#29 Extend backbone) plus Format (category Cf, which subsumes
+    ZWNJ/ZWJ — Extend in Unicode 6.1 word break — soft hyphen, bidi
+    controls, and interlinear annotation) — over the FULL codepoint
+    range (non-BMP marks: Kaithi, Brahmi, musical symbols, plane-14
+    tags), as a regex class body. Per WB4 neither ever breaks a run:
+    ``X (Extend | Format)* -> X``. Computed once at import (~0.3 s,
+    amortized over the reused Python worker's lifetime)."""
     spans = []
-    prev, start = False, 0
-    for cp in range(0x10000):
-        m = unicodedata.category(chr(cp))[0] == "M"
+    prev, start, last = False, 0, 0
+    # planes 4-13 (U+40000-U+DFFFF) hold no assigned characters in any
+    # Unicode version to date — skipped to halve the import-time scan;
+    # the full-range class-exactness test in tests/test_analyzers.py
+    # fails loudly if the interpreter's tables ever assign marks there.
+    for cp in scan:
+        cat = unicodedata.category(chr(cp))
+        m = cat[0] == "M" or cat == "Cf"
         if m and not prev:
             start = cp
         elif prev and not m:
-            spans.append((start, cp - 1))
-        prev = m
+            spans.append((start, last))
+        prev, last = m, cp
     if prev:
-        spans.append((start, 0xFFFF))
-    return "".join(f"\\u{a:04x}" if a == b else f"\\u{a:04x}-\\u{b:04x}"
+        spans.append((start, last))
+
+    def esc(c: int) -> str:
+        return f"\\u{c:04x}" if c <= 0xFFFF else f"\\U{c:08x}"
+
+    return "".join(esc(a) if a == b else f"{esc(a)}-{esc(b)}"
                    for a, b in spans)
 
 
-_EXT = _combining_mark_class() + "\u200c\u200d"  # + ZWNJ/ZWJ (WB Extend)
+# Split at the BMP boundary: a class containing ANY non-BMP codepoint
+# makes CPython's sre skip its bitmap (BIGCHARSET) optimization and
+# fall back to a linear scan over ~250 ranges PER MEMBERSHIP TEST —
+# measured ~1.2-2x on the tokenize hot path, paid at every word-run
+# end even on pure-ASCII corpora. So the BMP ignore set stays one
+# bitmap-optimized class, and astral marks live in a separate class
+# used only by the _PATTERNS_FULL tier (see below).
+_EXT = _combining_mark_class(range(0x10000))  # ZWNJ/ZWJ arrive via Cf
+_EXT_ASTRAL = _combining_mark_class(
+    list(range(0x10000, 0x40000)) + list(range(0xE0000, 0x110000)))
 # a "word" char = \w minus the CJK blocks above (identical to plain \w on
 # ASCII/Latin text, so the pre-CJK fixtures tokenize unchanged)
 _WC = f"[^\\W{_IDEO}{_HIRA}{_KATA}{_HANGUL}]"
@@ -131,13 +157,41 @@ _EMAIL_PATTERN = rf"{_WC}+(?:[.+-]{_WC}+)*@{_WC}+(?:[.-]{_WC}+)+"
 _ACRONYM_PATTERN = r"(?:[A-Za-z]\.){2,}"
 _URL_PATTERN = rf"{_WC}+://[^\s<>\"']+"
 
-_PATTERNS = {
-    "standard": re.compile(_STANDARD_PATTERN),
-    "english": re.compile(_STANDARD_PATTERN),
-    "code": re.compile(_STANDARD_PATTERN),
-    "classic": re.compile(f"{_EMAIL_PATTERN}|{_ACRONYM_PATTERN}|{_STANDARD_PATTERN}"),
-    "uax29urlemail": re.compile(f"{_URL_PATTERN}|{_EMAIL_PATTERN}|{_STANDARD_PATTERN}"),
-}
+
+def _pattern_set(ext_atom: str) -> dict:
+    """Compile the five profile patterns with ``ext_atom`` as the WB4
+    ignore unit (a full regex atom, used as ``{ext_atom}+`` etc.)."""
+    wrun = rf"{_WC}+(?:{ext_atom}+{_WC}*)*"
+    standard = (
+        f"[{_KATA}]+(?:{ext_atom}+[{_KATA}]*)*|"
+        f"[{_HANGUL}]+(?:{ext_atom}+[{_HANGUL}]*)*|"
+        f"[{_IDEO}{_HIRA}]{ext_atom}*|"
+        rf"{wrun}(?:[.']{wrun})*")
+    return {
+        "standard": re.compile(standard),
+        "english": re.compile(standard),
+        "code": re.compile(standard),
+        "classic": re.compile(
+            f"{_EMAIL_PATTERN}|{_ACRONYM_PATTERN}|{standard}"),
+        "uax29urlemail": re.compile(
+            f"{_URL_PATTERN}|{_EMAIL_PATTERN}|{standard}"),
+    }
+
+
+# Two pattern tiers with IDENTICAL semantics on any text free of astral
+# (plane 1+) codepoints — which is every batch the fast tier ever sees:
+# analyze_flat routes a batch to _PATTERNS_FULL iff some row contains a
+# codepoint > U+FFFF (one vectorized single-range scan), so the hot path
+# keeps the bitmap-optimized BMP class and astral marks still attach per
+# WB4 when they actually occur. In the full tier the astral class hides
+# behind a one-range lookahead guard: a failed ignore-test (the common
+# case, once per word-run end) costs one bitmap probe plus one range
+# compare, never the ~100-range astral scan.
+_ASTRAL = "\\U00010000-\\U0010ffff"
+_PATTERNS = _pattern_set(f"[{_EXT}]")
+_PATTERNS_FULL = _pattern_set(
+    f"(?:[{_EXT}]|(?=[{_ASTRAL}])[{_EXT_ASTRAL}])")
+_ASTRAL_RE = re.compile(f"[{_ASTRAL}]")
 
 # camelCase / digit-run sub-token splitter for the code profile
 _SUBTOKEN_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z]+[0-9]*|[0-9]+")
@@ -213,7 +267,10 @@ def analyze_flat(texts: pd.Series, profile: str = "standard",
     """
     if profile not in _PATTERNS:
         raise KeyError(f"unknown analyzer profile: {profile!r}")
-    rows, toks = _explode(texts.fillna("").astype(str), _PATTERNS[profile], max_token_length)
+    texts = texts.fillna("").astype(str)
+    pats = _PATTERNS_FULL if bool(texts.str.contains(_ASTRAL_RE).any()) \
+        else _PATTERNS
+    rows, toks = _explode(texts, pats[profile], max_token_length)
     pos = _positions(rows)
     s = pd.Series(toks, dtype=object)
     overlap = np.zeros(rows.size, dtype=bool)
