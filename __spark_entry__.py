@@ -108,6 +108,15 @@ def _corpus_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("cjk"),
             F.array(F.when(F.col("lang") == "de",
                            F.lit("分散索引データ"))
+                    .otherwise(F.lit("plain"))),
+            # Format-char field for the WB4 Format tier: the fr-docs'
+            # value carries a SOFT HYPHEN (U+00AD, category Cf) inside
+            # the word — "co<U+00AD>op" is ONE token (dl=1) only if WB4
+            # Format handling joins it; a regression to
+            # format-breaks-run would emit co+op (dl=2) and shift every
+            # score vs the oracle. Non-fr docs hold 'plain' (dl=1).
+            F.lit("fmt"),
+            F.array(F.when(F.col("lang") == "fr", F.lit("co\u00adop"))
                     .otherwise(F.lit("plain")))).alias("meta"),
         F.col("doc_id").alias("src_doc_id"),
     )
@@ -287,6 +296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Han single-char tokens + one katakana run token that spans a
     # combining voice mark — the r4 Extend tier)
     q["ft_unicode_cjk"] = lambda s, d: _ft(s, d, "meta.cjk:索 AND merge", 20)
+    # WB4 Format tier: the query term itself carries the soft hyphen;
+    # both query- and index-side analysis must keep it one token
+    q["ft_format_join"] = lambda s, d: _ft(
+        s, d, "meta.fmt:co­op AND merge", 20)
     # Lucene-4.6 norm-quantization parity path (floatToByte315, Q15) —
     # exercised across the operator breadth: single term, conjunction, and
     # the phrase matcher all score on the QUANTIZED doc length
@@ -1168,6 +1181,23 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN m ON m.doc_id = d.doc_id
         CROSS JOIN tc CROSS JOIN av CROSS JOIN st
         WHERE d.lang = 'de'
+        ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
+
+    # meta.fmt:co<U+00AD>op AND merge — WB4 Format tier: the fr-docs'
+    # fmt value is one token WITH the soft hyphen kept in the term text
+    # (Lucene keeps ignored Format chars), so df = n_fr, tf=1, dl=1,
+    # avgdl(meta.fmt)=1 (every doc holds exactly one token)
+    o["ft_format_join"] = f"""WITH {_TOK_CTE},
+    fc AS (SELECT count(*) AS dff FROM documents WHERE lang = 'fr'),
+    m AS ({_bm25_sql('merge')})
+    SELECT doc_id, score FROM (
+        SELECT d.doc_id,
+               round(ln(1 + (st.n - fc.dff + 0.5) / (fc.dff + 0.5)) * 2.2 * 1
+                     / (1 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)) + m.score,
+                     4) AS score
+        FROM documents d JOIN m ON m.doc_id = d.doc_id
+        CROSS JOIN fc CROSS JOIN st
+        WHERE d.lang = 'fr'
         ORDER BY 2 DESC, d.doc_id LIMIT 20)"""
 
     # meta.tags:src1 AND merge — multi-valued metadata field: 2 instances per
