@@ -266,3 +266,33 @@ def test_standard_pattern_flat_run_equivalence_fuzz():
     for _ in range(500):
         s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
         assert fast.findall(s) == natural.findall(s), repr(s)
+
+
+def test_full_tier_pattern_equivalence_fuzz():
+    """The astral-guarded full-tier pattern must agree with (a) the fast
+    tier on astral-free text, and (b) a natural-form full pattern on
+    soup containing astral marks/letters and Format chars."""
+    import random
+    import re
+    from xltsearch_spark.analyzers import (_EXT, _EXT_ASTRAL, _HANGUL,
+                                           _HIRA, _IDEO, _KATA, _PATTERNS,
+                                           _PATTERNS_FULL, _WC)
+    fast = _PATTERNS["standard"]
+    full = _PATTERNS_FULL["standard"]
+    ext_any = f"(?:[{_EXT}]|[{_EXT_ASTRAL}])"
+    wcx = f"{_WC}{ext_any}*"
+    natural_full = re.compile(
+        f"(?:[{_KATA}]{ext_any}*)+|(?:[{_HANGUL}]{ext_any}*)+|"
+        f"[{_IDEO}{_HIRA}]{ext_any}*|"
+        rf"(?:{wcx})+(?:[.'](?:{wcx})+)*")
+    bmp_alpha = list("ab1_.' -") + ["́", "゙", "カ", "分", "é", "­", "‎"]
+    astral_alpha = bmp_alpha + ["\U00011038", "\U0001D165", "𐐷", "😀"]
+    rng = random.Random(7)
+    for _ in range(400):
+        s = "".join(rng.choice(bmp_alpha)
+                    for _ in range(rng.randint(0, 25)))
+        assert full.findall(s) == fast.findall(s), repr(s)
+    for _ in range(400):
+        s = "".join(rng.choice(astral_alpha)
+                    for _ in range(rng.randint(0, 25)))
+        assert full.findall(s) == natural_full.findall(s), repr(s)
