@@ -207,6 +207,29 @@ def test_non_bmp_marks_join_runs():
         ["\U00011013\U00011038", "base"]
 
 
+def test_zwsp_and_mongolian_separator_break_runs():
+    # U+200B ZWSP is WB=Other (the invisible word delimiter of
+    # Thai/Khmer/Myanmar) and U+180E was whitespace in Unicode 6.1:
+    # both BREAK runs despite being category Cf in modern tables
+    assert [t for t, _ in analyze_text("ab\u200bcd", "standard")] == \
+        ["ab", "cd"]
+    assert [t for t, _ in analyze_text("ab\u180ecd", "standard")] == \
+        ["ab", "cd"]
+
+
+def test_supplementary_cjk_scripts():
+    # plane-2 Han (Ext B) emits IDEOGRAPHIC singles like BMP Han
+    assert [t for t, _ in
+            analyze_text("\U00020000\U00020001 ok", "standard")] == \
+        ["\U00020000", "\U00020001", "ok"]
+    # archaic KATAKANA E (U+1B000) joins a katakana run; archaic
+    # HIRAGANA YE (U+1B001) emits a single like BMP hiragana
+    assert [t for t, _ in analyze_text("\U0001b000ア", "standard")] == \
+        ["\U0001b000ア"]
+    assert [t for t, _ in analyze_text("\U0001b001か", "standard")] == \
+        ["\U0001b001", "か"]
+
+
 def test_extend_class_is_exactly_marks_and_format():
     """Every codepoint matched by the [_EXT] class must be category M*
     or Cf (the WB4 ignore set) — a range typo that swallowed a LETTER
@@ -223,7 +246,10 @@ def test_extend_class_is_exactly_marks_and_format():
         ch = chr(cp)
         in_cls = bool(cls.match(ch))
         cat = unicodedata.category(ch)
-        is_ign = cat[0] == "M" or cat == "Cf"
+        # ZWSP (WB=Other: the invisible word delimiter) and U+180E
+        # (whitespace in Unicode 6.1) are excluded from the Cf tier
+        is_ign = (cat[0] == "M" or cat == "Cf") and \
+            cp not in (0x200B, 0x180E)
         assert in_cls == is_ign, hex(cp)
     # and the split is clean: _EXT is BMP-only (keeps sre's bitmap
     # optimization), _EXT_ASTRAL is astral-only
@@ -275,18 +301,23 @@ def test_full_tier_pattern_equivalence_fuzz():
     import random
     import re
     from xltsearch_spark.analyzers import (_EXT, _EXT_ASTRAL, _HANGUL,
-                                           _HIRA, _IDEO, _KATA, _PATTERNS,
-                                           _PATTERNS_FULL, _WC)
+                                           _HIRA, _HIRA_SUP, _IDEO,
+                                           _IDEO_SUP, _KATA, _KATA_SUP,
+                                           _PATTERNS, _PATTERNS_FULL)
     fast = _PATTERNS["standard"]
     full = _PATTERNS_FULL["standard"]
+    ideo, hira, kata = _IDEO + _IDEO_SUP, _HIRA + _HIRA_SUP, \
+        _KATA + _KATA_SUP
+    wc = f"[^\\W{ideo}{hira}{kata}{_HANGUL}]"
     ext_any = f"(?:[{_EXT}]|[{_EXT_ASTRAL}])"
-    wcx = f"{_WC}{ext_any}*"
+    wcx = f"{wc}{ext_any}*"
     natural_full = re.compile(
-        f"(?:[{_KATA}]{ext_any}*)+|(?:[{_HANGUL}]{ext_any}*)+|"
-        f"[{_IDEO}{_HIRA}]{ext_any}*|"
+        f"(?:[{kata}]{ext_any}*)+|(?:[{_HANGUL}]{ext_any}*)+|"
+        f"[{ideo}{hira}]{ext_any}*|"
         rf"(?:{wcx})+(?:[.'](?:{wcx})+)*")
     bmp_alpha = list("ab1_.' -") + ["́", "゙", "カ", "分", "é", "­", "‎"]
-    astral_alpha = bmp_alpha + ["\U00011038", "\U0001D165", "𐐷", "😀"]
+    astral_alpha = bmp_alpha + ["\U00011038", "\U0001D165", "𐐷", "😀",
+                                "\U00020000", "\U0001b000", "\U0001b001"]
     rng = random.Random(7)
     for _ in range(400):
         s = "".join(rng.choice(bmp_alpha)

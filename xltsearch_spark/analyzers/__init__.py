@@ -108,7 +108,12 @@ def _combining_mark_class(scan) -> str:
     # fails loudly if the interpreter's tables ever assign marks there.
     for cp in scan:
         cat = unicodedata.category(chr(cp))
-        m = cat[0] == "M" or cat == "Cf"
+        # Cf minus U+200B ZERO WIDTH SPACE (WB=Other in UAX#29 — ZWSP
+        # is the invisible word DELIMITER of Thai/Khmer/Myanmar text
+        # and must break runs) and minus U+180E MONGOLIAN VOWEL
+        # SEPARATOR (category Zs/whitespace in Unicode 6.1, the Lucene
+        # 4.6 tables; reclassified Cf in 6.3 — parity says break).
+        m = cat[0] == "M" or (cat == "Cf" and cp not in (0x200B, 0x180E))
         if m and not prev:
             start = cp
         elif prev and not m:
@@ -137,44 +142,54 @@ _EXT_ASTRAL = _combining_mark_class(
 # a "word" char = \w minus the CJK blocks above (identical to plain \w on
 # ASCII/Latin text, so the pre-CJK fixtures tokenize unchanged)
 _WC = f"[^\\W{_IDEO}{_HIRA}{_KATA}{_HANGUL}]"
-# Run shape note: the natural WB4 form `(X [EXT]*)+` pays a per-CHARACTER
-# quantifier check, measured ~1.45x slower on pure-ASCII corpora (the build
-# hot path). The equivalent `X+ ([EXT]+ X*)*` scans the run flat and only
-# branches when a combining mark actually appears — same language
-# ((X EXT*)+ == X (X|EXT)* == X+ (EXT+ X*)*, first char always X), verified
-# by the randomized equivalence test in tests/test_analyzers.py.
-_WRUN = rf"{_WC}+(?:[{_EXT}]+{_WC}*)*"   # word run + attached marks
-_STANDARD_PATTERN = (
-    f"[{_KATA}]+(?:[{_EXT}]+[{_KATA}]*)*|"
-    f"[{_HANGUL}]+(?:[{_EXT}]+[{_HANGUL}]*)*|"
-    f"[{_IDEO}{_HIRA}][{_EXT}]*|"
-    rf"{_WRUN}(?:[.']{_WRUN})*")
-# email/URL sub-grammars use the SAME CJK-excluding word class: a CJK
-# codepoint adjacent to an address must emit as its own token, never be
-# absorbed into the email/URL token (raw \w here would swallow it — e.g.
-# '分abc@x.io' must tokenize as 分 + abc@x.io)
-_EMAIL_PATTERN = rf"{_WC}+(?:[.+-]{_WC}+)*@{_WC}+(?:[.-]{_WC}+)+"
 _ACRONYM_PATTERN = r"(?:[A-Za-z]\.){2,}"
-_URL_PATTERN = rf"{_WC}+://[^\s<>\"']+"
 
 
-def _pattern_set(ext_atom: str) -> dict:
+# Supplementary-plane script blocks for the FULL tier (assigned in
+# Unicode 6.1, so Lucene 4.6 knows them): Han Ext B/C/D + CJK Compat
+# Supplement emit IDEOGRAPHIC singles; U+1B000/U+1B001 are the archaic
+# KATAKANA E / HIRAGANA YE. The fast tier never sees these (astral
+# routing), so its classes stay BMP-only and bitmap-optimized.
+_IDEO_SUP = ("\U00020000-\U0002a6d6\U0002a700-\U0002b734"
+             "\U0002b740-\U0002b81d\U0002f800-\U0002fa1d")
+_HIRA_SUP = "\U0001b001"
+_KATA_SUP = "\U0001b000"
+
+
+def _pattern_set(ext_atom: str, ideo: str = _IDEO, hira: str = _HIRA,
+                 kata: str = _KATA) -> dict:
     """Compile the five profile patterns with ``ext_atom`` as the WB4
-    ignore unit (a full regex atom, used as ``{ext_atom}+`` etc.)."""
-    wrun = rf"{_WC}+(?:{ext_atom}+{_WC}*)*"
+    ignore unit (a full regex atom, used as ``{ext_atom}+`` etc.) and
+    the given script classes.
+
+    Run shape note: the natural WB4 form ``(X [EXT]*)+`` pays a
+    per-CHARACTER quantifier check, measured ~1.45x slower on pure-ASCII
+    corpora (the build hot path). The equivalent ``X+ ([EXT]+ X*)*``
+    scans the run flat and only branches when an ignored char actually
+    appears — same language ((X EXT*)+ == X (X|EXT)* == X+ (EXT+ X*)*,
+    first char always X), verified by the randomized equivalence tests
+    in tests/test_analyzers.py."""
+    wc = f"[^\\W{ideo}{hira}{kata}{_HANGUL}]"
+    wrun = rf"{wc}+(?:{ext_atom}+{wc}*)*"
     standard = (
-        f"[{_KATA}]+(?:{ext_atom}+[{_KATA}]*)*|"
+        f"[{kata}]+(?:{ext_atom}+[{kata}]*)*|"
         f"[{_HANGUL}]+(?:{ext_atom}+[{_HANGUL}]*)*|"
-        f"[{_IDEO}{_HIRA}]{ext_atom}*|"
+        f"[{ideo}{hira}]{ext_atom}*|"
         rf"{wrun}(?:[.']{wrun})*")
+    # email/URL sub-grammars use the SAME CJK-excluding word class: a
+    # CJK codepoint adjacent to an address must emit as its own token,
+    # never be absorbed into the email/URL token (raw \w would swallow
+    # it — '分abc@x.io' must tokenize as 分 + abc@x.io)
+    email = rf"{wc}+(?:[.+-]{wc}+)*@{wc}+(?:[.-]{wc}+)+"
+    url = rf"{wc}+://[^\s<>\"']+"
     return {
         "standard": re.compile(standard),
         "english": re.compile(standard),
         "code": re.compile(standard),
         "classic": re.compile(
-            f"{_EMAIL_PATTERN}|{_ACRONYM_PATTERN}|{standard}"),
+            f"{email}|{_ACRONYM_PATTERN}|{standard}"),
         "uax29urlemail": re.compile(
-            f"{_URL_PATTERN}|{_EMAIL_PATTERN}|{standard}"),
+            f"{url}|{email}|{standard}"),
     }
 
 
@@ -190,7 +205,9 @@ def _pattern_set(ext_atom: str) -> dict:
 _ASTRAL = "\\U00010000-\\U0010ffff"
 _PATTERNS = _pattern_set(f"[{_EXT}]")
 _PATTERNS_FULL = _pattern_set(
-    f"(?:[{_EXT}]|(?=[{_ASTRAL}])[{_EXT_ASTRAL}])")
+    f"(?:[{_EXT}]|(?=[{_ASTRAL}])[{_EXT_ASTRAL}])",
+    ideo=_IDEO + _IDEO_SUP, hira=_HIRA + _HIRA_SUP,
+    kata=_KATA + _KATA_SUP)
 _ASTRAL_RE = re.compile(f"[{_ASTRAL}]")
 
 # camelCase / digit-run sub-token splitter for the code profile
