@@ -66,6 +66,15 @@ def test_pack_chunked_bucket_and_batch_invariant(spark, docs):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_packing_rejects_internal_column_collision(spark, docs):
+    clashing = docs.withColumn("_pk_bucket", F.lit(0))
+    with pytest.raises(ValueError, match="_pk_bucket"):
+        packing.pack_chunked(clashing, 256)
+    clashing_h = docs.withColumn("_pk_hash", F.lit(0))
+    with pytest.raises(ValueError, match="_pk_hash"):
+        packing.assign_shards(clashing_h, 4)
+
+
 def test_pack_chunked_rejects_bad_budget(docs):
     with pytest.raises(ValueError):
         packing.pack_chunked(docs, 0)

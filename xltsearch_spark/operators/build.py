@@ -138,13 +138,20 @@ def assign_doc_ids(df: DataFrame, key_cols=("repo", "path"), id_base: int = 0,
     back to lineage — correct, just slower.
     """
     n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    df = df.persist()
+    sl = df.storageLevel
+    caller_cached = sl.useMemory or sl.useDisk or sl.useOffHeap
+    if not caller_cached:
+        df = df.persist()
     sorted_df = df.repartitionByRange(n_parts, *[F.col(c) for c in key_cols]) \
                   .sortWithinPartitions(*key_cols).persist()
     counts = {r["pid"]: r["cnt"] for r in
               sorted_df.withColumn("pid", F.spark_partition_id())
                        .groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
-    df.unpersist()  # sorted_df is materialized; the input is never re-read
+    if not caller_cached:
+        # sorted_df is materialized and the input is never re-read; only
+        # release a cache THIS function created — a caller's own persist
+        # must survive the call
+        df.unpersist()
     offsets = {}
     acc = id_base
     for pid in sorted(counts):

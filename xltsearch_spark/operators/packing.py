@@ -49,13 +49,29 @@ from xltsearch_spark.operators.sampling import _MOD, bucket_hash
 _MIX_SALT = 7919
 
 
-# fixed bucket count for the ordered shuffle: bucket = hash // width is
-# pure arithmetic over the uniform 31-bit hash, so bucket populations are
-# balanced by construction and the boundaries NEVER depend on sampling,
-# partitioning, or cluster size. 1024 keeps every bucket ~N/1024 docs
-# (ample parallelism up to 1024-way) while the per-bucket bookkeeping
-# (sums, offsets) stays a trivially small driver collect.
+# minimum bucket count for the ordered shuffle: bucket = hash // width
+# is pure arithmetic over the uniform 31-bit hash, so bucket populations
+# are balanced by construction and the boundaries NEVER depend on
+# sampling, partitioning, or cluster size. The default (n_buckets=None)
+# scales as 8x the cluster parallelism, floored at 1024: hashing bucket
+# ids to partitions is balls-in-bins, so ~8 buckets per partition keeps
+# the heaviest partition within ~2x of the mean and leaves no partition
+# empty at ANY cluster size, while the per-bucket bookkeeping (sums,
+# offsets) stays a small driver collect (8 rows per core). The OUTPUT is
+# invariant to the bucket count (boundaries only split the sum) — only
+# load balance depends on it.
 DEFAULT_ORDER_BUCKETS = 1024
+
+# internal column names for the ordered shuffle; collision with caller
+# columns is rejected loudly (the frames are sorted/bookkept on them)
+_HCOL, _BCOL = "_pk_hash", "_pk_bucket"
+
+
+def _resolve_buckets(df: DataFrame, n_buckets: int | None) -> int:
+    if n_buckets is not None:
+        return n_buckets
+    return max(DEFAULT_ORDER_BUCKETS,
+               8 * df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _hash_bucketed_sort(df: DataFrame, id_col: str, salt: int,
@@ -72,13 +88,17 @@ def _hash_bucketed_sort(df: DataFrame, id_col: str, salt: int,
     (a partition may hold several, non-adjacent buckets), so all
     downstream bookkeeping is keyed per BUCKET, not per partition.
     """
+    clash = {_HCOL, _BCOL} & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns collide with packing "
+                         f"internals: {sorted(clash)}")
     width = (_MOD + n_buckets - 1) // n_buckets
-    return (df.withColumn("_h", bucket_hash(F.col(id_col), salt))
-              .withColumn("_b", F.floor(F.col("_h") / F.lit(width))
+    return (df.withColumn(_HCOL, bucket_hash(F.col(id_col), salt))
+              .withColumn(_BCOL, F.floor(F.col(_HCOL) / F.lit(width))
                           .cast("int"))
               .repartition(max(df.sparkSession.sparkContext
-                               .defaultParallelism, 8), F.col("_b"))
-              .sortWithinPartitions("_b", "_h", id_col))
+                               .defaultParallelism, 8), F.col(_BCOL))
+              .sortWithinPartitions(_BCOL, _HCOL, id_col))
 
 
 def _ordered_exclusive_cumsum(df: DataFrame, value_col: str, id_col: str,
@@ -95,9 +115,10 @@ def _ordered_exclusive_cumsum(df: DataFrame, value_col: str, id_col: str,
     ``mapInPandas``. The result is independent of partitioning, cluster
     size AND ``n_buckets`` (bucket boundaries only split the sum).
     """
+    n_buckets = _resolve_buckets(df, n_buckets)
     sorted_df = _hash_bucketed_sort(df, id_col, salt, n_buckets).persist()
-    sums = {r["_b"]: r["s"] for r in
-            sorted_df.groupBy("_b")
+    sums = {r[_BCOL]: r["s"] for r in
+            sorted_df.groupBy(_BCOL)
                      .agg(F.sum(F.col(value_col).cast("long")).alias("s"))
                      .collect()}
     offsets, acc = {}, 0
@@ -113,7 +134,7 @@ def _ordered_exclusive_cumsum(df: DataFrame, value_col: str, id_col: str,
             pdf = pdf.copy()
             start, carry_b, carry = _batch_cumsum(
                 pdf[value_col].to_numpy("int64"),
-                pdf["_b"].to_numpy("int64"), offsets, carry_b, carry)
+                pdf[_BCOL].to_numpy("int64"), offsets, carry_b, carry)
             pdf[out_col] = start
             yield pdf
 
@@ -154,7 +175,7 @@ def _batch_cumsum(vals, bs, offsets: dict, carry_b, carry: int):
 
 def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
                  token_col: str = "n_tokens", salt: int = 0,
-                 n_buckets: int = DEFAULT_ORDER_BUCKETS) -> DataFrame:
+                 n_buckets: int | None = None) -> DataFrame:
     """Concatenate-and-chunk packing: documents are laid out in the
     deterministic order ``(hash(id), id)``, token streams concatenated,
     and cut every ``budget`` tokens (the classic causal-LM data layout —
@@ -171,7 +192,7 @@ def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
         raise ValueError(f"budget must be positive, got {budget}")
     out = _ordered_exclusive_cumsum(
         df, token_col, id_col, salt, "start_offset", n_buckets) \
-        .drop("_h", "_b")
+        .drop(_HCOL, _BCOL)
     b = int(budget)
     start = F.col("start_offset")
     tok = F.col(token_col).cast("long")
@@ -192,7 +213,7 @@ def pack_chunked(df: DataFrame, budget: int, id_col: str = "doc_id",
 
 def pack_manifest(df: DataFrame, budget: int, id_col: str = "doc_id",
                   token_col: str = "n_tokens", salt: int = 0,
-                  n_buckets: int = DEFAULT_ORDER_BUCKETS) -> DataFrame:
+                  n_buckets: int | None = None) -> DataFrame:
     """Per-(pack, doc) slice manifest — what a trainer actually reads to
     assemble pack K: for each pack, the ordered documents contributing
     tokens, with the doc-local token slice ``[tok_start, tok_end)`` and
@@ -248,7 +269,7 @@ def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     sorted_df = _hash_bucketed_sort(df, id_col, salt,
-                                    DEFAULT_ORDER_BUCKETS).persist()
+                                    _resolve_buckets(df, None)).persist()
 
     def count_packs(it):
         # ONE greedy state across all pandas batches of the partition
@@ -288,7 +309,7 @@ def pack_greedy(df: DataFrame, budget: int, id_col: str = "doc_id",
             yield pdf
 
     return sorted_df.mapInPandas(assign, schema=out_schema) \
-                    .drop("_h", "_b")
+                    .drop(_HCOL, _BCOL)
 
 
 def _greedy_fill(t: "np.ndarray", budget: int, pack: int, fill: int):
@@ -342,13 +363,16 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    w = Window.partitionBy(out_col).orderBy(F.col("_h").asc(),
+    if _HCOL in df.columns:
+        raise ValueError(f"input column collides with packing "
+                         f"internals: {_HCOL!r}")
+    w = Window.partitionBy(out_col).orderBy(F.col(_HCOL).asc(),
                                             F.col(id_col).asc())
-    return (df.withColumn("_h", bucket_hash(F.col(id_col), salt))
-              .withColumn(out_col, F.pmod(F.col("_h"), F.lit(n_shards))
+    return (df.withColumn(_HCOL, bucket_hash(F.col(id_col), salt))
+              .withColumn(out_col, F.pmod(F.col(_HCOL), F.lit(n_shards))
                           .cast("int"))
               .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
-              .drop("_h"))
+              .drop(_HCOL))
 
 
 def write_shards(df: DataFrame, path: str, n_shards: int,
