@@ -1742,8 +1742,8 @@ def oracle_sql() -> dict[str, str]:
            round(coalesce(ls.dup_chars * 1.0
                           / greatest(ls.line_chars, 1), 0.0), 6) AS dup_line_char_frac,
            tg.gram AS top_2gram,
-           round(coalesce(tg.cnt * (length(tg.gram) - 1) * 1.0
-                          / greatest(length(d.text), 1), 0.0), 6) AS top_2gram_char_frac
+           round(least(coalesce(tg.cnt * (length(tg.gram) - 1) * 1.0
+                          / greatest(length(d.text), 1), 0.0), 1.0), 6) AS top_2gram_char_frac
     FROM documents d LEFT JOIN ls USING (doc_id) LEFT JOIN tg USING (doc_id)
     ORDER BY d.doc_id"""
 

@@ -342,3 +342,36 @@ def test_merge_crash_between_meta_and_cleanup_leaves_readable_index(
     cat.update(spark.createDataFrame(pd.concat([v2, extra], ignore_index=True)),
                fingerprint="v3")
     assert cat.engine().search_scores("post_crash_token", 5).count() == 1
+
+
+def test_merge_and_search_survive_pre_block_min_segments(spark, corpora,
+                                                         tmp_path):
+    """Backward compatibility with indexes persisted before the
+    block_min_score column (r4): search and merge must both work when a
+    segment's postings lack the column (simulated by rewriting the stage
+    parquet without it)."""
+    v1, v2 = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    seg = cat.read_meta()["segments"][0]["name"]
+    pdir = cat._stage_dir(seg, "postings")
+    stripped = spark.read.parquet(pdir).drop("block_min_score").toPandas()
+    import shutil
+    shutil.rmtree(pdir.replace("file:", ""))
+    spark.createDataFrame(stripped).write.parquet(pdir)
+    # search over the pure-old index (engine guards the missing column)
+    hits = cat.engine().search("merge", 10).collect()
+    assert len(hits) > 0
+    # update mixes a NEW (16-col) segment with the OLD (15-col) one
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    assert len(cat.read_meta()["segments"]) == 2
+    # merge copies postings across both layouts without error
+    cat.merge(fingerprint="m")
+    assert len(cat.read_meta()["segments"]) == 1
+    eng = cat.engine()
+    fresh = IndexCatalog(spark, str(tmp_path / "wh_fresh"), CFG)
+    fresh.build(spark.createDataFrame(v2), fingerprint="v2")
+    feng = fresh.engine()
+    got = {r["path"]: r["score"] for r in eng.search("merge", 1000).collect()}
+    exp = {r["path"]: r["score"] for r in feng.search("merge", 1000).collect()}
+    assert got == exp

@@ -291,3 +291,9 @@ def test_mixture_resample_deterministic(spark, docs):
 def test_mixture_rejects_negative_factor(docs):
     with pytest.raises(ValueError):
         packing.mixture_resample(docs, "source", {"src0": -1.0})
+
+
+def test_mixture_rejects_negative_default_factor(docs):
+    with pytest.raises(ValueError, match="default"):
+        packing.mixture_resample(docs, "source", {"src0": 1.0},
+                                 default_factor=-1.0)

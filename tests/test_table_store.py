@@ -123,3 +123,47 @@ def test_catalog_lifecycle_through_snapshot_store(spark, tiny_corpus, tmp_path):
     docs_dir = cat_s._stage_dir(seg, "docs")
     assert cat_s.store.current_version(docs_dir) == 1
     assert cat_s.store.versions(docs_dir)[0]["operation"] == "overwrite"
+
+
+def test_write_after_rollback_never_reuses_versions(spark, tmp_path):
+    """A write after rollback must allocate a FRESH version number —
+    parent+1 would overwrite the abandoned lineage's snapshot manifest
+    and data dir, forging history and corrupting time travel."""
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    st.write(_df(spark, [(2, "b")]), t, mode="append")
+    st.write(_df(spark, [(3, "c")]), t, mode="append")      # v3
+    st.rollback(t, 1)
+    st.write(_df(spark, [(7, "g")]), t, mode="append")      # must be v4
+    assert st.current_version(t) == 4
+    hist = st.versions(t)
+    assert [s["version"] for s in hist] == [1, 2, 3, 4]
+    assert hist[3]["parent"] == 1
+    # the abandoned lineage is untouched: v3 still reads its own rows
+    assert sorted(r.id for r in st.read_version(spark, t, 3).collect()) \
+        == [1, 2, 3]
+    assert sorted(r.id for r in st.read(spark, t).collect()) == [1, 7]
+
+
+def test_expire_on_empty_table_is_noop(spark, tmp_path):
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    assert st.expire_snapshots(t) == 0          # nothing committed
+    os.makedirs(t, exist_ok=True)
+    assert st.expire_snapshots(t) == 0          # empty dir, still clean
+
+
+def test_stale_commit_lock_is_reclaimed(spark, tmp_path):
+    """A lock left by a crashed writer (older than LOCK_TTL_SEC) must
+    not brick the table; a FRESH lock still rejects the writer."""
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    lock = os.path.join(t, "_commit.lock")
+    open(lock, "w").close()
+    old = __import__("time").time() - st.LOCK_TTL_SEC - 10
+    os.utime(lock, (old, old))
+    st.write(_df(spark, [(2, "b")]), t, mode="append")  # reclaims
+    assert st.current_version(t) == 2
+    open(lock, "w").close()                             # fresh lock
+    with pytest.raises(ConcurrentCommitError):
+        st.write(_df(spark, [(3, "c")]), t, mode="append")
+    os.unlink(lock)

@@ -317,6 +317,15 @@ class IndexCatalog:
         start_ms = build_time_ms if build_time_ms is not None else int(time.time() * 1000)
         self._write_meta({**meta, "last_updated": INDEX_UPDATE_FAILED})
         p = self._read_all("postings", meta)
+        if "block_min_score" not in p.columns:
+            # segments written before the block_min_score column existed
+            # (r4): the merge copies postings as-is, so a NULL floor is
+            # correct — the engine treats it exactly like a stale floor
+            # (never seeds tau from it; unionByName already nulls the
+            # column when OLD and NEW segments mix, this covers an index
+            # whose segments are ALL pre-upgrade)
+            p = p.withColumn("block_min_score",
+                             F.lit(None).cast("double"))
         tomb = self.tombstones_df(meta)
         rs = self.config.doc_range_size
         if tomb is not None:

@@ -102,7 +102,12 @@ def pre_verdict(docs: DataFrame, benchmark: DataFrame | None = None, *,
                 .join(F.broadcast(bench), "shingle")
                 .select("doc_id").distinct()
                 .withColumn("_hit", F.lit(True)))
-        base = base.join(F.broadcast(hits), "doc_id", "left")
+        # bench (distinct BENCHMARK shingles) is bounded by the eval-set
+        # size, so its broadcast is safe; hits (contaminated DOC ids) is
+        # bounded only by the corpus — a boilerplate-heavy benchmark can
+        # flag a large fraction of docs, so no forced broadcast here:
+        # AQE picks broadcast only when the side is actually small
+        base = base.join(hits, "doc_id", "left")
     else:
         base = base.withColumn("_hit", F.lit(None).cast("boolean"))
 

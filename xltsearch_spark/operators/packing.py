@@ -114,6 +114,13 @@ def _ordered_exclusive_cumsum(df: DataFrame, value_col: str, id_col: str,
     buckets' offsets plus a local per-bucket numpy cumsum inside
     ``mapInPandas``. The result is independent of partitioning, cluster
     size AND ``n_buckets`` (bucket boundaries only split the sum).
+
+    Cache contract: the sorted frame stays persisted because the
+    RETURNED frame reads it lazily on every action — releasing it here
+    would re-shuffle per action. Callers running many packing calls in
+    one long-lived session should materialize/write the result and then
+    ``spark.catalog.clearCache()`` (or track and unpersist) — the same
+    contract as ``SearchEngine.search_many``'s shared decode cache.
     """
     n_buckets = _resolve_buckets(df, n_buckets)
     sorted_df = _hash_bucketed_sort(df, id_col, salt, n_buckets).persist()
@@ -395,6 +402,9 @@ def mixture_factor_expr(domain_col: Column,
                         default_factor: float = 1.0) -> Column:
     """Literal CASE chain ``domain -> repeat factor`` (tiny dict: stays
     inside whole-stage codegen, no join)."""
+    if default_factor < 0:
+        raise ValueError(f"negative default mixture factor: "
+                         f"{default_factor}")
     expr = None
     for dom, f in factors.items():
         if f < 0:

@@ -155,11 +155,13 @@ def kmeans_fit(vectors: DataFrame, n_centroids: int = 16, n_iter: int = 5,
     training — the iterative step that upgrades ``cosine_topk_ivf``'s
     deterministic seed centroids to real cluster centers.
 
-    Per iteration: one cosine-argmax assignment map pass (the same
-    ``ivf_assignments`` kernel the probe uses) plus ONE k x dim aggregate
-    — per-dimension means partial-aggregate map-side, so the shuffle and
-    the driver each carry only k rows of dim doubles (k=16, dim=64 ->
-    8 KiB/iteration; at 10^9 vectors the cost per iteration is one scan).
+    Per iteration: ONE map pass fuses the cosine-argmax assignment (the
+    same kernel as ``ivf_assignments``) with per-batch partial sums, so
+    each task emits at most k rows of (sum-vector, count) and the shuffle
+    and driver carry only k x n_tasks tiny rows (k=16, dim=64 -> 8 KiB
+    per task per iteration; at 10^9 vectors the cost per iteration is
+    exactly one scan — no join back to the vector table, whose shuffle
+    would move the full embedding column every iteration).
     Initialization is the first ``n_centroids`` vectors in id order —
     deterministic, same seeds as the IVF oracle. Empty clusters keep
     their previous centroid (the standard Lloyd degeneracy rule, and what
@@ -168,18 +170,43 @@ def kmeans_fit(vectors: DataFrame, n_centroids: int = 16, n_iter: int = 5,
             .limit(n_centroids).collect())
     cm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     dim = cm.shape[1]
-    vec_d = F.col(vec_col).cast("array<double>").alias("_v")
+    part_schema = StructType(
+        [StructField("centroid_id", IntegerType()),
+         StructField("cnt", LongType())] +
+        [StructField(f"s{d}", DoubleType()) for d in range(dim)])
     for _ in range(n_iter):
-        asg = ivf_assignments(vectors, cm, id_col, vec_col)
-        means = (vectors.select(id_col, vec_d)
-                 .join(asg, id_col)
-                 .groupBy("centroid_id")
-                 .agg(*[F.avg(F.col("_v")[d]).alias(f"m{d}")
-                        for d in range(dim)])
-                 .collect())
+        cmat = cm  # capture this iteration's centroids in the closure
+        cn = np.linalg.norm(cmat, axis=1)
+        cn[cn == 0] = 1.0
+
+        def partials(it, cmat=cmat, cn=cn):
+            for pdf in it:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vn = np.linalg.norm(mat, axis=1)
+                vn[vn == 0] = 1.0
+                sims = (mat @ cmat.T) / (vn[:, None] * cn[None, :])
+                best = np.argmax(sims, axis=1)
+                cnt = np.bincount(best, minlength=len(cmat))
+                nz = np.nonzero(cnt)[0]
+                sums = np.zeros((len(cmat), mat.shape[1]))
+                np.add.at(sums, best, mat)
+                out = {"centroid_id": nz.astype(np.int32),
+                       "cnt": cnt[nz].astype(np.int64)}
+                for d in range(mat.shape[1]):
+                    out[f"s{d}"] = sums[nz, d]
+                yield pd.DataFrame(out)
+
+        agg = (vectors.select(vec_col).mapInPandas(partials,
+                                                   schema=part_schema)
+               .groupBy("centroid_id")
+               .agg(F.sum("cnt").alias("n"),
+                    *[F.sum(f"s{d}").alias(f"s{d}") for d in range(dim)])
+               .collect())
         new = cm.copy()
-        for r in means:
-            new[r["centroid_id"]] = [r[f"m{d}"] for d in range(dim)]
+        for r in agg:
+            if r["n"]:
+                new[r["centroid_id"]] = [r[f"s{d}"] / r["n"]
+                                         for d in range(dim)]
         cm = new
     return cm
 

@@ -173,6 +173,12 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe_chars = F.greatest(F.col("total_chars"), F.lit(1))
     top_cnt = -F.col("top.neg_cnt")
     # covered chars count the gram's non-space characters per occurrence
+    # — same accounting as the public Gopher-filter implementations.
+    # Occurrences of a self-overlapping 2-gram share their middle token,
+    # so the raw product can exceed total_chars ("aa aa aa aa": top gram
+    # "aa aa" occurs 3x); the fraction is clamped to 1.0 so consumers
+    # can rely on a true [0, 1] range (the clamp only engages in that
+    # degenerate all-repetition regime, where 1.0 is the honest signal).
     top_chars = top_cnt * (F.length(F.col("top.gram")) - 1)
     return out.select(
         "doc_id",
@@ -182,5 +188,5 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce(F.col("dup_line_chars") / safe_line_chars,
                    F.lit(0.0)).alias("dup_line_char_frac"),
         F.col("top.gram").alias("top_2gram"),
-        F.coalesce(top_chars / safe_chars, F.lit(0.0))
-        .alias("top_2gram_char_frac"))
+        F.least(F.coalesce(top_chars / safe_chars, F.lit(0.0)),
+                F.lit(1.0)).alias("top_2gram_char_frac"))

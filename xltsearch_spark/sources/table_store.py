@@ -155,19 +155,47 @@ class SnapshotParquetStore(TableStore):
         with open(self._snap_path(target, v)) as f:
             return json.load(f)
 
+    # a writer that died while holding the lock (OOM-kill, power loss
+    # mid-parquet-write) must not brick the table: a lock older than
+    # this is considered abandoned and reclaimed. Safe because the
+    # commit's linearization point is the atomic _current.json replace,
+    # not the lock — a reclaimed-from writer that somehow resumes can
+    # at worst fast-fail on its own unlink. (Real Iceberg retries on
+    # optimistic-commit conflicts; this emulation documents the TTL.)
+    LOCK_TTL_SEC = 600.0
+
     @contextlib.contextmanager
     def _commit_lock(self, target: str):
         lock = os.path.join(target, "_commit.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        for attempt in (0, 1):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder just released it: retry the open
+                if attempt == 0 and age > self.LOCK_TTL_SEC:
+                    try:  # abandoned by a crashed writer: reclaim
+                        os.unlink(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                raise ConcurrentCommitError(
+                    f"concurrent commit in flight for {target} "
+                    f"(lock {lock}, age {age:.0f}s)")
+        else:
             raise ConcurrentCommitError(
-                f"concurrent commit in flight for {target} (lock {lock})")
+                f"could not acquire commit lock for {target} ({lock})")
         try:
             yield
         finally:
             os.close(fd)
-            os.unlink(lock)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
 
     def write(self, df: DataFrame, target: str,
               partition_by: tuple[str, ...] = (),
@@ -175,7 +203,12 @@ class SnapshotParquetStore(TableStore):
         os.makedirs(target, exist_ok=True)
         with self._commit_lock(target):
             parent = self.current_version(target)
-            v = (parent or 0) + 1
+            # next version = max over ALL snapshots, not parent+1: after
+            # a rollback the parent is an old version, and parent+1
+            # would OVERWRITE an abandoned-lineage snapshot's manifest
+            # and data dir, forging history and corrupting time travel
+            existing = [sn["version"] for sn in self.versions(target)]
+            v = max(existing, default=parent or 0) + 1
             ddir = os.path.join(target, "data", f"d-{v:06d}")
             writer = df.write.mode("overwrite")
             if partition_by:
@@ -230,6 +263,8 @@ class SnapshotParquetStore(TableStore):
         references (Iceberg ``expire_snapshots``). Returns the number of
         data dirs removed. Never touches the current snapshot's data."""
         cur = self.current_version(target)
+        if cur is None:
+            return 0  # nothing committed: nothing to expire
         snaps = self.versions(target)
         retained = [s for s in snaps if s["version"] <= cur][-keep_last:]
         retained_v = {s["version"] for s in retained}
