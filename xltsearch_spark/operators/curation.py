@@ -26,10 +26,13 @@ split are pure column expressions computed in ONE map-only pass fused
 into the scan (quality_struct / lang_struct keep them join-free). Rule 4
 is a window over sha256(text) — the pipeline's single full shuffle, same
 cost as standalone exact dedup. Rule 5 joins the doc shingles against the
-BROADCAST benchmark shingle set and left-joins the (tiny, contaminated
-docs only) hit aggregate back — AQE makes that side broadcast too. Net:
-one shuffle + two broadcast joins for the entire five-stage pipeline, vs
-five materialized intermediate tables in a naive orchestration.
+BROADCAST benchmark shingle set (bounded by the eval-set size) and
+left-joins the contaminated-doc-id aggregate back WITHOUT a broadcast
+hint — that side is bounded only by the corpus (a boilerplate-heavy
+benchmark can flag a large doc fraction), so AQE picks broadcast only
+when it is actually small. Net: one shuffle + one guaranteed-broadcast
+join + one AQE-decided join for the five-stage pipeline, vs five
+materialized intermediate tables in a naive orchestration.
 """
 
 from __future__ import annotations
