@@ -88,3 +88,17 @@ def test_custom_split_weights_and_thresholds(spark):
     # raising min_quality above any real score drops everything
     out2 = curate(docs, None, min_quality=1.01).collect()
     assert all(r.reason == "low_quality" for r in out2)
+
+
+def test_null_text_is_gated_not_kept(spark):
+    """NULL text must never ship keep=1: every quality/lang field is NULL,
+    so without the explicit leading gate the CASE falls through to 'kept'
+    (ADVICE r4). Null-text docs also all share a NULL content_sha dedup
+    group — the gate outranks dedup, so each reports too_short."""
+    docs = spark.createDataFrame(
+        [(0, GOOD_EN), (1, None), (2, None)], "doc_id long, text string")
+    out = {r.doc_id: r for r in curate(docs, None).collect()}
+    assert out[0].reason == "kept"
+    for i in (1, 2):
+        assert out[i].reason == "too_short"
+        assert out[i].keep == 0 and out[i].split is None

@@ -78,3 +78,51 @@ def test_dedup_state_survives_across_drains(spark, tmp_path):
     stream_curate(spark, str(src), ck, out)
     got = {r.doc_id: r.reason for r in spark.read.parquet(out).collect()}
     assert got == {0: "kept", 7: "exact_dup", 8: "kept"}
+
+
+def test_late_group_past_watermark_expires_instead_of_crashing(spark, tmp_path):
+    """ADVICE r4: setTimeoutTimestamp throws (killing the whole drain) when
+    the requested timeout is not strictly later than the current watermark
+    — reachable when a group's rows sit at/behind the eviction watermark
+    (backfilled files, sub-ms truncation, ttl=0 configs). The clamp to
+    watermark+1 must (a) never request a timeout at/behind the watermark
+    and (b) leave the normal case untouched."""
+    from xltsearch_spark.streaming.curate import _make_dedup_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self, wm_ms):
+            self._wm = wm_ms
+            self.timeout_set = None
+
+        def update(self, v):
+            pass
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts_ms):
+            # reproduce Spark's contract: timeout must beat the watermark
+            if ts_ms <= self._wm:
+                raise ValueError("timeout not later than watermark")
+            self.timeout_set = ts_ms
+
+    pdf = _pdf([(9, GOOD_EN2)], ts="2024-01-01 00:00:00")
+    pdf["pre_reason"] = ["kept"]
+    pdf["_split"] = ["train"]
+    last_ms = int(pdf["ingest_ts"].astype("datetime64[ns]")
+                  .astype("int64").max() // 1_000_000)
+
+    # watermark months AHEAD of the group's event time: pre-fix this raised
+    fn = _make_dedup_fn(ttl_minutes=1)
+    st = FakeState(wm_ms=last_ms + 10 ** 9)
+    out = list(fn(("sha",), iter([pdf]), st))
+    assert st.timeout_set == st._wm + 1          # clamped, not crashed
+    assert out and out[0]["reason"].tolist() == ["kept"]
+
+    # normal case: watermark behind event time -> event-time TTL wins
+    st2 = FakeState(wm_ms=0)
+    list(fn(("sha",), iter([pdf]), st2))
+    assert st2.timeout_set == last_ms + 60 * 1000

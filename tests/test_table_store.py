@@ -167,3 +167,72 @@ def test_stale_commit_lock_is_reclaimed(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError):
         st.write(_df(spark, [(3, "c")]), t, mode="append")
     os.unlink(lock)
+
+
+def test_expire_keep_last_zero_rejected(spark, tmp_path):
+    """keep_last=0 would hit Python's [-0:] whole-list slice and silently
+    retain everything — rejected loudly instead (ADVICE r4)."""
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError):
+        st.expire_snapshots(t, keep_last=0)
+    with pytest.raises(ValueError):
+        st.expire_snapshots(t, keep_last=-3)
+
+
+class _LockStealingDF:
+    """DataFrame proxy whose .write access steals the commit lock first —
+    simulates a TTL reclaim landing while this writer's (slow) data write
+    is in flight."""
+
+    def __init__(self, df, steal):
+        self._df, self._steal = df, steal
+
+    @property
+    def write(self):
+        self._steal()
+        return self._df.write
+
+
+def test_reclaimed_lock_aborts_commit_without_corruption(spark, tmp_path):
+    """The ADVICE r4 race: a slow writer whose lock is reclaimed must NOT
+    publish state. With owner tokens the reclaimed-from writer aborts with
+    ConcurrentCommitError before the pointer swap; the table stays at its
+    prior version and the new holder's lock file survives."""
+    import json
+
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    lock = os.path.join(t, "_commit.lock")
+
+    def steal():
+        with open(lock, "w") as f:
+            json.dump({"token": "someone-else", "pid": 0, "ts": 0}, f)
+
+    with pytest.raises(ConcurrentCommitError):
+        st.write(_LockStealingDF(_df(spark, [(2, "b")]), steal), t,
+                 mode="append")
+    # no state was published: version pointer and history are untouched
+    assert st.current_version(t) == 1
+    assert [s["version"] for s in st.versions(t)] == [1]
+    # the new holder's lock was NOT unlinked by the aborting writer
+    with open(lock) as f:
+        assert json.load(f)["token"] == "someone-else"
+    os.unlink(lock)
+
+
+def test_concurrent_writers_never_share_a_data_dir(spark, tmp_path):
+    """Token-suffixed data dirs: two writers computing the same next
+    version write disjoint directories, so a racing Spark job can never
+    clobber another writer's files."""
+    st, t = SnapshotParquetStore(), str(tmp_path / "t")
+    st.write(_df(spark, [(1, "a")]), t)
+    st.write(_df(spark, [(2, "b")]), t, mode="append")
+    # append manifests re-list the parent's dirs (fast append), so count
+    # UNIQUE dirs: one per commit
+    dirs = {d for s in st.versions(t) for d in s["dirs"]}
+    assert len(dirs) == 2
+    # every dir is version- AND token-qualified
+    for d in dirs:
+        name = os.path.basename(d)
+        assert name.startswith("d-") and len(name.split("-")) == 3

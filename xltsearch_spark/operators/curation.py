@@ -115,7 +115,13 @@ def pre_verdict(docs: DataFrame, benchmark: DataFrame | None = None, *,
         base = base.withColumn("_hit", F.lit(None).cast("boolean"))
 
     pre_reason = (
-        F.when(F.col("_q.n_tokens") < min_tokens, "too_short")
+        # explicit NULL-text gate FIRST: a NULL text makes every quality/
+        # lang struct field NULL, so each WHEN below evaluates to NULL and
+        # the CASE would fall through to 'kept' — raw corpora routinely
+        # carry null text, and an unusable row must never ship with
+        # keep=1. Zero tokens is the honest classification (rule 1).
+        F.when(F.col("_text").isNull(), "too_short")
+        .when(F.col("_q.n_tokens") < min_tokens, "too_short")
         .when(F.col("_q.quality") < min_quality, "low_quality")
         .when(~F.col("_lg.pred_lang").isin(*allowed_langs), "wrong_lang")
         .when(F.coalesce(F.col("_hit"), F.lit(False)), "contaminated")

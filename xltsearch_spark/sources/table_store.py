@@ -157,19 +157,56 @@ class SnapshotParquetStore(TableStore):
 
     # a writer that died while holding the lock (OOM-kill, power loss
     # mid-parquet-write) must not brick the table: a lock older than
-    # this is considered abandoned and reclaimed. Safe because the
-    # commit's linearization point is the atomic _current.json replace,
-    # not the lock — a reclaimed-from writer that somehow resumes can
-    # at worst fast-fail on its own unlink. (Real Iceberg retries on
-    # optimistic-commit conflicts; this emulation documents the TTL.)
+    # this is considered abandoned and reclaimed. Reclaim alone is NOT
+    # sufficient for safety — a slow-but-alive writer can be reclaimed
+    # from — so ownership is token-verified at every commit point:
+    # the lock file carries an owner token, data dirs are token-unique
+    # (two writers never race one directory), snapshot manifests are
+    # O_EXCL-created (version collisions fast-fail), and the pointer
+    # swap re-verifies token ownership immediately before os.replace.
+    # A reclaimed-from writer therefore aborts with
+    # ConcurrentCommitError instead of corrupting the table — the same
+    # contract as Iceberg's CommitFailedException. Reclaim itself is an
+    # atomic rename, so two concurrent reclaimers cannot both unlink+
+    # create: exactly one wins the rename, the loser re-contends.
     LOCK_TTL_SEC = 600.0
+
+    class _LockHandle:
+        """Owner-token view of a held commit lock."""
+
+        def __init__(self, path: str, token: str):
+            self.path = path
+            self.token = token
+
+        def owned(self) -> bool:
+            try:
+                with open(self.path) as f:
+                    return json.load(f).get("token") == self.token
+            except (OSError, ValueError):
+                return False
+
+        def verify(self) -> None:
+            """Raise unless this handle still owns the lock — called at
+            every point whose outcome publishes state (manifest write,
+            pointer swap)."""
+            if not self.owned():
+                raise ConcurrentCommitError(
+                    f"commit lock for {os.path.dirname(self.path)} was "
+                    f"reclaimed mid-commit (slow write exceeded "
+                    f"LOCK_TTL_SEC); aborting before publishing state")
 
     @contextlib.contextmanager
     def _commit_lock(self, target: str):
+        import uuid
         lock = os.path.join(target, "_commit.lock")
+        token = uuid.uuid4().hex
+        payload = json.dumps({"token": token, "pid": os.getpid(),
+                              "ts": time.time()}).encode()
         for attempt in (0, 1):
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, payload)
+                os.close(fd)
                 break
             except FileExistsError:
                 try:
@@ -177,8 +214,14 @@ class SnapshotParquetStore(TableStore):
                 except OSError:
                     continue  # holder just released it: retry the open
                 if attempt == 0 and age > self.LOCK_TTL_SEC:
-                    try:  # abandoned by a crashed writer: reclaim
-                        os.unlink(lock)
+                    # abandoned by a crashed writer: reclaim via atomic
+                    # rename — exactly ONE of N concurrent reclaimers
+                    # wins (the rest get FileNotFoundError and retry
+                    # the O_EXCL create, where one wins and the others
+                    # see a fresh lock)
+                    try:
+                        os.replace(lock, lock + f".reclaimed.{token}")
+                        os.unlink(lock + f".reclaimed.{token}")
                     except FileNotFoundError:
                         pass
                     continue
@@ -188,20 +231,23 @@ class SnapshotParquetStore(TableStore):
         else:
             raise ConcurrentCommitError(
                 f"could not acquire commit lock for {target} ({lock})")
+        handle = self._LockHandle(lock, token)
         try:
-            yield
+            yield handle
         finally:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            # unlink only if still owner: after a reclaim, the path names
+            # the NEW holder's lock and must survive this writer's exit
+            if handle.owned():
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
 
     def write(self, df: DataFrame, target: str,
               partition_by: tuple[str, ...] = (),
               mode: str = "overwrite") -> None:
         os.makedirs(target, exist_ok=True)
-        with self._commit_lock(target):
+        with self._commit_lock(target) as lock:
             parent = self.current_version(target)
             # next version = max over ALL snapshots, not parent+1: after
             # a rollback the parent is an old version, and parent+1
@@ -209,22 +255,43 @@ class SnapshotParquetStore(TableStore):
             # and data dir, forging history and corrupting time travel
             existing = [sn["version"] for sn in self.versions(target)]
             v = max(existing, default=parent or 0) + 1
-            ddir = os.path.join(target, "data", f"d-{v:06d}")
+            # token-suffixed data dir: a reclaimed-from writer racing the
+            # reclaimer on the SAME computed version still writes a
+            # disjoint directory — concurrent Spark jobs never share an
+            # output path. The loser's dir becomes unreachable garbage
+            # (Iceberg's orphan files; remove_orphan_files analog below).
+            ddir = os.path.join(target, "data", f"d-{v:06d}-{lock.token[:8]}")
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(ddir)
+            # ownership re-verify AFTER the (possibly >TTL-slow) data
+            # write, BEFORE any state publication
+            lock.verify()
             if mode == "append" and parent is not None:
                 dirs = self._read_snapshot(target, parent)["dirs"] + [ddir]
             else:
                 dirs = [ddir]
             snap = {"version": v, "parent": parent, "operation": mode,
                     "dirs": dirs, "ts_ms": int(time.time() * 1000)}
-            with open(self._snap_path(target, v), "w") as f:
+            # O_EXCL manifest create: if a racing writer already committed
+            # this version number, fail fast instead of forging history
+            try:
+                mfd = os.open(self._snap_path(target, v),
+                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"snapshot v{v} already committed by a concurrent "
+                    f"writer at {target}; retry from a fresh snapshot")
+            with os.fdopen(mfd, "w") as f:
                 json.dump(snap, f, indent=1, sort_keys=True)
             tmp = self._current_path(target) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"version": v}, f)
+            # final ownership check immediately before the linearization
+            # point — the fix for the reclaim race: a reclaimed-from
+            # writer aborts here instead of swapping the pointer
+            lock.verify()
             os.replace(tmp, self._current_path(target))
 
     def read(self, spark: SparkSession, target: str) -> DataFrame:
@@ -251,17 +318,26 @@ class SnapshotParquetStore(TableStore):
         snapshot's data stays on disk until expired."""
         if not os.path.exists(self._snap_path(target, version)):
             raise FileNotFoundError(f"no snapshot v{version} at {target}")
-        with self._commit_lock(target):
+        with self._commit_lock(target) as lock:
             tmp = self._current_path(target) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"version": version}, f)
+            lock.verify()
             os.replace(tmp, self._current_path(target))
 
     def expire_snapshots(self, target: str, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshots ending at the
         current pointer, then delete data directories no retained snapshot
         references (Iceberg ``expire_snapshots``). Returns the number of
-        data dirs removed. Never touches the current snapshot's data."""
+        data dirs removed. Never touches the current snapshot's data.
+
+        ``keep_last`` must be >= 1: Python's ``[-0:]`` slice would
+        silently retain EVERYTHING, the opposite of what a keep-nothing
+        caller intends — rejected loudly instead."""
+        if keep_last < 1:
+            raise ValueError(
+                f"keep_last must be >= 1 (got {keep_last}); the current "
+                f"snapshot is never expirable")
         cur = self.current_version(target)
         if cur is None:
             return 0  # nothing committed: nothing to expire

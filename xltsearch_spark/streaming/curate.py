@@ -72,10 +72,17 @@ def _make_dedup_fn(ttl_minutes: int):
         # forget this hash once the watermark passes its LAST sighting +
         # TTL (anchored to event time, not getCurrentWatermarkMs(): the
         # watermark reads 0 during the very first batch, which would
-        # expire all state in the drain's own cleanup pass)
+        # expire all state in the drain's own cleanup pass). Clamped to
+        # watermark+1: setTimeoutTimestamp THROWS (killing the whole
+        # query) when the requested timeout is not strictly later than
+        # the current watermark — reachable on availableNow drains over
+        # backfilled/late files once a restarted checkpoint's watermark
+        # has advanced past old event times plus the TTL; a late group
+        # then expires at the next eviction pass instead of crashing.
         last_ms = int(pdf["ingest_ts"].astype("datetime64[ns]")
                       .astype("int64").max() // 1_000_000)
-        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        state.setTimeoutTimestamp(max(last_ms + ttl_ms,
+                                      state.getCurrentWatermarkMs() + 1))
         reasons, splits = [], []
         for i, (pre_reason, split) in enumerate(
                 zip(pdf["pre_reason"], pdf["_split"])):
