@@ -165,7 +165,13 @@ def _get_engine(spark: SparkSession, sf_dir: str, model: str = "bm25",
         cfg = replace(base_cfg, quantize_norms=True)
     else:
         cfg = replace(base_cfg, scoring_model=model)
-    engine = SearchEngine(spark, postings, docs, dictionary, stats, cfg)
+    # block provenance: the shared frames were BUILT under base_cfg, so
+    # derived engines (bm25_q / default) must not trust the stored
+    # block-max metadata for pruning — they score via decode-time
+    # transforms, exactly how the reference swaps Similarity on one index
+    engine = SearchEngine(spark, postings, docs, dictionary, stats, cfg,
+                          block_score_model=base_cfg.scoring_model,
+                          block_quantize=base_cfg.quantize_norms)
     _ENGINE_CACHE[key] = engine
     return engine
 

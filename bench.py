@@ -64,15 +64,28 @@ def main() -> int:
     corpus = spark.createDataFrame(corpus_pd).repartition(cores)
     corpus.persist().count()  # materialize input outside the timed section
     builder = IndexBuilder(spark, cfg)
+    # per-stage walls (VERDICT r4 'Next round' #3): a build regression must
+    # name its stage in the artifact instead of needing a reversal
+    # experiment. Stage boundaries are the persisted actions below — docs
+    # materializes with runs (lazy chain), so its wall rides `runs`.
+    stage_walls: dict[str, float] = {}
     t0 = time.time()
+    ts = time.time()
     docs = builder.docs_stage(corpus).persist()
     runs = builder.runs_stage(docs).persist()
     runs.count()
+    stage_walls["docs_runs"] = round(time.time() - ts, 3)
+    ts = time.time()
     stats = builder.stats_stage(docs, runs)
+    stage_walls["stats"] = round(time.time() - ts, 3)
+    ts = time.time()
     dictionary = builder.dictionary_stage(runs).persist()
     dictionary.count()
+    stage_walls["dictionary"] = round(time.time() - ts, 3)
+    ts = time.time()
     postings = builder.postings_stage(runs, stats).persist()
     postings.count()
+    stage_walls["postings"] = round(time.time() - ts, 3)
     build_sec = time.time() - t0
     timings["index_build"] = round(build_sec, 3)
     build_docs_per_sec = build_docs / build_sec
@@ -84,6 +97,10 @@ def main() -> int:
     q_specs = {
         "q_term": (fixture_engine, "common_token"),           # 90%-df hot term
         "q_and": (fixture_engine, "common_token AND graded"),
+        # rare∧frequent: the r5 doc-range pruned path (Lucene leapfrog
+        # analog) — the rare term's block ranges push onto the frequent
+        # term's scan so its non-overlapping blocks are never decoded
+        "q_and_rare": (fixture_engine, "needle_17 AND common_token"),
         "q_or": (fixture_engine, "alpha OR beta OR graded"),
         "q_phrase": (fixture_engine, '"alpha beta"'),
         "q_prefix": (fixture_engine, "needle_1*"),
@@ -215,6 +232,7 @@ def main() -> int:
         "cores": cores,
         "build_docs": build_docs,
         "build_docs_per_sec": round(build_docs_per_sec, 1),
+        "build_stage_walls": stage_walls,
         "query_p95_sec": round(query_p95, 4),
         "query_p95_best_sec": round(query_p95_best, 4),
         "host_loadavg_1m": round(loadavg_1m, 2),

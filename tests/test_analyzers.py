@@ -178,14 +178,37 @@ def test_email_url_patterns_do_not_absorb_cjk():
 
 
 def test_uax29_remaining_deviations_documented():
-    # KNOWN deviation from bit-exact Lucene 4.6 StandardTokenizer after
-    # the r4 generated-Extend/Format tier (documented, not silently
-    # wrong): ExtendNumLet beyond '_' (e.g. U+2040 undertie, U+FF3F
-    # fullwidth low line) does not join runs (WB13a/b).
-    # vertical kana repeat marks U+3031-3035 (Word_Break=Katakana) DO join
+    # vertical kana repeat marks U+3031-3035 (Word_Break=Katakana) join
     # katakana runs as of r4:
     toks = [t for t, _ in analyze_text("〱ア", "standard")]
     assert toks == ["〱ア"]
+
+
+def test_extendnumlet_full_tier_joins_like_underscore():
+    # WB13a/b (r5): every Pc connector joins runs exactly like '_' —
+    # U+203F undertie, U+2040 character tie, U+FF3F fullwidth low line.
+    # The token keeps the connector (Lucene emits the raw span).
+    import re
+    import unicodedata
+    for joiner in ("‿", "⁀", "⁔", "︳", "＿"):
+        got = [t for t, _ in analyze_text(f"foo{joiner}bar baz", "standard")]
+        want_underscore = [t.replace("_", joiner) for t, _ in
+                           analyze_text("foo_bar baz", "standard")]
+        assert got == want_underscore == [f"foo{joiner}bar", "baz"], joiner
+    # leading/trailing connectors attach like '_' does; numerics join too
+    assert [t for t, _ in analyze_text("⁀1⁀2⁀", "standard")] \
+        == [t.replace("_", "⁀") for t, _ in analyze_text("_1_2_", "standard")]
+    # the generated class is exactly category Pc minus '_' (all-BMP guard)
+    from xltsearch_spark.analyzers import _ENL
+    gen = set(re.findall(r"\\u([0-9a-f]{4})", _ENL))
+    pc = {f"{cp:04x}" for cp in range(0x110000)
+          if cp != 0x5F and unicodedata.category(chr(cp)) == "Pc"}
+    assert gen == pc
+    # the code profile splits ENL-joined identifiers into posIncr=0
+    # sub-tokens, same as snake_case
+    flat = analyze_flat(pd.Series(["foo⁀bar"]), "code")
+    assert flat["term"].tolist() == ["foo⁀bar", "foo", "bar"]
+    assert flat["overlap"].tolist() == [False, True, True]
 
 
 def test_format_chars_join_runs_wb4():

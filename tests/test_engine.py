@@ -378,3 +378,172 @@ def test_term_stats_cache_repeat_queries_identical(bm25_setup):
     got = [int(r["doc_id"]) for r in
            engine.search_scores("graded AND alpha", 10).collect()]
     assert got == exp
+
+
+def test_tfidf_wand_rank_identical_and_pushed_filter(spark, tmp_path):
+    """Block-max WAND under DefaultSimilarity (model='default'): block
+    metadata is stored model-natively, so the pruned path must reproduce
+    the brute-force top-k (coord + queryNorm folded into the bounds) and
+    push a plain block_max_score comparison into the scan."""
+    import io
+    from contextlib import redirect_stdout
+    from xltsearch_spark.sources.corpus import generate_corpus
+    corpus = generate_corpus(600)
+    cfg = IndexConfig(scoring_model="default", doc_range_size=64,
+                      block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    engine.wand_min_df = 1
+    oracle = OracleIndex(corpus, cfg)
+    for q, k in [("common_token", 10), ("graded", 5),
+                 ("common_token OR graded OR alpha", 10),
+                 ("graded^3 OR beta", 7)]:
+        exp = [(h["doc_id"], h["score"]) for h in oracle.search(q, k)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_scores(q, k).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], f"{q}: {got} vs {exp}"
+        for (gd, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-6), f"{q} doc {gd}"
+    # metadata-seeded tau + a pushed-down block_max_score filter — the
+    # pushdown needs a parquet-backed index (catalog), not a cached frame
+    engine.search_scores("common_token", 5).collect()
+    assert engine._last_wand_tau_source == "metadata"
+    from xltsearch_spark.catalog import IndexCatalog
+    cat = IndexCatalog(spark, str(tmp_path / "wh"), cfg)
+    cat.build(spark.createDataFrame(corpus), fingerprint="v1")
+    eng_fs = cat.engine()
+    eng_fs.wand_min_df = 1
+    # limit <= block_size: tau seeding needs one FULL block (n_docs >= k)
+    fs_hits = [(int(r["doc_id"]), float(r["score"]))
+               for r in eng_fs.search_scores("common_token", 5).collect()]
+    assert [h[0] for h in fs_hits] == \
+        [h["doc_id"] for h in oracle.search("common_token", 5)]
+    assert eng_fs._last_wand_tau_source == "metadata"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eng_fs._last_wand_scan.explain(mode="formatted")
+    assert "GreaterThanOrEqual(block_max_score" in buf.getvalue()
+
+
+def test_wand_declines_on_block_provenance_mismatch(spark, tiny_corpus):
+    """An engine whose scoring model / quantization differs from what the
+    blocks were BUILT under must not trust stored block metadata: the
+    quantized-norm engine over unquantized-built frames (and the TF-IDF
+    engine over BM25-built frames) decline WAND and brute-force — results
+    must still match the oracle."""
+    from dataclasses import replace as _replace
+    cfg = IndexConfig(scoring_model="bm25", quantize_norms=False,
+                      doc_range_size=16, block_size=8, term_buckets=8)
+    builder = IndexBuilder(spark, cfg)
+    corpus = spark.createDataFrame(tiny_corpus)
+    docs = builder.docs_stage(corpus).persist()
+    runs = builder.runs_stage(docs).persist()
+    stats = builder.stats_stage(docs, runs)
+    dictionary = builder.dictionary_stage(runs).persist()
+    postings = builder.postings_stage(runs, stats).persist()
+    for derived in (_replace(cfg, quantize_norms=True),
+                    _replace(cfg, scoring_model="default")):
+        eng = SearchEngine(spark, postings, docs, dictionary, stats, derived,
+                           block_score_model=cfg.scoring_model,
+                           block_quantize=cfg.quantize_norms)
+        eng.wand_min_df = 1
+        wand_df, _ = eng._wand_topk("common_token", 5)
+        assert wand_df is None  # declined: metadata provenance mismatch
+        oracle = OracleIndex(tiny_corpus, derived)
+        assert_rank_identical(eng, oracle, ["common_token", "graded OR beta"])
+    # matching provenance keeps the fast path alive
+    eng_ok = SearchEngine(spark, postings, docs, dictionary, stats, cfg,
+                          block_score_model=cfg.scoring_model,
+                          block_quantize=cfg.quantize_norms)
+    eng_ok.wand_min_df = 1
+    wand_df, _ = eng_ok._wand_topk("common_token", 5)
+    assert wand_df is not None
+
+
+def test_conjunction_range_pruning_rank_identical(spark):
+    """Rarest-first doc-range pruning (leapfrog analog): a rare AND
+    frequent conjunction must scan strictly fewer blocks of the frequent
+    term while returning the identical result set, and the pruned scan
+    must carry pushed skip_first_doc/skip_last_doc range comparisons."""
+    import io
+    from contextlib import redirect_stdout
+    from pyspark.sql import functions as F
+    from xltsearch_spark.sources.corpus import generate_corpus
+    corpus = generate_corpus(600)
+    cfg = IndexConfig(doc_range_size=64, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    q = "needle_17 AND common_token"
+    pruned = sorted((int(r["doc_id"]), round(float(r["score"]), 9))
+                    for r in engine.score_all(q).collect())
+    assert engine._last_conj_ranges is not None  # pruning actually fired
+    pruned_scan = engine._last_scan
+    engine.conj_prune_enabled = False
+    brute = sorted((int(r["doc_id"]), round(float(r["score"]), 9))
+                   for r in engine.score_all(q).collect())
+    assert engine._last_conj_ranges is None
+    brute_scan = engine._last_scan
+    assert pruned == brute and len(brute) >= 1
+    n_pruned, n_brute = pruned_scan.count(), brute_scan.count()
+    assert n_pruned < n_brute, (n_pruned, n_brute)  # fewer blocks decoded
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned_scan.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "skip_first_doc" in plan and "skip_last_doc" in plan
+    engine.conj_prune_enabled = True
+    # equal-frequency conjunction: the skew gate must skip the extra job
+    engine.score_all("common_token AND graded").collect()
+    assert engine._last_conj_ranges is None
+
+
+def test_conjunction_pruning_breadth(spark):
+    """Pruning soundness across clause shapes: MUST_NOT, SHOULD siblings,
+    phrases, prefix predicates, nested booleans — pruned results must
+    equal the unpruned ones exactly."""
+    from xltsearch_spark.sources.corpus import generate_corpus
+    corpus = generate_corpus(400)
+    cfg = IndexConfig(doc_range_size=64, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    engine.conj_prune_ratio = 1.0   # prune whenever a MUST term exists
+    queries = [
+        "needle_17 AND common_token",
+        "needle_17 AND common_token NOT graded",
+        "+needle_17 graded beta",                # MUST + SHOULD siblings
+        '+needle_17 "alpha beta"',               # phrase sibling
+        "needle_17 AND need*",                   # predicate sibling
+        "(alpha OR beta) AND needle_17",         # nested boolean sibling
+        "nosuchterm_zz AND common_token",        # rarest absent -> empty
+    ]
+    for q in queries:
+        a = sorted((int(r["doc_id"]), round(float(r["score"]), 9))
+                   for r in engine.score_all(q).collect())
+        engine.conj_prune_enabled = False
+        b = sorted((int(r["doc_id"]), round(float(r["score"]), 9))
+                   for r in engine.score_all(q).collect())
+        engine.conj_prune_enabled = True
+        assert a == b, f"{q}: pruned {a[:3]}... vs brute {b[:3]}..."
+
+
+def test_hit_count_fast_paths(bm25_setup, spark, tiny_corpus):
+    """*:* answers from collection stats and single terms from the
+    dictionary doc_freq (no posting scan); with tombstones both fall back
+    to the full count."""
+    engine, oracle, stats = bm25_setup
+    n_all, _ = engine.hit_count("*:*")
+    assert n_all == stats.n_docs == engine.docs.count()
+    n_term, msg = engine.hit_count("common_token", limit=7)
+    assert n_term == engine.score_all("common_token").count()
+    assert msg == f"{min(n_term, 7)} results"
+    # tombstoned engine: fast path disabled, count excludes the dead doc
+    cfg = IndexConfig(scoring_model="bm25", doc_range_size=16, block_size=8,
+                      term_buckets=8)
+    builder = IndexBuilder(spark, cfg)
+    corpus = spark.createDataFrame(tiny_corpus)
+    docs = builder.docs_stage(corpus).persist()
+    runs = builder.runs_stage(docs).persist()
+    st = builder.stats_stage(docs, runs)
+    dead = int(engine.score_all("common_token").collect()[0]["doc_id"])
+    eng2 = SearchEngine(spark, builder.postings_stage(runs, st), docs,
+                        builder.dictionary_stage(runs), st, cfg,
+                        tombstones=[dead])
+    n2, _ = eng2.hit_count("common_token")
+    assert n2 == n_term - 1

@@ -126,3 +126,40 @@ def test_tokenization_matches_dedup_family(spark):
     rows = duplicated_spans(docs, min_len=7, hashed=False).collect()
     assert sorted((r.doc_id, r.span_start, r.span_len) for r in rows) == \
         [(0, 0, 7), (1, 0, 7)]
+
+
+def test_max_window_df_drops_hot_windows_from_report(spark):
+    """Hot-window skew cap (VERDICT r4 #6): a boilerplate header stamped
+    across 10^4 docs is ONE join key — with max_window_df set below its
+    occurrence count it vanishes from span REPORTING while the normal
+    2-copy passage still reports; remove_duplicated_spans (no cap) still
+    cuts the hot passage down to exactly one surviving copy."""
+    hot = words("hot", 6)          # appears in 10_000 docs
+    shared = words("dup", 6)       # appears in exactly 2 docs
+    n_hot = 10_000
+    texts = [f"{words('u%d_' % i, 2)} {hot}" for i in range(n_hot)]
+    texts.append(f"{words('a', 3)} {shared}")
+    texts.append(f"{shared} {words('b', 3)}")
+    docs = _docs(spark, texts)
+
+    capped = duplicated_spans(docs, min_len=6, hashed=True,
+                              max_window_df=100).collect()
+    assert sorted((r.doc_id, r.span_start, r.span_len) for r in capped) == \
+        [(n_hot, 3, 6), (n_hot + 1, 0, 6)]  # only the 2-copy passage
+
+    # uncapped: every hot doc reports its span too
+    full = duplicated_spans(docs, min_len=6, hashed=True).count()
+    assert full == n_hot + 2
+
+    # the ACTION is cap-independent: one copy of the hot passage survives
+    cleaned = remove_duplicated_spans(docs, 6, hashed=True)
+    survivors = cleaned.filter(F.col("n_cut_tokens") == 0) \
+        .filter(F.col("clean_text").contains("hot0"))
+    assert survivors.count() == 1  # argmin (doc 0) keeps its copy
+
+
+def test_max_window_df_stats_passthrough(spark):
+    hot = words("h", 6)
+    docs = _docs(spark, [hot, hot, hot, hot])
+    assert substring_dedup_stats(docs, 6, max_window_df=3).count() == 0
+    assert substring_dedup_stats(docs, 6).count() == 4

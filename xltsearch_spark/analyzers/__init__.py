@@ -25,9 +25,9 @@ Semantics reproduced (public Lucene 4.6 knowledge):
   Unicode-aware ``\\w``; the full WB4 ignore class — combining marks
   (Hebrew niqqud, Arabic harakat, Indic matras, Thai vowels, incl.
   non-BMP) plus Format chars (soft hyphen, bidi controls, ZWNJ/ZWJ) —
-  is generated from the Unicode tables at import. The remaining known
-  deviation from full UAX#29 (ExtendNumLet beyond '_') is documented
-  in tests/test_analyzers.py.
+  is generated from the Unicode tables at import, as is the full
+  ExtendNumLet tier (WB13a/b: every Pc connector — undertie, character
+  tie, fullwidth low line — joins runs exactly like ``_``, r5).
 * LowerCaseFilter then StopFilter with the 33-word English default stop set;
   stop removal leaves position *gaps* (enablePositionIncrements=true), so a
   phrase across a stopped word does NOT match adjacent terms.
@@ -85,10 +85,8 @@ _HANGUL = "\u1100-\u11ff\uac00-\ud7a3"
 # range including non-BMP marks. The running tables are newer than 6.1;
 # the delta is codepoints UNASSIGNED in 6.1 (marks encoded later), which
 # cannot occur in 6.1-era text — behavior on real corpora is identical.
-# Remaining deviation (ExtendNumLet beyond '_') is documented in
-# tests/test_analyzers.py, and a test asserts every _EXT codepoint is
-# category M* or Cf (guards range typos that would swallow letters into
-# the ignore class).
+# A test asserts every _EXT codepoint is category M* or Cf (guards range
+# typos that would swallow letters into the ignore class).
 
 
 def _combining_mark_class(scan) -> str:
@@ -139,6 +137,18 @@ def _combining_mark_class(scan) -> str:
 _EXT = _combining_mark_class(range(0x10000))  # ZWNJ/ZWJ arrive via Cf
 _EXT_ASTRAL = _combining_mark_class(
     list(range(0x10000, 0x40000)) + list(range(0xE0000, 0x110000)))
+# UAX#29 ExtendNumLet (WB13a/b) = general category Pc in Unicode 6.1:
+# connector punctuation joins word runs exactly like '_' does (which
+# Python's \w already covers — 'snake_case' is ONE token). The REST of
+# the class (U+203F undertie, U+2040 character tie, U+2054, the vertical
+# and dashed low lines U+FE33-34/FE4D-4F, U+FF3F fullwidth low line) is
+# outside \w, so it rides the slow-tier routing below: a batch containing
+# one of these (vanishingly rare in real corpora) compiles the word class
+# as an alternation; the pure-\w fast tier stays a single bitmap class.
+# Generated from the interpreter's tables like _EXT; all Pc are BMP.
+_ENL = "".join(
+    (f"\\u{cp:04x}" for cp in range(0x10000)
+     if cp != 0x5F and unicodedata.category(chr(cp)) == "Pc"))
 # a "word" char = \w minus the CJK blocks above (identical to plain \w on
 # ASCII/Latin text, so the pre-CJK fixtures tokenize unchanged)
 _WC = f"[^\\W{_IDEO}{_HIRA}{_KATA}{_HANGUL}]"
@@ -157,10 +167,14 @@ _KATA_SUP = "\U0001b000"
 
 
 def _pattern_set(ext_atom: str, ideo: str = _IDEO, hira: str = _HIRA,
-                 kata: str = _KATA) -> dict:
+                 kata: str = _KATA, enl: str = "") -> dict:
     """Compile the five profile patterns with ``ext_atom`` as the WB4
     ignore unit (a full regex atom, used as ``{ext_atom}+`` etc.) and
-    the given script classes.
+    the given script classes. ``enl`` extends the word class with the
+    ExtendNumLet connectors beyond '_' (WB13a/b — they join runs exactly
+    like '_'); empty keeps the word class a single bitmap-optimized
+    negated class (the fast tier — routing guarantees it never sees an
+    ENL char).
 
     Run shape note: the natural WB4 form ``(X [EXT]*)+`` pays a
     per-CHARACTER quantifier check, measured ~1.45x slower on pure-ASCII
@@ -170,6 +184,9 @@ def _pattern_set(ext_atom: str, ideo: str = _IDEO, hira: str = _HIRA,
     first char always X), verified by the randomized equivalence tests
     in tests/test_analyzers.py."""
     wc = f"[^\\W{ideo}{hira}{kata}{_HANGUL}]"
+    if enl:
+        # (\w∖CJK) ∪ ENL, common class first so ASCII pays one branch
+        wc = f"(?:{wc}|[{enl}])"
     wrun = rf"{wc}+(?:{ext_atom}+{wc}*)*"
     standard = (
         f"[{kata}]+(?:{ext_atom}+[{kata}]*)*|"
@@ -207,8 +224,10 @@ _PATTERNS = _pattern_set(f"[{_EXT}]")
 _PATTERNS_FULL = _pattern_set(
     f"(?:[{_EXT}]|(?=[{_ASTRAL}])[{_EXT_ASTRAL}])",
     ideo=_IDEO + _IDEO_SUP, hira=_HIRA + _HIRA_SUP,
-    kata=_KATA + _KATA_SUP)
-_ASTRAL_RE = re.compile(f"[{_ASTRAL}]")
+    kata=_KATA + _KATA_SUP, enl=_ENL)
+# slow-tier routing trigger: astral codepoints (supplementary scripts /
+# marks) OR a non-'_' ExtendNumLet connector — either needs _PATTERNS_FULL
+_ASTRAL_RE = re.compile(f"[{_ASTRAL}{_ENL}]")
 
 # camelCase / digit-run sub-token splitter for the code profile
 _SUBTOKEN_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z]+[0-9]*|[0-9]+")

@@ -498,8 +498,16 @@ def make_postings_summary_udf():
 def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
     """mapInPandas over bucket partitions: merge each term's (ordered,
     disjoint) runs by concatenation and emit fixed-size blocks with exact
-    block-max BM25 metadata. All runs of a term are guaranteed local
+    block-max score metadata. All runs of a term are guaranteed local
     (bucket hash).
+
+    Block max/min scores are computed under the CONFIGURED similarity —
+    exactly Lucene, where the IndexWriterConfig's Similarity shapes the
+    index-time norms (IndexTask.java:57): a ``scoring_model="default"``
+    index stores TF-IDF per-term scores (sqrt(tf) * idf^2 * norm(dl)), a
+    BM25 index stores BM25 ones, and quantize_norms participates either
+    way. The engine verifies this provenance (block_score_model /
+    block_quantize) before trusting the metadata for WAND pruning.
 
     Fully batch-vectorized: ONE decode per stream kind for the whole
     partition, segment-cumsum for absolute doc ids, ``reduceat`` for block
@@ -507,6 +515,7 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
     only doc-id deltas are re-encoded (blocks must restart at an absolute
     id). The sole Python loop assembles output tuples."""
     k1, b, quantize = config.k1, config.b, config.quantize_norms
+    model = config.scoring_model
     block = config.block_size
 
     def to_blocks(it):
@@ -561,15 +570,24 @@ def make_block_udf(config: IndexConfig, n_docs: int, avgdl: dict[str, float]):
         term_doc_starts = run_doc_starts[term_run_idx]
         term_doc_counts = np.diff(np.append(term_doc_starts, D))
         tidx = np.repeat(np.arange(term_run_idx.size), term_doc_counts)
-        # per-term scoring constants
+        # per-term scoring constants (model-aware: see docstring)
         df_term = term_doc_counts.astype(np.float64)
-        idf_t = np.log(1 + (n_docs - df_term + 0.5) / (df_term + 0.5))
-        uniq_fields = pd.unique(fields[term_run_idx])
-        ad_map = {f: (avgdl.get(f, 1.0) or 1.0) for f in uniq_fields}
-        ad_t = pd.Series(fields[term_run_idx]).map(ad_map).to_numpy(dtype=np.float64)
-        dlq = quantized_doc_length(dls) if quantize else dls.astype(np.float64)
-        scores = idf_t[tidx] * (k1 + 1) * tfs / (
-            tfs + k1 * (1 - b + b * dlq / ad_t[tidx]))
+        if model == "bm25":
+            idf_t = np.log(1 + (n_docs - df_term + 0.5) / (df_term + 0.5))
+            uniq_fields = pd.unique(fields[term_run_idx])
+            ad_map = {f: (avgdl.get(f, 1.0) or 1.0) for f in uniq_fields}
+            ad_t = pd.Series(fields[term_run_idx]).map(ad_map).to_numpy(dtype=np.float64)
+            dlq = quantized_doc_length(dls) if quantize else dls.astype(np.float64)
+            scores = idf_t[tidx] * (k1 + 1) * tfs / (
+                tfs + k1 * (1 - b + b * dlq / ad_t[tidx]))
+        else:  # DefaultSimilarity: sqrt(tf) * idf^2 * norm(dl), same
+            # formula as the engine's decode kernel (search._decode_blocks)
+            from xltsearch_spark.functions.norms import decoded_tf_idf_norm
+            idf_t = 1 + np.log(n_docs / (df_term + 1))
+            nrm = (decoded_tf_idf_norm(dls) if quantize
+                   else np.where(dls > 0,
+                                 1.0 / np.sqrt(np.maximum(dls, 1)), 0.0))
+            scores = np.sqrt(tfs.astype(np.float64)) * (idf_t * idf_t)[tidx] * nrm
         # ---- block boundaries (within-term, never spanning terms) ----
         w = np.arange(D) - np.repeat(term_doc_starts, term_doc_counts)
         blk_starts = np.nonzero(w % block == 0)[0]

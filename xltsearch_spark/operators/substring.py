@@ -71,7 +71,8 @@ def _window_hits(docs: DataFrame, min_len: int, text_col: str,
 
 def duplicated_spans(docs: DataFrame, min_len: int = 20,
                      text_col: str = "text", id_col: str = "doc_id",
-                     hashed: bool = True) -> DataFrame:
+                     hashed: bool = True,
+                     max_window_df: int | None = None) -> DataFrame:
     """Maximal duplicated token spans: (doc_id, span_start, span_len).
 
     A row means: tokens [span_start, span_start + span_len) of ``doc_id``
@@ -85,6 +86,16 @@ def duplicated_spans(docs: DataFrame, min_len: int = 20,
     ``hashed=True`` (default) keys windows by ``xxhash64`` — the scale
     path. ``hashed=False`` keys by the literal token string — byte-exact,
     used by the driver oracle entry.
+
+    ``max_window_df`` bounds join-back skew (mirrors ``max_shingle_df``
+    in dedup.py): a window occurring more than this many times — a
+    license header stamped across 10^6 docs is ONE join key — is dropped
+    from span *reporting*. That only narrows the report, never wrongs it:
+    such passages are cut by definition anyway (``remove_duplicated_spans``
+    keeps exactly one copy regardless, and its argmin survivor does not
+    depend on this cap). Spans covered by both hot and normal windows
+    simply shrink to their normal-window extent. Default ``None`` reports
+    everything and leaves the skew to AQE's skew-join split.
     """
     # explicit repartition on the window key: the count aggregate AND the
     # join-back both consume the SAME exchange (ReusedExchange), so the
@@ -94,6 +105,8 @@ def duplicated_spans(docs: DataFrame, min_len: int = 20,
         .repartition("w")
     dup = (hits.groupBy("w").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= 2))
+    if max_window_df is not None:
+        dup = dup.filter(F.col("c") <= max_window_df)
     pos = hits.join(dup.select("w"), "w").select("doc_id", "pos")
 
     per_doc = Window.partitionBy("doc_id").orderBy("pos")
@@ -177,18 +190,22 @@ def remove_duplicated_spans(docs: DataFrame, min_len: int = 20,
 
 def substring_dedup_stats(docs: DataFrame, min_len: int = 20,
                           text_col: str = "text", id_col: str = "doc_id",
-                          hashed: bool = True) -> DataFrame:
+                          hashed: bool = True,
+                          max_window_df: int | None = None) -> DataFrame:
     """Per-document rollup of duplicated-span coverage:
     (doc_id, n_spans, dup_tokens, max_span_len, n_tokens, dup_frac).
 
     ``dup_frac`` (duplicated tokens / total tokens) is the curation
     signal: pipelines typically drop docs above ~0.8 and strip spans
-    below it. Only docs with >= 1 duplicated span appear."""
+    below it. Only docs with >= 1 duplicated span appear.
+    ``max_window_df`` passes through to ``duplicated_spans`` (hot-window
+    skew cap — see its docstring for the exact semantics)."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^\w]+"),
                     lambda t: t != "")
     sizes = docs.select(F.col(id_col).alias("doc_id"),
                         F.size(toks).alias("n_tokens"))
-    spans = duplicated_spans(docs, min_len, text_col, id_col, hashed)
+    spans = duplicated_spans(docs, min_len, text_col, id_col, hashed,
+                             max_window_df=max_window_df)
     return (spans.groupBy("doc_id")
             .agg(F.count("*").alias("n_spans"),
                  F.sum("span_len").alias("dup_tokens"),
