@@ -838,6 +838,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.read.parquet(out).orderBy("doc_id")
     q["stream_curate"] = stream_curate_entry
 
+    def stream_index_entry(s, d):
+        """Streaming ingest -> index (streaming/ingest.py), driver-verified:
+        the corpus splits into two disjoint parquet drops, each drained as
+        its own availableNow micro-batch (foreachBatch -> catalog.update
+        with a checkpoint-keyed fingerprint, the restart-safe path), then
+        the same top-k query runs against the two-segment index. Pure
+        inserts leave no tombstones, so collection stats equal a
+        from-scratch build over the union and the oracle is the plain
+        BM25 SQL (ft_resume's). Graduates streaming ingest from
+        pytest-only to driver-verified."""
+        import glob
+        import hashlib
+        import shutil
+        from xltsearch_spark.catalog import IndexCatalog
+        from xltsearch_spark.streaming.ingest import stream_corpus_into_index
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        base = f"/tmp/xlt_entry_singest_{hashlib.md5(d.encode()).hexdigest()[:8]}"
+        shutil.rmtree(base, ignore_errors=True)
+        import os
+        src, ck = f"{base}/in", f"{base}/ck"
+        os.makedirs(src)
+        cat = IndexCatalog(s, f"{base}/wh", replace(ENTRY_CFG, name="singest"))
+        corpus = _docs_to_corpus(docs)
+        for i in (0, 1):
+            stage = f"{base}/stage{i}"
+            (corpus.filter(F.col("path").cast("long") % 2 == i)
+             .coalesce(1).write.parquet(stage))
+            shutil.move(glob.glob(f"{stage}/part-*.parquet")[0],
+                        f"{src}/b{i}.parquet")
+            # drain: batch i only (the checkpoint remembers earlier files)
+            stream_corpus_into_index(s, cat, src, ck)
+        engine = cat.engine()
+        scored = (engine.score_all("merge")
+                  .withColumn("score", F.round("score", 4))
+                  .join(engine.docs.select(
+                      "doc_id", F.col("path").cast("long").alias("src_doc_id")),
+                      "doc_id")
+                  .select(F.col("src_doc_id").alias("doc_id"), "score"))
+        return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["stream_index"] = stream_index_entry
+
     def ann_ivf_kmeans(s, d):
         """IVF with TRAINED centroids: one distributed Lloyd iteration
         (cosine argmax assignment + per-dim mean aggregate) refines the
@@ -864,15 +906,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
-        "stream_curate",
+        "stream_curate", "stream_index",
         "events_window_rollup", "events_sessionize",
         "multimodal_features", "multimodal_frame_plan",
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 12 front + 30 ft_* + 7 dedup_* + parse_extract = exactly the 50-entry
-    # window; the 12 text/sampling/packing ops ride their r4-green rows and
-    # rotate forward next round.
+    # 13 front (incl. the new stream_index) + 28 ft_* + 7 dedup_* +
+    # parse_extract + ft_parse_pipeline = exactly the 50-entry window;
+    # ft_parse_keep_failed and the 12 text/sampling/packing ops ride their
+    # r4-green rows and rotate forward next round.
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -1875,6 +1918,10 @@ def oracle_sql() -> dict[str, str]:
     # pipeline_curate's verbatim (same thresholds / langs / benchmark
     # slice / split hash — the entry passes identical parameters)
     o["stream_curate"] = o["pipeline_curate"]
+    # streaming ingest (two pure-insert micro-batches, no tombstones):
+    # collection stats equal a from-scratch build over the union, so the
+    # oracle is the same plain BM25 top-k ft_resume checks against
+    o["stream_index"] = o["ft_resume"]
 
     # fingerprint equality classes == canonical-text equality classes
     o["text_fingerprint"] = """
