@@ -103,6 +103,9 @@ def main() -> int:
         "q_and_rare": (fixture_engine, "needle_17 AND common_token"),
         "q_or": (fixture_engine, "alpha OR beta OR graded"),
         "q_phrase": (fixture_engine, '"alpha beta"'),
+        # rare-term phrase: phrase terms are implicit MUSTs, so the rare
+        # term's block ranges prune the frequent term's position blocks
+        "q_phrase_rare": (fixture_engine, '"needle_17 common_token"'),
         "q_prefix": (fixture_engine, "needle_1*"),
         "q_fuzzy": (fixture_engine, "gradd~1"),
         "q_doc_term": (doc_engine, "merge"),

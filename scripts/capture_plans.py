@@ -133,6 +133,26 @@ def main(out_path: str | None = None) -> int:
                      "tests/test_engine.py::test_conjunction_*.",
                      explain_str(pruned_scan)))
 
+    # 2c-bis) phrase doc-range pruning (r5): phrase terms are implicit
+    #     MUSTs, so the rare term's ranges prune the frequent term's
+    #     position-carrying blocks — the most expensive decode in the index
+    eng.conj_prune_ratio = 1.0
+    eng.score_all('"needle_17 common_token"').collect()
+    ph_scan = eng._last_scan
+    ph_pruned = ph_scan.count()
+    eng.conj_prune_enabled = False
+    eng.score_all('"needle_17 common_token"').collect()
+    ph_brute = eng._last_scan.count()
+    eng.conj_prune_enabled = True
+    eng.conj_prune_ratio = 4.0
+    sections.append((f"phrase doc-range prune: '\"needle_17 common_token\"' "
+                     f"({ph_pruned} block rows pruned vs {ph_brute} brute)",
+                     "Expected: the same pushed skip_first_doc/skip_last_doc "
+                     "range disjunction, now on a PHRASE scan (ReadSchema "
+                     "includes pos_bin): the frequent term's position blocks "
+                     "outside the rare term's doc ranges are never read.",
+                     explain_str(ph_scan)))
+
     # 2d) TF-IDF (DefaultSimilarity, the reference's DEFAULT model) block-max
     #     WAND (r5, VERDICT r4 #4): blocks store model-native maxima, so the
     #     same pushed-filter machinery prunes under model=default

@@ -547,3 +547,31 @@ def test_hit_count_fast_paths(bm25_setup, spark, tiny_corpus):
                         tombstones=[dead])
     n2, _ = eng2.hit_count("common_token")
     assert n2 == n_term - 1
+
+
+def test_phrase_range_pruning_rank_identical(spark):
+    """Phrase terms are implicit MUSTs: the rarest phrase term's block
+    doc-ranges prune the other phrase terms' (position-carrying) block
+    scans; pruned results must equal brute-force for bare phrases, sloppy
+    phrases, and MUST-phrase boolean clauses."""
+    from xltsearch_spark.sources.corpus import generate_corpus
+    corpus = generate_corpus(600)
+    cfg = IndexConfig(doc_range_size=64, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    engine.conj_prune_ratio = 1.0
+    queries = ['"needle_17 common_token"', '"alpha beta"~2',
+               '+"needle_17 common_token" graded',
+               '"needle_17 common_token" AND graded']
+    for q in queries:
+        a = sorted((int(r["doc_id"]), round(float(r["score"]), 9))
+                   for r in engine.score_all(q).collect())
+        fired = engine._last_conj_ranges is not None
+        engine.conj_prune_enabled = False
+        b = sorted((int(r["doc_id"]), round(float(r["score"]), 9))
+                   for r in engine.score_all(q).collect())
+        engine.conj_prune_enabled = True
+        assert a == b, f"{q}: pruned {a[:3]} vs brute {b[:3]}"
+        assert fired, f"{q}: pruning did not fire"
+    # single-distinct-term phrase: no sources to prune with — declines
+    engine.score_all('"alpha alpha"').collect()
+    assert engine._last_conj_ranges is None

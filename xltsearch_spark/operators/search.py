@@ -759,25 +759,45 @@ class SearchEngine:
         arbitrary sibling clauses (phrases, predicates, nested booleans,
         MUST_NOT): pruning only drops posting rows for docs that fail the
         MUST gate anyway. Returns None (no extra filter) when there is no
-        MUST TermQuery, or when there is no skew to exploit — the range
+        MUST term, or when there is no skew to exploit — the range
         lookup costs one metadata job, pure overhead when the conjuncts
-        are equally common and the ranges cover the whole id space."""
-        if not self.conj_prune_enabled or not isinstance(ast, BooleanQuery):
+        are equally common and the ranges cover the whole id space.
+
+        Phrase terms are implicit MUSTs: a bare phrase (and a MUST phrase
+        clause) requires EVERY one of its terms in the doc, so the rarest
+        phrase term's ranges prune the other terms' block scans — which
+        for phrases also carry position payloads, the most expensive
+        blocks to decode (a `"rare_word the"` phrase never decodes the
+        stopword-frequency term's non-overlapping position blocks)."""
+        if not self.conj_prune_enabled:
             return None
-        must_terms = [sub for occ, sub in ast.clauses
-                      if occ == MUST and isinstance(sub, TermQuery)]
-        if not must_terms or len(ast.clauses) < 2:
+        must_keys: list[tuple[str, str]] = []
+        has_pred = False
+        if isinstance(ast, PhraseQuery):
+            must_keys = sorted({(ast.field, t) for t, _ in ast.terms})
+            if len(must_keys) < 2:
+                return None  # single-term phrase: self-pruning is a no-op
+        elif isinstance(ast, BooleanQuery):
+            if len(ast.clauses) < 2:
+                return None
+            for occ, sub in ast.clauses:
+                if occ == MUST and isinstance(sub, TermQuery):
+                    must_keys.append((sub.field, sub.term))
+                elif occ == MUST and isinstance(sub, PhraseQuery):
+                    must_keys.extend((sub.field, t) for t, _ in sub.terms)
+            has_pred = any(isinstance(sub, ConstScorePred)
+                           for _, sub in ast.clauses)
+        if not must_keys:
             return None
-        rare = min(must_terms, key=lambda t: idf_map.get((t.field, t.term), 0))
-        df_rare = idf_map.get((rare.field, rare.term), 0)
+        rare_key = min(must_keys, key=lambda k: idf_map.get(k, 0))
+        df_rare = idf_map.get(rare_key, 0)
         df_max = max(idf_map.values(), default=0)
-        has_pred = any(isinstance(sub, ConstScorePred)
-                       for _, sub in ast.clauses)
         # skew gate: multi-term expansions (preds) have unknown volume —
         # assume large; pure-term conjunctions need a real df ratio
         if df_rare > 0 and not has_pred and \
                 df_rare * self.conj_prune_ratio > df_max:
             return None
+        rare = TermQuery(rare_key[0], rare_key[1])
         ranges = self._block_ranges(rare.field, rare.term, df_rare)
         self._last_conj_ranges = ranges
         own = (F.col("field") == rare.field) & (F.col("term") == rare.term)
