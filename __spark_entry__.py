@@ -578,6 +578,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id"))
     q["text_repetition"] = text_repetition
 
+    def text_lm_score(s, d):
+        """CCNet-style unigram-LM quality: corpus-fit top-4096 vocabulary
+        (Laplace alpha=1, ties broken by term), per-doc mean NLL + OOV
+        fraction. The oracle refits the identical model in SQL."""
+        out = textstats.lm_quality_scores(
+            s.read.parquet(f"{d}/documents.parquet"), vocab_size=4096)
+        return (out.select("doc_id",
+                           F.col("n_tokens").cast("long").alias("n_tokens"),
+                           F.round("oov_frac", 6).alias("oov_frac"),
+                           F.round("avg_nll", 6).alias("avg_nll"))
+                .orderBy("doc_id"))
+    q["text_lm_score"] = text_lm_score
+
     def decontaminate(s, d):
         """Benchmark decontamination: flag docs sharing any word 5-gram
         with a deterministic 'benchmark' slice (doc_id %% 50 == 0).
@@ -906,16 +919,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
-        "stream_curate", "stream_index",
+        "stream_curate", "stream_index", "text_lm_score",
         "events_window_rollup", "events_sessionize",
         "multimodal_features", "multimodal_frame_plan",
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 13 front (incl. the new stream_index) + 28 ft_* + 7 dedup_* +
-    # parse_extract + ft_parse_pipeline = exactly the 50-entry window;
-    # ft_parse_keep_failed and the 12 text/sampling/packing ops ride their
-    # r4-green rows and rotate forward next round.
+    # 14 front (incl. the new stream_index + text_lm_score) + 28 ft_* +
+    # 7 dedup_* + parse_extract = exactly the 50-entry window;
+    # ft_parse_pipeline/keep_failed and the 12 text/sampling/packing ops
+    # ride their r4-green rows and rotate forward next round.
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -1848,6 +1861,32 @@ def oracle_sql() -> dict[str, str]:
 
     # decontamination: distinct word 5-gram STRING join (no hashing), the
     # benchmark slice = doc_id % 50 == 0
+    # unigram-LM quality: identical fit (top-4096 by count desc / term asc,
+    # Laplace alpha=1 with the +1 OOV slot) and identical scoring join;
+    # token rule matches textstats.tokens_expr ([a-z0-9_']+ on lower)
+    o["text_lm_score"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT sum(c) AS total FROM cnt),
+    vocab AS (SELECT term, ln((c + 1.0) / (total + 4097.0)) AS logp
+              FROM cnt, tot ORDER BY c DESC, term LIMIT 4096),
+    oov AS (SELECT ln(1.0 / (total + 4097.0)) AS ol FROM tot),
+    per AS (SELECT t.doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS n_oov,
+                   sum(coalesce(v.logp, oov.ol)) AS ll
+            FROM tok t LEFT JOIN vocab v USING (term) CROSS JOIN oov
+            GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+           round(per.n_oov * 1.0 / per.n_tokens, 6) AS oov_frac,
+           round(-per.ll / per.n_tokens, 6) AS avg_nll
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id"""
+
     o["decontaminate"] = """
     WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
                 FROM documents WHERE doc_id % 50 = 0),

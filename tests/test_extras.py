@@ -402,3 +402,45 @@ def test_kmeans_empty_cluster_keeps_seed(spark):
     seeds = mat[:3]
     unchanged = [c for c in range(3) if np.allclose(cm[c], seeds[c])]
     assert len(unchanged) >= 1
+
+
+def test_unigram_lm_hand_computed(spark):
+    """vocab top-2 of {a:3, b:1, c:1} with term tie-break -> {a, b};
+    Laplace denom = total 5 + alpha*(V+1) 3 = 8; d1's 'c' is OOV."""
+    import math
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c"), (2, "!!!")], "doc_id long, text string")
+    vocab, oov_logp = textstats.unigram_lm(docs, vocab_size=2, alpha=1.0)
+    got = {r["term"]: r["logp"] for r in vocab.collect()}
+    assert set(got) == {"a", "b"}
+    assert got["a"] == pytest.approx(math.log(4 / 8))
+    assert got["b"] == pytest.approx(math.log(2 / 8))
+    assert oov_logp == pytest.approx(math.log(1 / 8))
+
+    rows = {r["doc_id"]: r for r in
+            textstats.lm_quality_scores(docs, vocab_size=2).collect()}
+    assert rows[0]["n_tokens"] == 3 and rows[0]["oov_frac"] == 0.0
+    assert rows[0]["avg_nll"] == pytest.approx(
+        -(2 * math.log(4 / 8) + math.log(2 / 8)) / 3)
+    assert rows[1]["oov_frac"] == pytest.approx(0.5)
+    assert rows[1]["avg_nll"] == pytest.approx(
+        -(math.log(4 / 8) + math.log(1 / 8)) / 2)
+    # zero-token doc present with NULL scores (curation gates on them)
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["oov_frac"] is None and rows[2]["avg_nll"] is None
+
+
+def test_unigram_lm_reference_corpus_scoring(spark):
+    """The CCNet setup: LM fitted on a trusted reference, applied to a
+    different corpus — natural text scores lower avg_nll than junk."""
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)],
+        "doc_id long, text string")
+    lm = textstats.unigram_lm(ref, vocab_size=16)
+    crawl = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "zxqj vvkpp qqrr zz")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            textstats.lm_quality_scores(crawl, lm=lm).collect()}
+    assert rows[0]["avg_nll"] < rows[1]["avg_nll"]
+    assert rows[0]["oov_frac"] == 0.0 and rows[1]["oov_frac"] == 1.0

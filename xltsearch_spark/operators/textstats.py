@@ -190,3 +190,70 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("top.gram").alias("top_2gram"),
         F.least(F.coalesce(top_chars / safe_chars, F.lit(0.0)),
                 F.lit(1.0)).alias("top_2gram_char_frac"))
+
+
+def unigram_lm(df: DataFrame, text_col: str = "text",
+               vocab_size: int = 4096, alpha: float = 1.0):
+    """Corpus unigram language model: the ``vocab_size`` most frequent
+    tokens (ties broken by term ascending — deterministic) with
+    Laplace-smoothed natural log-probs, p(t) = (c_t + alpha) /
+    (total + alpha * (vocab_size + 1)); the reserved +1 slot is the
+    out-of-vocabulary bucket, whose log-prob is returned separately.
+
+    Scale shape: ONE token-count shuffle (map-side combined), a 1-row
+    total aggregate, and a TakeOrdered(vocab_size) over the counts — the
+    vocabulary never exceeds ``vocab_size`` rows, so the scorer can
+    broadcast it no matter the corpus size.
+
+    Returns (vocab DataFrame (term, logp), oov_logp float)."""
+    import math
+    toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    counts = counts.persist()
+    total = int(counts.agg(F.sum("c")).collect()[0][0] or 0)
+    denom = float(total + alpha * (vocab_size + 1))
+    vocab = (counts.orderBy(F.desc("c"), F.asc("term")).limit(vocab_size)
+             .select("term",
+                     F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
+                     .alias("logp")))
+    return vocab, math.log(alpha / denom)
+
+
+def lm_quality_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", vocab_size: int = 4096,
+                      alpha: float = 1.0, lm=None) -> DataFrame:
+    """CCNet-style unigram-LM quality signal (Wenzek et al. 2020 score
+    documents by LM perplexity and filter/bucket on it — public
+    methodology; CCNet uses KenLM 5-grams, the unigram model here keeps
+    the pipeline dependency-free while the plumbing — corpus-fit LM,
+    broadcast scoring — is identical):
+
+    (doc_id, n_tokens, oov_frac, avg_nll) for EVERY input doc —
+    ``avg_nll`` is the mean negative log-likelihood per token (lower =
+    more natural relative to the corpus; exp(avg_nll) is the perplexity
+    proxy), ``oov_frac`` the fraction of tokens outside the top-
+    ``vocab_size`` vocabulary. Zero-token docs keep n_tokens=0 and NULL
+    scores. Pass ``lm=(vocab_df, oov_logp)`` to score against a model
+    fitted on a REFERENCE corpus (the CCNet setup: fit on trusted text,
+    score the crawl); default fits on ``df`` itself.
+
+    Scale shape: the fit is one count shuffle; scoring is explode →
+    broadcast hash join against the ≤ vocab_size vocabulary → one
+    doc-keyed aggregate. No Python anywhere."""
+    vocab, oov_logp = lm if lm is not None else \
+        unigram_lm(df, text_col, vocab_size, alpha)
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    per = (toks.join(F.broadcast(vocab), "term", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0))
+                .alias("n_oov"),
+                F.sum(F.coalesce(F.col("logp"), F.lit(oov_logp)))
+                .alias("ll")))
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (base.join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+                    (F.col("n_oov") / F.col("n_tokens")).alias("oov_frac"),
+                    (-F.col("ll") / F.col("n_tokens")).alias("avg_nll")))
