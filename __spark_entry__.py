@@ -740,6 +740,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("source"))
     q["sample_mixture"] = mix
 
+    def mixture_temperature(s, d):
+        """Temperature-based domain weights (tau=0.5): q_i ∝ p_i^tau over
+        the source domains, expected-total-preserving factors — the
+        multilingual-pretraining sampling rule. The oracle recomputes the
+        same arithmetic in SQL over the same counts."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        f = packing.temperature_mixture_factors(docs, "source", tau=0.5)
+        fexpr = F.create_map(*[x for kv in sorted(f.items())
+                               for x in (F.lit(kv[0]), F.lit(kv[1]))])
+        return (docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+                .select("source", F.col("n_docs").cast("long").alias("n_docs"),
+                        F.round(fexpr[F.col("source")], 6).alias("factor"))
+                .orderBy("source"))
+    q["mixture_temperature"] = mixture_temperature
+
     # ---- event-stream analytics (batch forms of the streaming operators) ----
     def ev_rollup(s, d):
         ev = s.read.parquet(f"{d}/events.parquet")
@@ -920,15 +935,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
+        "mixture_temperature",
         "events_window_rollup", "events_sessionize",
         "multimodal_features", "multimodal_frame_plan",
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 14 front (incl. the new stream_index + text_lm_score) + 28 ft_* +
-    # 7 dedup_* + parse_extract = exactly the 50-entry window;
-    # ft_parse_pipeline/keep_failed and the 12 text/sampling/packing ops
-    # ride their r4-green rows and rotate forward next round.
+    # 15 front (incl. the r5-new stream_index, text_lm_score,
+    # mixture_temperature) + 28 ft_* + 7 dedup_* = exactly the 50-entry
+    # window; parse_extract, ft_parse_pipeline/keep_failed and the 12
+    # text/sampling/packing ops ride their r4-green rows and rotate
+    # forward next round.
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -1687,6 +1704,16 @@ def oracle_sql() -> dict[str, str]:
     SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_rows,
            count(*) FILTER (WHERE n_copies > 0) AS n_docs
     FROM n GROUP BY source HAVING sum(n_copies) > 0 ORDER BY source"""
+
+    # temperature mixture weights: q_i ∝ p_i^0.5, factor = (q_i/Z)/p_i
+    o["mixture_temperature"] = """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n) AS total FROM c),
+    q AS (SELECT source, n, pow(n * 1.0 / total, 0.5) AS qs FROM c, t),
+    z AS (SELECT sum(qs) AS z FROM q)
+    SELECT source, n::BIGINT AS n_docs,
+           round(qs / z * total / n, 6) AS factor
+    FROM q, z, t ORDER BY source"""
 
     # event analytics: epoch-aligned tumbling windows (integer bucket
     # arithmetic on epoch microseconds) and gaps-and-islands sessionization

@@ -297,3 +297,46 @@ def test_mixture_rejects_negative_default_factor(docs):
     with pytest.raises(ValueError, match="default"):
         packing.mixture_resample(docs, "source", {"src0": 1.0},
                                  default_factor=-1.0)
+
+
+def test_temperature_factors_hand_computed(spark):
+    """3:1 domain split at tau=0.5: q ∝ sqrt(p) -> q = (sqrt3 : 1)/Z;
+    factors = q/p preserve the expected total."""
+    import math
+    df = spark.createDataFrame(
+        [(i, "big" if i < 30 else "small") for i in range(40)],
+        "doc_id long, source string")
+    f = packing.temperature_mixture_factors(df, "source", tau=0.5)
+    p_big, p_small = 0.75, 0.25
+    z = math.sqrt(p_big) + math.sqrt(p_small)
+    assert f["big"] == pytest.approx(math.sqrt(p_big) / z / p_big)
+    assert f["small"] == pytest.approx(math.sqrt(p_small) / z / p_small)
+    # expected corpus size preserved: sum(n_i * factor_i) == N
+    assert 30 * f["big"] + 10 * f["small"] == pytest.approx(40)
+    # tau=1 is the natural mix; tau=0 is uniform over domains
+    f1 = packing.temperature_mixture_factors(df, "source", tau=1.0)
+    assert f1["big"] == pytest.approx(1.0) and f1["small"] == pytest.approx(1.0)
+    f0 = packing.temperature_mixture_factors(df, "source", tau=0.0)
+    assert 30 * f0["big"] == pytest.approx(10 * f0["small"])  # equal mass
+
+
+def test_temperature_resample_realizes_mix(spark):
+    """After tau=0 resampling of a skewed corpus, per-domain expected
+    counts are equal (hash-coin realization within ±small): the resample
+    composes mixture_resample's deterministic copy logic."""
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string")
+    out = packing.temperature_resample(df, "source", tau=0.0)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["big"] - counts["small"]) / 500 < 0.1
+    # deterministic: same input -> identical realization
+    again = packing.temperature_resample(df, "source", tau=0.0)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_temperature_rejects_negative_tau(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="tau"):
+        packing.temperature_mixture_factors(df, "source", tau=-0.5)

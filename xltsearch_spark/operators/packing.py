@@ -452,3 +452,47 @@ def mixture_resample(df: DataFrame, domain_col: str,
                           F.explode(F.sequence(F.lit(0),
                                                F.col("_n_copies") - 1)))
               .drop("_n_copies"))
+
+
+def temperature_mixture_factors(df: DataFrame, domain_col: str,
+                                tau: float,
+                                preserve_total: bool = True
+                                ) -> dict[str, float]:
+    """Temperature-based domain sampling weights — the public multilingual
+    pretraining formulation (Devlin et al. 2019 mBERT exponential
+    smoothing; Conneau & Lample 2019 §3.1): with domain shares
+    p_i = n_i / N, sample from q_i ∝ p_i^tau. tau < 1 flattens the mix
+    (upweights low-resource domains), tau = 1 is the natural mix, tau = 0
+    is uniform over domains.
+
+    Returns per-domain repeat factors for :func:`mixture_resample`:
+    factor_i = q_i / p_i (scaled to preserve the expected corpus size
+    when ``preserve_total``; drop the scaling to get bare q_i weights).
+    One tiny groupBy (|domains| rows collect — domains are few by
+    definition); the resample itself stays map-only.
+    """
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    rows = df.groupBy(domain_col).agg(F.count("*").alias("n")).collect()
+    n_by_dom = {r[domain_col]: int(r["n"]) for r in rows}
+    total = sum(n_by_dom.values())
+    if not total:
+        return {}
+    qs = {d: (n / total) ** tau for d, n in n_by_dom.items()}
+    z = sum(qs.values())
+    out = {}
+    for d, n in n_by_dom.items():
+        q = qs[d] / z
+        out[d] = q * total / n if preserve_total else q
+    return out
+
+
+def temperature_resample(df: DataFrame, domain_col: str, tau: float,
+                         id_col: str = "doc_id", salt: int = 0,
+                         copy_col: str = "copy_idx") -> DataFrame:
+    """:func:`mixture_resample` with factors from
+    :func:`temperature_mixture_factors` — one tiny stats aggregate, then
+    the map-only deterministic resample."""
+    factors = temperature_mixture_factors(df, domain_col, tau)
+    return mixture_resample(df, domain_col, factors, id_col=id_col,
+                            salt=salt, copy_col=copy_col)
