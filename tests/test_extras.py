@@ -444,3 +444,86 @@ def test_unigram_lm_reference_corpus_scoring(spark):
             textstats.lm_quality_scores(crawl, lm=lm).collect()}
     assert rows[0]["avg_nll"] < rows[1]["avg_nll"]
     assert rows[0]["oov_frac"] == 0.0 and rows[1]["oov_frac"] == 1.0
+
+
+def test_semantic_dedup_matches_brute_force_rule(spark):
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((60, 8))
+    # plant near-duplicates: 40 := ~30, 41 := ~30, 50 := ~12
+    mat[40] = mat[30] + 0.01 * rng.standard_normal(8)
+    mat[41] = mat[30] + 0.01 * rng.standard_normal(8)
+    mat[50] = mat[12] + 0.01 * rng.standard_normal(8)
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(60)], ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup(df, threshold=0.98, n_centroids=4,
+                                     n_iter=1).collect()}
+    assert len(out) == 60
+    # reproduce the rule in numpy against the SAME assignments
+    asg = {r["vec_id"]: r["centroid_id"] for r in out.values()}
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    for i in range(60):
+        mates = [j for j in range(i) if asg[j] == asg[i]
+                 and round(float(unit[j] @ unit[i]), 6) >= 0.98]
+        if mates:
+            assert out[i]["keep"] == 0 and out[i]["dup_of"] == min(mates)
+        else:
+            assert out[i]["keep"] == 1 and out[i]["dup_of"] is None
+    # the planted dups were caught and point at their lowest-id witness
+    assert out[40]["keep"] == 0 and out[40]["dup_of"] == 30
+    assert out[41]["keep"] == 0 and out[41]["dup_of"] == 30
+    assert out[50]["keep"] == 0 and out[50]["dup_of"] == 12
+
+
+def test_semantic_dedup_chunking_invariant(spark):
+    rng = np.random.default_rng(22)
+    base = rng.standard_normal((10, 8))
+    # every vector is a jittered copy of one of 10 bases -> dense dup sets
+    mat = np.vstack([base[i % 10] + 0.005 * rng.standard_normal(8)
+                     for i in range(50)])
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(50)], ["vec_id", "embedding"])
+    big = similarity.semantic_dedup(df, threshold=0.99, n_centroids=4,
+                                    n_iter=1, chunk_rows=1024).collect()
+    tiny = similarity.semantic_dedup(df, threshold=0.99, n_centroids=4,
+                                     n_iter=1, chunk_rows=3).collect()
+    key = lambda rows: sorted((r["vec_id"], r["centroid_id"], r["keep"],
+                               r["dup_of"]) for r in rows)
+    assert key(big) == key(tiny)
+    assert sum(1 - r["keep"] for r in big) >= 30  # dense dups were dropped
+
+
+def test_gopher_quality_rules(spark):
+    long_good = ("The quick brown fox jumps over the lazy dog and then "
+                 "runs to be with the other foxes that have found food. ") * 5
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = "## " * 60
+    df = spark.createDataFrame(
+        [(0, long_good), (1, "short text"), (2, bullets), (3, symbols),
+         (4, None)],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.gopher_quality(df).collect()}
+    g = out[0]
+    assert g["words_ok"] == 1 and g["stop_ok"] == 1 and g["alpha_ok"] == 1
+    assert g["gopher_pass"] == 1
+    assert out[1]["words_ok"] == 0 and out[1]["gopher_pass"] == 0
+    # every line is a bullet -> bullet_line_frac 1.0 > 0.9
+    assert out[2]["bullet_line_frac"] == pytest.approx(1.0)
+    assert out[2]["bullet_ok"] == 0
+    # '##' spam -> symbol ratio 2.0 > 0.1
+    assert out[3]["symbol_ratio"] == pytest.approx(2.0)
+    assert out[3]["symbol_ok"] == 0
+    # NULL text gates to '' (fails words_ok, no NULL flags)
+    assert out[4]["n_words"] == 0 and out[4]["gopher_pass"] == 0
+
+
+def test_gopher_ellipsis_and_mean_len(spark):
+    ellip = "\n".join("we trailed off..." for _ in range(4))
+    longwords = " ".join("supercalifragilistic" for _ in range(60))
+    df = spark.createDataFrame(
+        [(0, ellip), (1, longwords)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.gopher_quality(df).collect()}
+    assert out[0]["ellipsis_line_frac"] == pytest.approx(1.0)
+    assert out[0]["ellipsis_ok"] == 0
+    assert out[1]["mean_word_len"] == pytest.approx(20.0)
+    assert out[1]["mean_len_ok"] == 0 and out[1]["stop_ok"] == 0

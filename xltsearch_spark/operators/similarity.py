@@ -254,3 +254,68 @@ def cosine_topk_lsh(vectors: DataFrame, query_vec: list[float], k: int = 10,
     probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
     cand = (vectors.join(sigs.filter(F.col("bucket").isin(probes)), id_col, "left_semi"))
     return cosine_topk_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
+def semantic_dedup(vectors: DataFrame, threshold: float = 0.6,
+                   n_centroids: int = 16, n_iter: int = 1,
+                   centroids: np.ndarray | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   chunk_rows: int = 1024) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-
+    duplicate removal by clustering embeddings and comparing pairs ONLY
+    within a cluster — the all-pairs O(n^2) cosine matrix becomes
+    O(sum c_i^2) where c_i are cluster sizes chosen by ``n_centroids``.
+
+    Deterministic keep rule (the order-stable variant of the paper's
+    epsilon-dedup): a vector is a duplicate iff SOME lower-id member of
+    its cluster has cosine >= ``threshold`` with it; ``dup_of`` is the
+    lowest such id. Id order replaces the paper's distance-to-centroid
+    order so the result is partition-invariant and SQL-reproducible.
+
+    Returns (id, centroid_id, keep, dup_of): keep=1 rows are the
+    surviving corpus, ``dup_of`` names the kept witness for each drop.
+
+    Scale shape: centroid training is ``kmeans_fit`` (one scan per
+    iteration, k-row shuffle); assignment is one broadcast-matmul map
+    pass; the pair stage shuffles each vector ONCE on centroid_id and
+    runs a row-chunked matmul per cluster (chunk_rows x c, never c x c,
+    so a hot cluster is memory-bounded). At 10^9 vectors pick
+    ``n_centroids ~ n / 10^4`` so clusters stay ~10^4 rows; clusters are
+    independent, so skew lands on AQE-splittable single groups."""
+    if centroids is None:
+        centroids = kmeans_fit(vectors, n_centroids, n_iter, id_col, vec_col)
+    asg = ivf_assignments(vectors, centroids, id_col, vec_col)
+    joined = vectors.select(id_col, vec_col).join(asg, id_col)
+    schema = StructType([StructField(id_col, LongType()),
+                         StructField("centroid_id", IntegerType()),
+                         StructField("keep", IntegerType()),
+                         StructField("dup_of", LongType())])
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        unit = mat / nrm[:, None]
+        n = len(unit)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            if hi <= 1:
+                continue
+            # rows lo:hi vs ALL earlier columns 0:hi (strictly lower id)
+            sims = unit[lo:hi] @ unit[:hi].T
+            valid = ((np.round(sims, 6) >= threshold)
+                     & (np.arange(hi)[None, :]
+                        < np.arange(lo, hi)[:, None]))
+            has = valid.any(axis=1)
+            dup_of[lo:hi][has] = np.argmax(valid, axis=1)[has]
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: ids,
+            "centroid_id": pdf["centroid_id"].astype("int32"),
+            "keep": (dup_of < 0).astype("int32"),
+            "dup_of": pd.array([None if d < 0 else int(ids[d])
+                                for d in dup_of], dtype="Int64")})
+
+    return joined.groupBy("centroid_id").applyInPandas(per_cluster, schema)

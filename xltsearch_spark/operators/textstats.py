@@ -257,3 +257,83 @@ def lm_quality_scores(df: DataFrame, text_col: str = "text",
                     F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
                     (F.col("n_oov") / F.col("n_tokens")).alias("oov_frac"),
                     (-F.col("ll") / F.col("n_tokens")).alias("avg_nll")))
+
+
+# Gopher quality-rule tier (Rae et al. 2021, arXiv:2112.11446 Table A1 —
+# public methodology). Stop list is the paper's own 8-word set.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_struct(text_col: Column) -> Column:
+    """All Gopher document-quality signals + per-rule flags as ONE struct
+    expression (pure JVM, fuses into the scan like `quality_struct`):
+
+    * ``n_words``           — whitespace words; rule: 50 <= n <= 100,000
+    * ``mean_word_len``     — rule: 3 <= mean <= 10
+    * ``symbol_ratio``      — ('#' + ellipsis occurrences) / words <= 0.1
+    * ``bullet_line_frac``  — lines starting with a bullet <= 0.9
+    * ``ellipsis_line_frac``— lines ending with an ellipsis <= 0.3
+    * ``alpha_word_frac``   — words containing a letter >= 0.8
+    * ``stop_word_hits``    — distinct Gopher stop words present >= 2
+
+    ``gopher_pass`` is the conjunction. Flags (not a filtered frame) so a
+    curation pipeline can audit which rule fired; thresholds are the
+    paper's. NULL text is gated to '' (fails words_ok) rather than
+    propagating NULL flags (the ADVICE r4 null-text lesson)."""
+    t = F.coalesce(text_col, F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_w = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(words, F.lit(0),
+                          lambda acc, w: acc + F.length(w))
+    mean_word_len = sum_len / safe_w
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    # ellipsis occurrences: each "..." (3 dots) or Unicode ellipsis
+    n_ellip = (F.floor((F.length(t)
+                        - F.length(F.regexp_replace(t, r"\.", "")))
+                       / F.lit(3))
+               + F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+    symbol_ratio = (n_hash + n_ellip) / safe_w
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    safe_l = F.greatest(n_lines, F.lit(1))
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[•‣▪*-]")))
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    low = F.lower(t)
+    stop_hits = sum(
+        (F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
+         for w in GOPHER_STOP_WORDS), start=F.lit(0))
+    bullet_frac = bullet_lines / safe_l
+    ellip_frac = ellipsis_lines / safe_l
+    alpha_frac = alpha_words / safe_w
+    rules = [
+        ("words_ok", (n_words >= 50) & (n_words <= 100000)),
+        ("mean_len_ok", (mean_word_len >= 3.0) & (mean_word_len <= 10.0)),
+        ("symbol_ok", symbol_ratio <= 0.1),
+        ("bullet_ok", bullet_frac <= 0.9),
+        ("ellipsis_ok", ellip_frac <= 0.3),
+        ("alpha_ok", alpha_frac >= 0.8),
+        ("stop_ok", stop_hits >= 2),
+    ]
+    gopher_pass = rules[0][1]
+    for _, r in rules[1:]:
+        gopher_pass = gopher_pass & r
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellip_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_word_hits"),
+        *[r.cast("int").alias(name) for name, r in rules],
+        gopher_pass.cast("int").alias("gopher_pass"))
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, <gopher signals + flags>) — unpacked `gopher_struct`."""
+    return (df.withColumn("_g", gopher_struct(F.col(text_col)))
+            .select("doc_id", "_g.*"))
