@@ -252,6 +252,33 @@ def _ft_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), F.asc("doc_id")))
 
 
+def _ft_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ft_incremental lifecycle PLUS catalog.merge() (Lucene
+    forceMerge: postings copied, deleted docs dropped, never re-analyzed).
+    The semantic difference the oracle checks: post-merge collection
+    stats (N, df, avgdl) recompute over LIVE docs only — tombstoned docs
+    stop counting, so every BM25 score shifts vs the pre-merge index
+    (IndexWriter merge semantics; pre-merge behavior is ft_incremental's
+    oracle)."""
+    import hashlib
+    from xltsearch_spark.catalog import IndexCatalog
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wh = f"/tmp/xlt_entry_merge_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    cat = IndexCatalog(spark, wh, replace(ENTRY_CFG, name="mrg"))
+    cat.delete_index()  # deterministic: fresh lifecycle every run
+    cat.build(_docs_to_corpus(docs), fingerprint="v1")
+    cat.update(_docs_to_corpus(_mutated_documents(docs)), fingerprint="v2")
+    cat.merge(fingerprint="v3")
+    engine = cat.engine()
+    scored = (engine.score_all("merge").withColumn("score", F.round("score", 4))
+              .join(engine.docs.select("doc_id",
+                                       F.col("path").cast("long").alias("src_doc_id")),
+                    "doc_id")
+              .select(F.col("src_doc_id").alias("doc_id"), "score"))
+    return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-100 for 'merge AND vector' on sf0.001 documents,
@@ -315,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_phrase_quantized"] = lambda s, d: _ft(s, d, '"merge vector"', 20,
                                                 model="bm25_q")
     q["ft_incremental"] = _ft_incremental
+    q["ft_merge"] = _ft_merge
 
     def ft_stored(s, d):
         """Stored-field retrieval (S6/S7): top-k hits joined to their stored
@@ -956,7 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann/events/multimodal entries, then the ft_* family, then the
     # freshest-verified batch ops (r4-green) at the back.
     front = [
-        "dedup_semantic", "text_gopher_quality",
+        "dedup_semantic", "text_gopher_quality", "ft_merge",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -1458,6 +1486,34 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT count(*) FROM stokf) * 1.0
                     / (SELECT count(*) FROM stats_docs) AS avgdl),
     d AS (SELECT count(DISTINCT doc_id) AS df FROM stokf WHERE term = 'merge'),
+    t AS (SELECT doc_id, count(*) AS tf FROM ltokf WHERE term = 'merge' GROUP BY doc_id),
+    dl AS (SELECT doc_id, count(*) AS dl FROM ltokf GROUP BY doc_id)
+    SELECT doc_id, score FROM (
+        SELECT t.doc_id,
+               round(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
+        FROM t JOIN d ON true JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+        ORDER BY 2 DESC, t.doc_id LIMIT 20)"""
+
+    # Post-merge semantics: SAME lifecycle as ft_incremental, but after
+    # catalog.merge() the collection stats recompute over LIVE docs only
+    # (stats_docs == live_docs) — deleted/superseded docs stop counting in
+    # N/df/avgdl, exactly Lucene's post-forceMerge behavior.
+    o["ft_merge"] = f"""
+    WITH upd AS (SELECT doc_id, text || '{_INCR_UPD_SUFFIX}' AS text
+                 FROM documents WHERE doc_id % 97 = 2),
+    ins AS (SELECT doc_id + {_INCR_INS_BASE} AS doc_id, text || '{_INCR_INS_SUFFIX}' AS text
+            FROM documents WHERE doc_id % 97 = 3),
+    live_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 NOT IN (1, 2)
+                  UNION ALL SELECT doc_id, text FROM upd
+                  UNION ALL SELECT doc_id, text FROM ins),
+    ltok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS term
+             FROM live_docs),
+    ltokf AS (SELECT * FROM ltok WHERE term NOT IN {_STOPS_SQL}),
+    st AS (SELECT (SELECT count(*) FROM live_docs) AS n,
+                  (SELECT count(*) FROM ltokf) * 1.0
+                    / (SELECT count(*) FROM live_docs) AS avgdl),
+    d AS (SELECT count(DISTINCT doc_id) AS df FROM ltokf WHERE term = 'merge'),
     t AS (SELECT doc_id, count(*) AS tf FROM ltokf WHERE term = 'merge' GROUP BY doc_id),
     dl AS (SELECT doc_id, count(*) AS dl FROM ltokf GROUP BY doc_id)
     SELECT doc_id, score FROM (
