@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_fuzzy"] = lambda s, d: _ft(s, d, "part~2", 20)
     q["ft_phrase_slop"] = lambda s, d: _ft(s, d, '"merge vector"~2', None)
     q["ft_wildcard_mid"] = lambda s, d: _ft(s, d, "me?ge", None)
+    # classic-QP /regexp/ term (RegexpQuery, constant-score multi-term)
+    q["ft_regexp"] = lambda s, d: _ft(s, d, "/merg(e|er)[a-z]*/", None)
     q["ft_field"] = lambda s, d: _ft(s, d, "lang:de AND merge", 20)
     q["ft_grouped"] = lambda s, d: _ft(s, d, "(merge OR vector) AND part", 20)
     # multi-valued metadata field (meta.tags carries [lang, source] per doc)
@@ -984,7 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann/events/multimodal entries, then the ft_* family, then the
     # freshest-verified batch ops (r4-green) at the back.
     front = [
-        "dedup_semantic", "text_gopher_quality", "ft_merge",
+        "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -993,11 +995,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 15 front (incl. the r5-new stream_index, text_lm_score,
-    # mixture_temperature) + 28 ft_* + 7 dedup_* = exactly the 50-entry
-    # window; parse_extract, ft_parse_pipeline/keep_failed and the 12
-    # text/sampling/packing ops ride their r4-green rows and rotate
-    # forward next round.
+    # 18 front (r5-new dedup_semantic/text_gopher_quality/ft_merge +
+    # stream/lm/mixture + the r3-stale ann/events/multimodal) + 28 ft_*
+    # + 4 dedup_* = exactly the 50-entry window; the 18 outside
+    # (dedup_groups/substring, parse_*, text/sampling/packing) all ride
+    # r4-green rows and rotate forward next round.
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -1262,6 +1264,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["ft_wildcard_mid"] = f"""WITH {_TOK_CTE}
     SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE term LIKE 'me_ge'
+    ORDER BY doc_id"""
+
+    # /merg(e|er)[a-z]*/ — classic-QP RegexpQuery (Lucene 4.x): whole-term
+    # anchored match, CONSTANT_SCORE rewrite like wildcard/prefix
+    o["ft_regexp"] = f"""WITH {_TOK_CTE}
+    SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+    WHERE regexp_matches(term, '^(?:merg(e|er)[a-z]*)$')
     ORDER BY doc_id"""
 
     # lang:de AND merge — keyword-field term scores BM25 with tf=1, dl=1,

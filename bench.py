@@ -225,6 +225,17 @@ def main() -> int:
     similarity.cosine_topk_batch(embeddings, qvecs, k=10).count()
     timings["ann_batch_topk"] = round(time.time() - t0, 3)
 
+    # SemDeDup: trained-centroid clustering + within-cluster pair matmuls
+    t0 = time.time()
+    similarity.semantic_dedup(embeddings, threshold=0.35,
+                              n_centroids=16, n_iter=1).count()
+    timings["dedup_semantic"] = round(time.time() - t0, 3)
+
+    # Gopher rule tier: one map-only JVM struct over documents
+    t0 = time.time()
+    textstats.gopher_quality(documents).count()
+    timings["text_gopher"] = round(time.time() - t0, 3)
+
     total = time.time() - t_total0
     print(json.dumps({
         "metric": "bench_total_wall",

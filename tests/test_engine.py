@@ -575,3 +575,13 @@ def test_phrase_range_pruning_rank_identical(spark):
     # single-distinct-term phrase: no sources to prune with — declines
     engine.score_all('"alpha alpha"').collect()
     assert engine._last_conj_ranges is None
+
+
+def test_regexp_query_rank_identical(bm25_setup):
+    """/regexp/ terms: constant-score whole-term match, engine == oracle
+    (the pyoracle expands via plans.rewrite, the engine via a pushed
+    rlike predicate — rank identity proves both expansions agree)."""
+    engine, oracle, _ = bm25_setup
+    assert_rank_identical(engine, oracle,
+                          ["/needle_1[0-9]/", "/need.e_2/ OR graded",
+                           "common_token AND /gr.ded/"])

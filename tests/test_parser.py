@@ -4,7 +4,7 @@ import pytest
 
 from xltsearch_spark.plans.parser import (BooleanQuery, FuzzyQuery, MatchAllQuery,
                                           MUST, MUST_NOT, PhraseQuery, PrefixQuery,
-                                          QueryParser, QueryParseError, RangeQuery,
+                                          QueryParser, QueryParseError, RangeQuery, RegexpQuery,
                                           SHOULD, TermQuery, WildcardQuery)
 
 P = QueryParser("standard", keyword_fields=("repo", "path", "commit", "lang", "hashsum"))
@@ -134,3 +134,21 @@ def test_escaped_backslash_then_wildcard():
     p = QueryParser("standard")
     q = p.parse("foo\\\\*")
     assert isinstance(q, PrefixQuery) and q.prefix == "foo\\"
+
+
+def test_regexp_term():
+    # classic QP /regexp/ syntax (Lucene 4.x RegexpQuery)
+    assert P.parse("/merg(e|ing)/") == RegexpQuery("content", "merg(e|ing)")
+    assert P.parse("lang:/de|fr/") == RegexpQuery("lang", "de|fr")
+    q = P.parse("/nee.le_[0-9]+/^2")
+    assert q == RegexpQuery("content", "nee.le_[0-9]+", 2.0)
+    # lowercaseExpandedTerms applies to the pattern
+    assert P.parse("/MerGe/") == RegexpQuery("content", "merge")
+    # escaped slash stays literal inside the pattern
+    assert P.parse("/src\\/main/") == RegexpQuery("content", "src/main")
+    # a path-like atom with interior unescaped slashes is NOT a regexp
+    got = P.parse("src/main")
+    assert isinstance(got, BooleanQuery)
+    # composes with boolean operators
+    b = P.parse("merge AND /vec.+/")
+    assert b.clauses[1] == (MUST, RegexpQuery("content", "vec.+"))

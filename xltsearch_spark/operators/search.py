@@ -43,9 +43,11 @@ from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.parser import (BooleanQuery, MatchAllQuery, MUST,
                                           MUST_NOT, PhraseQuery, QueryParser,
                                           SHOULD, TermQuery, PrefixQuery,
-                                          WildcardQuery, FuzzyQuery, RangeQuery)
+                                          WildcardQuery, FuzzyQuery, RangeQuery,
+                                          RegexpQuery)
 from xltsearch_spark.plans.rewrite import (ConstScoreTerms, FUZZY_TOP_TERMS,
-                                           _damerau_capped, _wildcard_regex,
+                                           _anchored_regexp, _damerau_capped,
+                                           _wildcard_regex,
                                            needs_positions)
 
 DECODED_SCHEMA = StructType([
@@ -589,6 +591,11 @@ class SearchEngine:
         if isinstance(ast, WildcardQuery):
             return ConstScorePred(ast.field, "regex",
                                   (_wildcard_regex(ast.pattern).pattern,), ast.boost)
+        if isinstance(ast, RegexpQuery):
+            # /pattern/ (classic QP RegexpQuery): same constant-score pushed
+            # predicate as wildcard, with the user's (anchored) pattern
+            return ConstScorePred(ast.field, "regex",
+                                  (_anchored_regexp(ast.pattern),), ast.boost)
         if isinstance(ast, RangeQuery):
             return ConstScorePred(ast.field, "range",
                                   (ast.lo, ast.hi, ast.include_lo, ast.include_hi),

@@ -72,6 +72,20 @@ class WildcardQuery:
 
 
 @dataclass(frozen=True)
+class RegexpQuery:
+    """``/pattern/`` term (classic QP since Lucene 4.0, RegexpQuery with
+    CONSTANT_SCORE rewrite). The pattern is the core regexp operator set
+    (``. * + ? {} [] | ()`` and ``\\`` escapes) shared by Lucene RegExp,
+    Java regex, and RE2 — Lucene's non-regex extensions (``~`` complement,
+    ``&`` intersection, ``<n-m>`` intervals) are NOT implemented
+    (documented deviation; they are rarely used and have no Spark/SQL
+    analog). Matching is whole-term, as in Lucene."""
+    field: str
+    pattern: str  # body between the slashes, \/ unescaped
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FuzzyQuery:
     field: str
     term: str
@@ -112,6 +126,7 @@ _TOKEN_RE = re.compile(
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<phrase>"(?:[^"\\]|\\.)*")
+      | (?P<regexp>(?:(?:[^\s()+\-!"^~\\\[{:/]|\\.)+:)?/(?:[^/\\]|\\.)*/)
       | (?P<range>[\[{](?:[^\]}\\]|\\.)*?[\]}])
       | (?P<atom>(?:[^\s()+\-!"^~\\\[{]|\\.)(?:[^\s()!"^~\\\[{]|\\.)*)
       | (?P<caret>\^)
@@ -244,6 +259,15 @@ class QueryParser:
                     lex.pos = m.end()
             boost = self._parse_boost(lex)
             return self._make_phrase(field, body, slop, boost)
+        if kind == "regexp":
+            # optional field prefix rides inside the token (the lexer must
+            # see `field:/re/` whole — a char class like [ea] would
+            # otherwise split across atom/range tokens)
+            m = re.match(r"^((?:[^\\:/]|\\.)+):(/.*)$", val)
+            if m:
+                field = _unescape(m.group(1))
+                val = m.group(2)
+            return self._parse_atom(lex, field, val)
         if kind == "range":
             inc_lo = val[0] == "["
             inc_hi = val[-1] == "]"
@@ -269,7 +293,34 @@ class QueryParser:
             return float(m.group())
         return 1.0
 
+    @staticmethod
+    def _regexp_body(raw: str) -> Optional[str]:
+        """If ``raw`` is a ``/pattern/`` regexp term, return the pattern
+        (with ``\\/`` unescaped); else None. Only the first and last chars
+        may be unescaped slashes — an interior unescaped slash (a path-like
+        atom such as ``/a/b``) is NOT a regexp (classic QP would lex
+        ``/a/`` then ``b``; we keep path atoms whole — documented)."""
+        if len(raw) < 2 or raw[0] != "/" or raw[-1] != "/":
+            return None
+        i = 1
+        while i < len(raw) - 1:
+            if raw[i] == "\\" and i + 1 < len(raw):
+                i += 2
+                continue
+            if raw[i] == "/":
+                return None
+            i += 1
+        if raw[-2] == "\\":  # closing slash is escaped: not terminated
+            return None
+        return raw[1:-1].replace("\\/", "/")
+
     def _parse_atom(self, lex: _Lexer, field: str, val: str):
+        rx = self._regexp_body(val)
+        if rx is not None:
+            # lowercaseExpandedTerms applies to regexps like wildcards
+            pat = rx if field in self.keyword_fields else rx.lower()
+            boost = self._parse_boost(lex)
+            return RegexpQuery(field, pat, boost)
         fuzzy = None
         if lex.peek_char() == "~":
             lex.next_token()

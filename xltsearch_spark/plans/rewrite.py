@@ -19,7 +19,7 @@ from dataclasses import dataclass
 
 from xltsearch_spark.plans.parser import (
     BooleanQuery, FuzzyQuery, MatchAllQuery, PhraseQuery, PrefixQuery,
-    RangeQuery, SHOULD, TermQuery, WildcardQuery,
+    RangeQuery, RegexpQuery, SHOULD, TermQuery, WildcardQuery,
 )
 
 FUZZY_TOP_TERMS = 50  # TopTermsScoringBooleanQueryRewrite size in FuzzyQuery 4.6
@@ -73,6 +73,12 @@ def _damerau_capped(a: str, b: str, cap: int) -> int:
     return min(d[la + 1][lb + 1], cap + 1)
 
 
+def _anchored_regexp(pattern: str) -> str:
+    """Lucene RegexpQuery matches the WHOLE term — anchor the user pattern.
+    The non-capturing group keeps alternations like ``a|b`` whole-term."""
+    return "^(?:" + pattern + ")$"
+
+
 def _wildcard_regex(pattern: str) -> re.Pattern:
     """Wildcard pattern -> regex. The pattern may still carry classic-QP
     backslash escapes: ``\\*`` / ``\\?`` stay LITERAL characters (classic
@@ -110,6 +116,10 @@ def rewrite(ast, vocab):
         return ConstScoreTerms(ast.field, terms, ast.boost)
     if isinstance(ast, WildcardQuery):
         rx = _wildcard_regex(ast.pattern)
+        terms = tuple(t for t in vocab.get(ast.field, ()) if rx.match(t))
+        return ConstScoreTerms(ast.field, terms, ast.boost)
+    if isinstance(ast, RegexpQuery):
+        rx = re.compile(_anchored_regexp(ast.pattern))
         terms = tuple(t for t in vocab.get(ast.field, ()) if rx.match(t))
         return ConstScoreTerms(ast.field, terms, ast.boost)
     if isinstance(ast, RangeQuery):
