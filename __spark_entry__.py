@@ -603,6 +603,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.language_id(s.read.parquet(f"{d}/documents.parquet"))
     q["text_lang_id"] = lang_id
 
+    def vocab(s, d):
+        """Corpus vocabulary profile: top-50 terms by document frequency
+        (ties term-asc) with total term frequency — bounded output, two
+        map-side-combined aggregates."""
+        return textstats.vocab_stats(
+            s.read.parquet(f"{d}/documents.parquet"), top_n=50)
+    q["text_vocab_stats"] = vocab
+
     def text_repetition(s, d):
         """Gopher-style repetition signals (dup-line fractions + top-2gram
         coverage) — the filters pretraining pipelines apply before
@@ -987,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
+        "text_vocab_stats",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -1596,6 +1605,16 @@ def oracle_sql() -> dict[str, str]:
            len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'), x -> x <> '')) AS n_tokens,
            len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_ws_tokens
     FROM documents"""
+
+    o["text_vocab_stats"] = """
+    WITH tk AS (SELECT doc_id,
+                       unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                                          x -> x <> '')) AS term
+                FROM documents),
+    pd AS (SELECT term, doc_id, count(*) AS c FROM tk GROUP BY term, doc_id),
+    ag AS (SELECT term, count(*)::BIGINT AS df, sum(c)::BIGINT AS tf
+           FROM pd GROUP BY term)
+    SELECT term, df, tf FROM ag ORDER BY df DESC, term LIMIT 50"""
 
     o["text_quality"] = f"""
     WITH f AS (

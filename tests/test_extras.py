@@ -527,3 +527,14 @@ def test_gopher_ellipsis_and_mean_len(spark):
     assert out[0]["ellipsis_ok"] == 0
     assert out[1]["mean_word_len"] == pytest.approx(20.0)
     assert out[1]["mean_len_ok"] == 0 and out[1]["stop_ok"] == 0
+
+
+def test_vocab_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "beta gamma"), (2, "beta")],
+        ["doc_id", "text"])
+    rows = textstats.vocab_stats(df, top_n=10).collect()
+    assert [(r["term"], r["df"], r["tf"]) for r in rows] == [
+        ("beta", 3, 3), ("alpha", 1, 2), ("gamma", 1, 1)]
+    top1 = textstats.vocab_stats(df, top_n=1).collect()
+    assert [(r["term"], r["df"], r["tf"]) for r in top1] == [("beta", 3, 3)]

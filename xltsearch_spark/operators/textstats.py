@@ -337,3 +337,22 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, <gopher signals + flags>) — unpacked `gopher_struct`."""
     return (df.withColumn("_g", gopher_struct(F.col(text_col)))
             .select("doc_id", "_g.*"))
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text",
+                top_n: int = 50) -> DataFrame:
+    """(term, df, tf) for the ``top_n`` highest-document-frequency terms
+    (ties break term-ascending) — the corpus vocabulary profile a
+    training pipeline reads before choosing stop lists, tokenizer vocab
+    coverage, or `max_shingle_df`-style hot-term caps.
+
+    Scale shape: explode → ONE (term, doc_id) pre-aggregate (map-side
+    combined, so a hot term contributes one row per partition, not one
+    per occurrence) → per-term aggregate → TakeOrdered(top_n). The
+    result is bounded at ``top_n`` rows regardless of corpus size."""
+    toks = df.select("doc_id",
+                     F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    agg = per_doc.groupBy("term").agg(F.count("*").alias("df"),
+                                      F.sum("c").alias("tf"))
+    return agg.orderBy(F.desc("df"), F.asc("term")).limit(top_n)
