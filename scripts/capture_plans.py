@@ -69,6 +69,15 @@ def main(out_path: str | None = None) -> int:
                      "Expected: StartsWith(term, ...) reaches PushedFilters "
                      "— constant-score expansion never builds driver "
                      "IN-lists.", explain_str(eng.score_all("need*"))))
+    sections.append(("regexp (pushed predicate): "
+                     "score_all('/needle_[0-9]+/')",
+                     "Expected (r5 Q7b): `field = content` partition "
+                     "pruning on the scan; the anchored RLIKE evaluates "
+                     "in the Filter directly above it (regex can't reach "
+                     "parquet row-group stats, and bucket = hash(term) is "
+                     "unknowable for a pattern — all buckets of ONE field "
+                     "scan, no driver expansion, constant-score).",
+                     explain_str(eng.score_all("/needle_[0-9]+/"))))
     eng.wand_enabled = True
 
     # 1) fuzzy candidates: length-window filter BEFORE levenshtein reaches

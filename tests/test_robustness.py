@@ -167,3 +167,30 @@ def test_connected_components_raises_on_nonconvergence(spark):
     comp = {r["doc_id"]: r["component"]
             for r in dedup.connected_components(chain, max_iter=20).collect()}
     assert set(comp.values()) == {1}
+
+
+@given(st.text(alphabet="ab /\\()[]|.*+^~:\"", min_size=1, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_parser_slash_soup(q):
+    """Regexp lexing (r5) must never crash on slash-heavy soup; anything
+    either parses or raises QueryParseError. (Queries with NO '/' are
+    provably unaffected by the regexp token — the lexer group requires
+    one — so the fuzz concentrates on slash interactions.)"""
+    try:
+        P.parse(q)
+    except QueryParseError:
+        pass
+
+
+@given(st.text(alphabet="ab.*|[]()", min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_regexp_body_roundtrip(body):
+    """/body/ either parses to RegexpQuery carrying exactly body
+    (lowercased) or raises — never silently degrades to another node."""
+    from xltsearch_spark.plans.parser import RegexpQuery
+    try:
+        ast = P.parse("/" + body + "/")
+    except QueryParseError:
+        return
+    if isinstance(ast, RegexpQuery):
+        assert ast.pattern == body.lower()
