@@ -30,9 +30,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
 from xltsearch_spark.config import IndexConfig
-from xltsearch_spark.operators import (dedup, events, multimodal, packing,
-                                       parse, sampling, scrub, similarity,
-                                       textstats)
+from xltsearch_spark.operators import (dedup, events, fusion, multimodal,
+                                       packing, parse, sampling, scrub,
+                                       similarity, textstats)
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.operators.search import SearchEngine
 
@@ -971,6 +971,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_cosine_ivf_kmeans"] = ann_ivf_kmeans
 
+    def hybrid_rrf(s, d):
+        """Hybrid retrieval: BM25 top-20 for 'merge' (ranked on the
+        ROUNDED score with src-doc-id tie-break, the _ft rank contract)
+        + cosine top-20 around vec 5's embedding (vec_id == doc_id),
+        fused with RRF(k=60) to top-10. The oracle recomputes both legs'
+        ranked lists and the same 1/(60+rank) arithmetic."""
+        engine = _get_engine(s, d)
+        bm = (engine.score_all("merge")
+              .withColumn("score", F.round("score", 4))
+              .join(_orig_ids(engine), "doc_id")
+              .select(F.col("src_doc_id").alias("doc_id"), "score"))
+        bm_ranked = fusion.topk_ranked(bm, "score", "doc_id", 20)
+        emb = (s.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("embedding")))
+        qvec = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+        vec = (similarity.cosine_topk_bruteforce(emb, qvec, k=20)
+               .withColumn("cosine", F.round("cosine", 6))
+               .select(F.col("vec_id").alias("doc_id"), "cosine"))
+        vec_ranked = fusion.topk_ranked(vec, "cosine", "doc_id", 20)
+        out = fusion.rrf_fuse([bm_ranked, vec_ranked], topk=10)
+        return out.select("doc_id", F.round("rrf_score", 8).alias("rrf_score"),
+                          "n_lists")
+    q["hybrid_rrf"] = hybrid_rrf
+
     def semdedup(s, d):
         """SemDeDup (Abbas et al. 2023): cluster with the SAME trained
         centroids as ann_cosine_ivf_kmeans, then within-cluster cosine
@@ -995,7 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
-        "text_vocab_stats",
+        "text_vocab_stats", "hybrid_rrf",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -1675,6 +1700,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) / (a.nrm*b.nrm) AS c
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
     SELECT a, b, round(c, 6) AS cosine FROM p WHERE round(c, 6) >= 0.4 ORDER BY a, b"""
+
+    # Hybrid RRF: both legs re-ranked on the same ROUNDED scores the Spark
+    # side ranks on (score@4 / cosine@6), then 1/(60+rank) fusion. DOUBLE
+    # cast keeps DuckDB out of DECIMAL arithmetic.
+    o["hybrid_rrf"] = f"""WITH {_TOK_CTE},
+    bm AS (SELECT doc_id, round(score, 4) AS score FROM ({_bm25_sql('merge')})),
+    bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM bm QUALIFY rnk <= 20),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 5),
+    z AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+                 unnest(q.qe)::DOUBLE AS y
+          FROM embeddings e CROSS JOIN q),
+    cs AS (SELECT vec_id,
+                  round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cosine
+           FROM z GROUP BY vec_id),
+    vr AS (SELECT vec_id AS doc_id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+           FROM cs QUALIFY rnk <= 20),
+    u AS (SELECT * FROM bmr UNION ALL SELECT * FROM vr),
+    f AS (SELECT doc_id, sum(1.0::DOUBLE / (60 + rnk)) AS rrf_score,
+                 count(*) AS n_lists
+          FROM u GROUP BY doc_id)
+    SELECT doc_id, round(f.rrf_score, 8) AS rrf_score, n_lists
+    FROM f ORDER BY f.rrf_score DESC, doc_id LIMIT 10"""
 
     o["ann_cosine_topk"] = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -538,3 +538,27 @@ def test_vocab_stats_counts(spark):
         ("beta", 3, 3), ("alpha", 1, 2), ("gamma", 1, 1)]
     top1 = textstats.vocab_stats(df, top_n=1).collect()
     assert [(r["term"], r["df"], r["tf"]) for r in top1] == [("beta", 3, 3)]
+
+
+def test_rrf_fuse_arithmetic(spark):
+    from xltsearch_spark.operators import fusion
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r for r in fusion.rrf_fuse([a, b]).collect()}
+    assert out[1]["rrf_score"] == pytest.approx(1 / 61 + 1 / 62)
+    assert out[3]["rrf_score"] == pytest.approx(1 / 63 + 1 / 61)
+    assert out[2]["rrf_score"] == pytest.approx(1 / 62)
+    assert out[1]["n_lists"] == 2 and out[2]["n_lists"] == 1
+    # doc in both lists outranks a same-best-rank doc in one list
+    order = [r["doc_id"] for r in fusion.rrf_fuse([a, b], topk=4).collect()]
+    assert order[0] in (1, 3) and set(order) == {1, 2, 3, 4}
+
+
+def test_topk_ranked_cut_and_ties(spark):
+    from xltsearch_spark.operators import fusion
+    df = spark.createDataFrame(
+        [(10, 2.0), (11, 2.0), (12, 1.0), (13, 3.0)], ["doc_id", "score"])
+    got = {r["doc_id"]: r["rank"]
+           for r in fusion.topk_ranked(df, "score", "doc_id", 3).collect()}
+    # ties break id-ascending; the k-cut drops doc 12
+    assert got == {13: 1, 10: 2, 11: 3}
