@@ -971,6 +971,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_cosine_ivf_kmeans"] = ann_ivf_kmeans
 
+    def chunks(s, d):
+        """RAG chunking: 64-word windows, 16-word overlap, deterministic
+        ceil((n-overlap)/step) layout; oracle replays the slice windows
+        with generate_series + list slicing."""
+        return (parse.chunk_documents(
+            s.read.parquet(f"{d}/documents.parquet"),
+            chunk_tokens=64, overlap=16)
+            .orderBy("doc_id", "chunk_id"))
+    q["doc_chunks"] = chunks
+
     def hybrid_rrf(s, d):
         """Hybrid retrieval: BM25 top-20 for 'merge' (ranked on the
         ROUNDED score with src-doc-id tie-break, the _ft rank contract)
@@ -1020,7 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
-        "text_vocab_stats", "hybrid_rrf",
+        "text_vocab_stats", "hybrid_rrf", "doc_chunks",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -1700,6 +1710,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) / (a.nrm*b.nrm) AS c
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
     SELECT a, b, round(c, 6) AS cosine FROM p WHERE round(c, 6) >= 0.4 ORDER BY a, b"""
+
+    # RAG chunking: 64-word windows, 16 overlap (step 48); DuckDB slice is
+    # 1-based inclusive and clamps, matching F.slice(start, length)
+    o["doc_chunks"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents),
+    b AS (SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) > 0),
+    k AS (SELECT doc_id, words,
+                 greatest(ceil((n - 16) / 48.0), 1)::BIGINT AS n_chunks
+          FROM b),
+    c AS (SELECT doc_id, words, unnest(range(n_chunks)) AS chunk_id FROM k),
+    p AS (SELECT doc_id, chunk_id,
+                 words[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS piece
+          FROM c)
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           len(piece) AS n_chunk_tokens,
+           array_to_string(piece, ' ') AS chunk_text
+    FROM p ORDER BY doc_id, chunk_id"""
 
     # Hybrid RRF: both legs re-ranked on the same ROUNDED scores the Spark
     # side ranks on (score@4 / cosine@6), then 1/(60+rank) fusion. DOUBLE

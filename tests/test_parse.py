@@ -225,3 +225,34 @@ def test_register_detection_only_parser_degrades(spark):
         assert out[1] == ("plain", True, "plain words")
     finally:
         parse.unregister_parser("pdf")
+
+
+def test_chunk_documents_layout(spark):
+    from xltsearch_spark.operators.parse import chunk_documents
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(0, text), (1, "a b c"), (2, ""), (3, None)], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 words, step 48: ceil(84/48) = 2 chunks, second covers 48..100
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c0] == [0, 1]
+    assert c0[0]["n_chunk_tokens"] == 64
+    assert c0[0]["chunk_text"].startswith("w0 w1 ") and c0[0]["chunk_text"].endswith("w63")
+    assert c0[1]["n_chunk_tokens"] == 52  # words 48..99
+    assert c0[1]["chunk_text"].startswith("w48 ")
+    # overlap: words 48..63 appear in both chunks
+    assert "w50" in c0[0]["chunk_text"] and "w50" in c0[1]["chunk_text"]
+    # short doc -> one chunk; empty/NULL -> no rows
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b c"
+    assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from xltsearch_spark.operators.parse import chunk_documents
+    import pytest as _pt
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=32, overlap=32)

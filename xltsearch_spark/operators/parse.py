@@ -237,3 +237,43 @@ def extract_text(df: DataFrame, content_col: str = "content",
     return (df.withColumn("format", fmt)
             .withColumn("parse_ok", parse_ok)
             .withColumn(out_col, extracted))
+
+
+def chunk_documents(df, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 128, overlap: int = 32):
+    """Split documents into overlapping word-window chunks — the RAG /
+    long-context ingestion step (chunk i covers words
+    [i*step, i*step + chunk_tokens), step = chunk_tokens - overlap).
+
+    Deterministic layout: n_chunks = ceil((n_words - overlap) / step)
+    (>= 1 for any non-empty doc; empty/NULL text yields no rows), so
+    chunk ids are reproducible under any partitioning. Chunk text is
+    whitespace-canonicalized (split + single-space join) — the same
+    canonical form `textstats.fingerprints` hashes.
+
+    Scale shape: pure built-in expressions (split → sequence →
+    posexplode → slice → array_join), map-only — fuses into the scan
+    with no shuffle; output rows ~ corpus_tokens / step.
+    """
+    from pyspark.sql import functions as F
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens "
+                         f"({chunk_tokens})")
+    step = chunk_tokens - overlap
+    words = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                     lambda w: w != "")
+    base = df.select(F.col(id_col), words.alias("_w"),
+                     F.size(words).alias("_n"))
+    n_chunks = F.when(F.col("_n") <= 0, F.lit(0)).otherwise(
+        F.greatest(F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(step)),
+                   F.lit(1)))
+    chunks = (base.withColumn("_k", n_chunks)
+              .filter(F.col("_k") > 0)
+              .select(id_col, "_w", "_n",
+                      F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+                      .alias("chunk_id")))
+    piece = F.slice(F.col("_w"), F.col("chunk_id") * step + 1, chunk_tokens)
+    return chunks.select(
+        F.col(id_col), F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
