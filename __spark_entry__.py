@@ -1006,6 +1006,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "n_lists")
     q["hybrid_rrf"] = hybrid_rrf
 
+    def mmr(s, d):
+        """MMR diversification of a cosine top-20 candidate list (k=4,
+        lambda=0.7): the oracle unrolls all four greedy steps in SQL —
+        argmax rel, then three argmax(0.7*rel - (1-0.7)*max-sim-to-
+        selected) rounds, ties to the lowest id."""
+        emb = (s.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("embedding")))
+        qvec = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+        top = (similarity.cosine_topk_bruteforce(emb, qvec, k=20)
+               .withColumn("rel", F.round("cosine", 6)))
+        cand = (top.join(emb, "vec_id")
+                .select(F.lit(0).cast("long").alias("query_id"),
+                        F.col("vec_id").alias("doc_id"), "rel", "embedding"))
+        out = fusion.mmr_diversify(cand, k=4, lambda_=0.7)
+        return (out.select("doc_id", "mmr_rank",
+                           F.round("mmr_score", 6).alias("mmr_score"))
+                .orderBy("mmr_rank"))
+    q["mmr_diversify"] = mmr
+
     def semdedup(s, d):
         """SemDeDup (Abbas et al. 2023): cluster with the SAME trained
         centroids as ann_cosine_ivf_kmeans, then within-cluster cosine
@@ -1030,7 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
-        "text_vocab_stats", "hybrid_rrf", "doc_chunks",
+        "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -1039,10 +1059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 18 front (r5-new dedup_semantic/text_gopher_quality/ft_merge +
-    # stream/lm/mixture + the r3-stale ann/events/multimodal) + 28 ft_*
-    # + 4 dedup_* = exactly the 50-entry window; the 18 outside
-    # (dedup_groups/substring, parse_*, text/sampling/packing) all ride
+    # 22 front (the 7 r5-new entries + stream/lm/mixture + the r3-stale
+    # ann/events/multimodal) + 28 ft_* = exactly the 50-entry window; the
+    # 22 outside (dedup_*, parse_*, text/sampling/packing) all ride
     # r4-green rows and rotate forward next round.
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1731,6 +1750,58 @@ def oracle_sql() -> dict[str, str]:
            len(piece) AS n_chunk_tokens,
            array_to_string(piece, ' ') AS chunk_text
     FROM p ORDER BY doc_id, chunk_id"""
+
+    # MMR: the greedy loop unrolled — rel/sims rounded @6 before each
+    # argmax (the operator's determinism contract); lambda arithmetic uses
+    # (1.0 - 0.7) literally, NOT 0.3, because IEEE 1.0-0.7 != 0.3 and the
+    # operator computes 1.0 - lambda_.
+    o["mmr_diversify"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe,
+                      sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+               FROM embeddings WHERE vec_id = 5),
+    n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings),
+    cand AS (SELECT vec_id AS id,
+                    round(list_dot_product(n.e, q.qe) / (n.nrm * q.qn), 6) AS rel
+             FROM n CROSS JOIN q
+             ORDER BY list_dot_product(n.e, q.qe) / (n.nrm * q.qn) DESC, vec_id
+             LIMIT 20),
+    ps AS (SELECT a.id AS ai, b.id AS bi,
+                  round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6) AS s
+           FROM cand a CROSS JOIN cand b
+           JOIN n na ON na.vec_id = a.id JOIN n nb ON nb.vec_id = b.id),
+    s1 AS (SELECT id, rel AS score FROM cand ORDER BY rel DESC, id LIMIT 1),
+    o2 AS (SELECT c.id, c.rel,
+                  0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * ps.s AS obj
+           FROM cand c
+           JOIN s1 ON c.id <> s1.id
+           JOIN ps ON ps.ai = c.id AND ps.bi = s1.id),
+    s2 AS (SELECT id, obj AS score FROM o2 ORDER BY obj DESC, id LIMIT 1),
+    sel2 AS (SELECT id FROM s1 UNION ALL SELECT id FROM s2),
+    o3 AS (SELECT c.id,
+                  0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * max(ps.s) AS obj
+           FROM cand c
+           JOIN ps ON ps.ai = c.id AND ps.bi IN (SELECT id FROM sel2)
+           WHERE c.id NOT IN (SELECT id FROM sel2)
+           GROUP BY c.id, c.rel),
+    s3 AS (SELECT id, obj AS score FROM o3 ORDER BY obj DESC, id LIMIT 1),
+    sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM s3),
+    o4 AS (SELECT c.id,
+                  0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * max(ps.s) AS obj
+           FROM cand c
+           JOIN ps ON ps.ai = c.id AND ps.bi IN (SELECT id FROM sel3)
+           WHERE c.id NOT IN (SELECT id FROM sel3)
+           GROUP BY c.id, c.rel),
+    s4 AS (SELECT id, obj AS score FROM o4 ORDER BY obj DESC, id LIMIT 1)
+    SELECT id AS doc_id, 1 AS mmr_rank, round(score, 6) AS mmr_score FROM s1
+    UNION ALL
+    SELECT id, 2, round(score, 6) FROM s2
+    UNION ALL
+    SELECT id, 3, round(score, 6) FROM s3
+    UNION ALL
+    SELECT id, 4, round(score, 6) FROM s4
+    ORDER BY mmr_rank"""
 
     # Hybrid RRF: both legs re-ranked on the same ROUNDED scores the Spark
     # side ranks on (score@4 / cosine@6), then 1/(60+rank) fusion. DOUBLE

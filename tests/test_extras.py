@@ -562,3 +562,53 @@ def test_topk_ranked_cut_and_ties(spark):
            for r in fusion.topk_ranked(df, "score", "doc_id", 3).collect()}
     # ties break id-ascending; the k-cut drops doc 12
     assert got == {13: 1, 10: 2, 11: 3}
+
+
+def test_mmr_diversify_greedy_rule(spark):
+    from xltsearch_spark.operators import fusion
+    rng = np.random.default_rng(33)
+    mat = rng.standard_normal((12, 8))
+    mat[1] = mat[0] + 0.001 * rng.standard_normal(8)  # redundant with 0
+    rel = np.linspace(1.0, 0.5, 12)  # doc 0 most relevant, 1 second
+    df = spark.createDataFrame(
+        [(0, i, float(rel[i]), mat[i].tolist()) for i in range(12)],
+        ["query_id", "doc_id", "rel", "embedding"])
+    out = sorted(fusion.mmr_diversify(df, k=4, lambda_=0.7).collect(),
+                 key=lambda r: r["mmr_rank"])
+    picked = [r["doc_id"] for r in out]
+    assert picked[0] == 0                    # pure relevance first
+    assert 1 not in picked[:3]               # near-dup of 0 suppressed
+    # replay the greedy rule in numpy
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = np.round(unit @ unit.T, 6)
+    r6 = np.round(rel, 6)
+    sel, rem = [], set(range(12))
+    for _ in range(4):
+        if not sel:
+            obj = r6.copy()
+        else:
+            obj = 0.7 * r6 - (1.0 - 0.7) * sims[:, sel].max(axis=1)
+        best = min(rem, key=lambda i: (-obj[i], i))
+        sel.append(best)
+        rem.remove(best)
+    assert picked == sel
+    assert all(out[i]["mmr_score"] >= out[i + 1]["mmr_score"] - 1e-9
+               for i in range(2))  # ranks 2..4 non-increasing
+
+
+def test_mmr_diversify_multiquery_and_short_groups(spark):
+    from xltsearch_spark.operators import fusion
+    rng = np.random.default_rng(34)
+    rows = []
+    for qid in (0, 1):
+        mat = rng.standard_normal((3, 4))
+        for i in range(3):
+            rows.append((qid, qid * 10 + i, 1.0 - 0.1 * i, mat[i].tolist()))
+    df = spark.createDataFrame(rows, ["query_id", "doc_id", "rel", "embedding"])
+    out = fusion.mmr_diversify(df, k=5).collect()  # k > group size: all kept
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert {len(v) for v in per_q.values()} == {3}
+    for v in per_q.values():
+        assert sorted(r["mmr_rank"] for r in v) == [1, 2, 3]
