@@ -971,6 +971,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_cosine_ivf_kmeans"] = ann_ivf_kmeans
 
+    def mlt_entry(s, d):
+        """MoreLikeThis: top-10 tf*idf terms of source doc 7 (rounded@6
+        cut, term-asc ties) -> unboosted SHOULD query -> BM25 top-20
+        excluding the source. The oracle recomputes term selection AND
+        the summed BM25 in SQL."""
+        engine = _get_engine(s, d)
+        ids = _orig_ids(engine)
+        internal = int(ids.filter(F.col("src_doc_id") == 7)
+                       .collect()[0]["doc_id"])
+        scored = engine.more_like_this(internal, max_terms=10, min_df=2,
+                                       limit=None)
+        out = (scored.withColumn("score", F.round("score", 4))
+               .join(ids, "doc_id")
+               .select(F.col("src_doc_id").alias("doc_id"), "score"))
+        return (out.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_more_like_this"] = mlt_entry
+
     def chunks(s, d):
         """RAG chunking: 64-word windows, 16-word overlap, deterministic
         ceil((n-overlap)/step) layout; oracle replays the slice windows
@@ -1051,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
+        "ft_more_like_this",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -1729,6 +1748,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) / (a.nrm*b.nrm) AS c
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
     SELECT a, b, round(c, 6) AS cosine FROM p WHERE round(c, 6) >= 0.4 ORDER BY a, b"""
+
+    # MoreLikeThis: term selection (tf * (1 + ln(N/(df+1))), rounded@6 cut)
+    # recomputed in SQL, then summed BM25 over the selected set; src doc 7
+    # excluded; rank on the rounded@4 score (the _ft contract)
+    o["ft_more_like_this"] = f"""WITH {_TOK_CTE},
+    tv AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = 7 GROUP BY term),
+    dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    mlt AS (SELECT tv.term
+            FROM tv JOIN dfs USING (term) CROSS JOIN st
+            WHERE tv.tf >= 1 AND dfs.df >= 2
+            ORDER BY round(tv.tf * (1.0::DOUBLE
+                                    + ln(st.n::DOUBLE / (dfs.df + 1))), 6) DESC,
+                     tv.term
+            LIMIT 10),
+    t AS (SELECT tok.doc_id, tok.term, count(*) AS tf
+          FROM tok JOIN mlt USING (term) GROUP BY tok.doc_id, tok.term),
+    d2 AS (SELECT dfs.term, dfs.df FROM dfs JOIN mlt USING (term)),
+    sc AS (SELECT t.doc_id,
+                  sum(ln(1 + (st.n - d2.df + 0.5) / (d2.df + 0.5)) * 2.2 * t.tf
+                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS score
+           FROM t JOIN d2 ON t.term = d2.term
+           JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+           GROUP BY t.doc_id)
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(sc.score, 4) AS score
+        FROM sc WHERE doc_id <> 7
+        ORDER BY round(sc.score, 4) DESC, doc_id LIMIT 20)
+    ORDER BY score DESC, doc_id"""
 
     # RAG chunking: 64-word windows, 16 overlap (step 48); DuckDB slice is
     # 1-based inclusive and clamps, matching F.slice(start, length)

@@ -585,3 +585,32 @@ def test_regexp_query_rank_identical(bm25_setup):
     assert_rank_identical(engine, oracle,
                           ["/needle_1[0-9]/", "/need.e_2/ OR graded",
                            "common_token AND /gr.ded/"])
+
+
+def test_more_like_this_matches_oracle_or_query(bm25_setup):
+    """MLT = top tf*idf terms of the source doc run as an unboosted OR:
+    recompute the term selection from the pyoracle's postings, then the
+    engine's MLT result must rank-match oracle.search on that OR query
+    (minus the source doc)."""
+    import math
+    engine, oracle, _ = bm25_setup
+    src = 3
+    tf = {t: len(ps) for (f, t), ps in
+          ((k, v.get(src)) for k, v in oracle.postings.items()
+           if k[0] == "content" and v.get(src) is not None)}
+    n = oracle.n_docs
+    scored = sorted(
+        ((round(c * (1.0 + math.log(n / (len(oracle.postings[("content", t)]) + 1))), 6), t)
+         for t, c in tf.items()
+         if len(oracle.postings[("content", t)]) >= 2),
+        key=lambda x: (-x[0], x[1]))
+    terms = [t for _, t in scored[:5]]
+    assert terms, "fixture doc 3 must yield MLT terms"
+    exp = [(h["doc_id"], h["score"]) for h in
+           oracle.search(" OR ".join(terms), 50) if h["doc_id"] != src]
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in engine.more_like_this(src, max_terms=5, min_df=2,
+                                          limit=50).collect()]
+    assert [g[0] for g in got][:len(exp)] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)

@@ -564,6 +564,12 @@ class SearchEngine:
         ``_idf_map``: doc freqs already collected by a declined WAND attempt
         (same (field, term) keys by construction) — skips the re-collect."""
         ast = self._rewrite(self.parser.parse(query))
+        return self._score_ast(ast, _idf_map)
+
+    def _score_ast(self, ast, _idf_map: dict | None = None) -> DataFrame:
+        """score_all over an already-rewritten AST (callers that build
+        query trees from ANALYZED terms — more_like_this — must not
+        round-trip through the parser, which would re-analyze)."""
         terms, preds = self._collect_leaves(ast)
         idf_map = _idf_map if _idf_map is not None else self._doc_freqs(terms)
         self._last_conj_ranges = None
@@ -578,6 +584,50 @@ class SearchEngine:
                 lambda f, t: scoring.tfidf_idf(self.stats.n_docs, idf_map.get((f, t), 0)))
             out = self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=scoring.query_norm(ssw))
         return self._filter_tombstones(out)
+
+    def more_like_this(self, doc_id: int, field: str = "content",
+                       max_terms: int = 10, min_tf: int = 1, min_df: int = 2,
+                       limit: int | None = 100) -> DataFrame:
+        """Lucene MoreLikeThis (queries module — public semantics): rank
+        the source doc's terms by tf x DefaultSimilarity idf
+        (1 + ln(N/(df+1))), keep the top ``max_terms`` (rounded score
+        desc, term asc — rounding keeps the cut stable across libm ln
+        implementations, the _ft rank contract), run them as an unboosted
+        SHOULD query (MLT boost=false default) excluding the source doc.
+
+        Scale shape: the term vector comes from ONE doc-range-pruned
+        postings scan — only blocks whose (skip_first_doc, skip_last_doc)
+        span covers the doc are read (~one block per distinct term of the
+        doc at any corpus size, the pushed-filter analog of Lucene term
+        vectors); df joins the dictionary against the BROADCAST tiny term
+        vector; the driver collects <= max_terms rows."""
+        scan = self.postings.filter(
+            (F.col("field") == field) &
+            (F.col("skip_first_doc") <= doc_id) &
+            (F.col("skip_last_doc") >= doc_id))
+        decoded = self._decode_blocks(scan, {}, with_positions=False)
+        tv = (decoded.filter(F.col("doc_id") == doc_id)
+              .groupBy("term").agg(F.sum("tf").alias("tf")))
+        dic = (self.dictionary.filter(F.col("field") == field)
+               .groupBy("term").agg(F.sum("doc_freq").alias("df")))
+        n = self.stats.n_docs
+        mlt_score = F.round(
+            F.col("tf") * (F.lit(1.0)
+                           + F.log(F.lit(float(n)) / (F.col("df") + 1))), 6)
+        cand = (dic.join(F.broadcast(tv), "term")
+                .filter((F.col("tf") >= min_tf) & (F.col("df") >= min_df))
+                .withColumn("mlt_score", mlt_score)
+                .orderBy(F.desc("mlt_score"), F.asc("term"))
+                .limit(max_terms))
+        rows = cand.collect()
+        if not rows:
+            return self._empty_scores()
+        ast = BooleanQuery(tuple(
+            (SHOULD, TermQuery(field, r["term"])) for r in rows))
+        scored = self._score_ast(ast).filter(F.col("doc_id") != doc_id)
+        if limit is None:  # callers that re-rank on rounded scores
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     # --------------------- multi-term expansion ----------------------------
     def _rewrite(self, ast):
