@@ -971,6 +971,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
     q["ann_cosine_ivf_kmeans"] = ann_ivf_kmeans
 
+    def suggest(s, d):
+        """Did-you-mean over the index dictionary: suggestions for the
+        misspelling 'sar' (lev<=2, 5 neighbors), ranked (dist, df desc, term) —
+        all-integer ordering, exactly SQL-replayable."""
+        return _get_engine(s, d).suggest_terms("sar", k=5)
+    q["ft_suggest"] = suggest
+
     def mlt_entry(s, d):
         """MoreLikeThis: top-10 tf*idf terms of source doc 7 (rounded@6
         cut, term-asc ties) -> unboosted SHOULD query -> BM25 top-20
@@ -1069,7 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
-        "ft_more_like_this",
+        "ft_more_like_this", "ft_suggest",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -1748,6 +1755,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT unnest(a.embedding) x, unnest(b.embedding) y)) / (a.nrm*b.nrm) AS c
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
     SELECT a, b, round(c, 6) AS cosine FROM p WHERE round(c, 6) >= 0.4 ORDER BY a, b"""
+
+    # Did-you-mean: lev<=2 dictionary suggestions for 'mrege', input term
+    # excluded (dist >= 1), integer-only ordering; 'sar' has 5 lev-2
+    # neighbors, so the df-desc tie-break is exercised
+    o["ft_suggest"] = f"""WITH {_TOK_CTE},
+    dfv AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+    SELECT term AS suggestion, levenshtein(term, 'sar') AS dist, df
+    FROM dfv
+    WHERE levenshtein(term, 'sar') BETWEEN 1 AND 2
+    ORDER BY dist, df DESC, term LIMIT 5"""
 
     # MoreLikeThis: term selection (tf * (1 + ln(N/(df+1))), rounded@6 cut)
     # recomputed in SQL, then summed BM25 over the selected set; src doc 7

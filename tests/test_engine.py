@@ -614,3 +614,31 @@ def test_more_like_this_matches_oracle_or_query(bm25_setup):
     assert [g[0] for g in got][:len(exp)] == [e[0] for e in exp]
     for g, e in zip(got, exp):
         assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+
+def test_suggest_terms_ordering(bm25_setup):
+    """Integer-only suggestion ranking: dist asc, df desc, term asc;
+    the input term itself (dist 0) is excluded."""
+    engine, oracle, _ = bm25_setup
+    got = engine.suggest_terms("gradd", k=5).collect()
+    assert got and all(1 <= r["dist"] <= 2 for r in got)
+    assert all(r["suggestion"] != "gradd" for r in got)
+    keys = [(r["dist"], -r["df"], r["suggestion"]) for r in got]
+    assert keys == sorted(keys)
+    # exact expected set from the oracle's vocabulary
+    import functools
+    def lev(a, b):
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+    vocab = {t: len(ps) for (f, t), ps in oracle.postings.items()
+             if f == "content"}
+    exp = sorted(((lev("gradd", t), -df, t) for t, df in vocab.items()
+                  if 1 <= lev("gradd", t) <= 2))[:5]
+    assert [(r["dist"], -r["df"], r["suggestion"]) for r in got] == exp

@@ -629,6 +629,33 @@ class SearchEngine:
             return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
+    def suggest_terms(self, term: str, field: str = "content", k: int = 5,
+                      max_edits: int = 2) -> DataFrame:
+        """Did-you-mean suggestions (Lucene suggest-module semantics,
+        spellcheck over the index dictionary): terms within ``max_edits``
+        of the input, the input itself excluded, ranked by
+        (distance asc, doc_freq desc, term asc) — an all-integer
+        ordering, so results are exactly reproducible. Distance is plain
+        Levenshtein (the JVM built-in; documented deviation from
+        LuceneLevenshteinDistance, which also counts transpositions —
+        a transposition here costs 2).
+
+        Scale shape: one dictionary scan with a pushed length-window
+        prefilter (|len(t)-len(q)| <= max_edits is necessary for
+        lev <= max_edits), JVM levenshtein, TakeOrdered(k) — no Python,
+        no driver expansion."""
+        t = term.lower()
+        qlen = len(t)
+        dic = (self.dictionary.filter(F.col("field") == field)
+               .filter(F.length("term").between(qlen - max_edits,
+                                                qlen + max_edits))
+               .groupBy("term").agg(F.sum("doc_freq").alias("df")))
+        return (dic.withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)))
+                .filter(F.col("dist").between(1, max_edits))
+                .select(F.col("term").alias("suggestion"), "dist", "df")
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("suggestion"))
+                .limit(k))
+
     # --------------------- multi-term expansion ----------------------------
     def _rewrite(self, ast):
         if isinstance(ast, BooleanQuery):
