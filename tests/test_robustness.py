@@ -194,3 +194,31 @@ def test_regexp_body_roundtrip(body):
         return
     if isinstance(ast, RegexpQuery):
         assert ast.pattern == body.lower()
+
+
+@given(st.text(alphabet="ab /\\()[].*W", min_size=1, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_parser_backslash_slash_soup(q):
+    """Escape-heavy soup around the regexp token (the r5 review found the
+    original fuzz alphabet omitted backslash)."""
+    try:
+        P.parse(q)
+    except QueryParseError:
+        pass
+
+
+def test_regexp_review_regressions():
+    """r5 code-review regressions, pinned: path atoms stay whole, escaped
+    classes keep case, escaped-backslash close parses, malformed patterns
+    raise QueryParseError (never a deep re.error / executor exception)."""
+    from xltsearch_spark.plans.parser import RegexpQuery
+    kp = QueryParser("standard", keyword_fields=("repo", "lang", "path"))
+    assert kp.parse("path:/usr/bin").term == "/usr/bin"  # keyword atom, whole
+    q = P.parse("http://example.com")  # no regexp hijack of URLs
+    assert not isinstance(q, RegexpQuery)
+    assert P.parse(r"/a\Wb/") == RegexpQuery("content", r"a\Wb")
+    assert P.parse(r"/a\\/") == RegexpQuery("content", "a\\\\")
+    with pytest.raises(QueryParseError):
+        P.parse("/(/")
+    with pytest.raises(QueryParseError):
+        P.parse("/a{2,1}/")

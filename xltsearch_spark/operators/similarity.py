@@ -24,15 +24,23 @@ def _norm_expr(col):
 
 
 def cosine_topk_bruteforce(vectors: DataFrame, query_vec: list[float], k: int = 10,
-                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           round_digits: int | None = None) -> DataFrame:
     """Exact top-k cosine for ONE query vector, fully built-in:
-    zip_with/aggregate dot product -> TakeOrdered(k). No shuffle at all."""
+    zip_with/aggregate dot product -> TakeOrdered(k). No shuffle at all.
+
+    ``round_digits``: round the cosine BEFORE the k-cut — callers that
+    verify against a fixed-precision oracle (or feed rank-sensitive
+    fusion) need the k-th slot decided on the rounded value, or a
+    last-ulp difference can swap boundary members."""
     q = [float(x) for x in query_vec]
     qn = float(np.sqrt(np.dot(q, q))) or 1.0
     dot = F.aggregate(F.zip_with(F.col(vec_col), F.array(*[F.lit(x) for x in q]),
                                  lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     sim = dot / (_norm_expr(F.col(vec_col)) * F.lit(qn))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     return (vectors.select(F.col(id_col), sim.alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
 

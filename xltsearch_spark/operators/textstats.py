@@ -288,9 +288,10 @@ def gopher_struct(text_col: Column) -> Column:
                           lambda acc, w: acc + F.length(w))
     mean_word_len = sum_len / safe_w
     n_hash = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
-    # ellipsis occurrences: each "..." (3 dots) or Unicode ellipsis
+    # ellipsis occurrences: actual "..." sequences (NOT total periods / 3 —
+    # scattered sentence/decimal dots must not count) + Unicode ellipsis
     n_ellip = (F.floor((F.length(t)
-                        - F.length(F.regexp_replace(t, r"\.", "")))
+                        - F.length(F.regexp_replace(t, r"\.\.\.", "")))
                        / F.lit(3))
                + F.length(t) - F.length(F.regexp_replace(t, "…", "")))
     symbol_ratio = (n_hash + n_ellip) / safe_w

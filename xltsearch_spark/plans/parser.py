@@ -126,7 +126,7 @@ _TOKEN_RE = re.compile(
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<phrase>"(?:[^"\\]|\\.)*")
-      | (?P<regexp>(?:(?:[^\s()+\-!"^~\\\[{:/]|\\.)+:)?/(?:[^/\\]|\\.)*/)
+      | (?P<regexp>(?:(?:[^\s()+\-!"^~\\\[{:/]|\\.)+:)?/(?:[^/\\]|\\.)*/(?=[\s()^]|$))
       | (?P<range>[\[{](?:[^\]}\\]|\\.)*?[\]}])
       | (?P<atom>(?:[^\s()+\-!"^~\\\[{]|\\.)(?:[^\s()!"^~\\\[{]|\\.)*)
       | (?P<caret>\^)
@@ -299,26 +299,53 @@ class QueryParser:
         (with ``\\/`` unescaped); else None. Only the first and last chars
         may be unescaped slashes — an interior unescaped slash (a path-like
         atom such as ``/a/b``) is NOT a regexp (classic QP would lex
-        ``/a/`` then ``b``; we keep path atoms whole — documented)."""
+        ``/a/`` then ``b``; we keep path atoms whole — documented, and the
+        lexer token requires a clause boundary after the closing slash for
+        the same reason: ``path:/usr/bin`` stays one atom)."""
         if len(raw) < 2 or raw[0] != "/" or raw[-1] != "/":
             return None
         i = 1
         while i < len(raw) - 1:
             if raw[i] == "\\" and i + 1 < len(raw):
-                i += 2
+                i += 2  # escape pair; may legitimately consume raw[-1]...
                 continue
             if raw[i] == "/":
                 return None
             i += 1
-        if raw[-2] == "\\":  # closing slash is escaped: not terminated
+        if i != len(raw) - 1:  # ...in which case the close slash was escaped
             return None
         return raw[1:-1].replace("\\/", "/")
+
+    @staticmethod
+    def _lower_pattern(p: str) -> str:
+        """lowercaseExpandedTerms for a regexp: lowercase LITERAL chars
+        only — an escaped char keeps its case, or ``\\W`` (non-word) would
+        silently invert into ``\\w`` (word)."""
+        out = []
+        i = 0
+        while i < len(p):
+            if p[i] == "\\" and i + 1 < len(p):
+                out.append(p[i])
+                out.append(p[i + 1])
+                i += 2
+                continue
+            out.append(p[i].lower())
+            i += 1
+        return "".join(out)
 
     def _parse_atom(self, lex: _Lexer, field: str, val: str):
         rx = self._regexp_body(val)
         if rx is not None:
             # lowercaseExpandedTerms applies to regexps like wildcards
-            pat = rx if field in self.keyword_fields else rx.lower()
+            # (escape-aware: \W must not become \w)
+            pat = rx if field in self.keyword_fields else self._lower_pattern(rx)
+            # fail malformed patterns HERE as QueryParseError — not as a
+            # re.error deep in rewrite (pyoracle) or an opaque Java
+            # PatternSyntaxException inside a Spark task (engine rlike)
+            try:
+                re.compile("^(?:" + pat + ")$")
+            except re.error as exc:
+                raise QueryParseError(f"bad regexp /{rx}/: {exc}") from exc
             boost = self._parse_boost(lex)
             return RegexpQuery(field, pat, boost)
         fuzzy = None
