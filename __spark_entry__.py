@@ -1055,6 +1055,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("mmr_rank"))
     q["mmr_diversify"] = mmr
 
+    def ann_pq(s, d):
+        """Product quantization (Jegou et al. 2011): seed codebooks
+        (first-16 sub-slices, id order), per-subspace argmin-L2 codes
+        (expansion-form distance, rounded@6), ADC top-50 via the query
+        LUT, exact-cosine rerank to top-10. The oracle replays codebooks,
+        codes, LUT, ADC, and rerank in SQL."""
+        emb = (s.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("embedding")))
+        qvec = emb.filter(F.col("vec_id") == 5).collect()[0]["embedding"]
+        cb = similarity.pq_train(emb, m=4, k=16, n_iter=0)
+        out = similarity.cosine_topk_pq(emb, qvec, k=10, codebooks=cb,
+                                        adc_candidates=50)
+        return out
+    q["ann_cosine_pq"] = ann_pq
+
     def semdedup(s, d):
         """SemDeDup (Abbas et al. 2023): cluster with the SAME trained
         centroids as ann_cosine_ivf_kmeans, then within-cluster cosine
@@ -1080,7 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
-        "ft_more_like_this", "ft_suggest",
+        "ft_more_like_this", "ft_suggest", "ann_cosine_pq",
         "ann_cosine_ivf_kmeans", "shard_manifest", "sample_mixture",
         "stream_curate", "stream_index", "text_lm_score",
         "mixture_temperature",
@@ -2501,6 +2517,49 @@ def oracle_sql() -> dict[str, str]:
            FROM n JOIN cand USING (vec_id) CROSS JOIN q)
     SELECT vec_id, round(cosine, 6) AS cosine
     FROM s2 ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+    # PQ: seed codebooks -> expansion-form argmin-L2 codes (rounded@6,
+    # code-asc ties) -> query LUT -> ADC top-50 (rounded@6, id ties) ->
+    # exact-cosine rerank cut on the ROUNDED value
+    o["ann_cosine_pq"] = """
+    WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                       embedding::DOUBLE[] AS e
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 16)),
+    cbs AS (SELECT t.j, cb.code, cb.e[t.j * 16 + 1 : t.j * 16 + 16] AS ce
+            FROM cb CROSS JOIN range(4) t(j)),
+    xs AS (SELECT vec_id, t.j,
+                  (embedding::DOUBLE[])[t.j * 16 + 1 : t.j * 16 + 16] AS xe
+           FROM embeddings CROSS JOIN range(4) t(j)),
+    d AS (SELECT xs.vec_id, xs.j, cbs.code,
+                 round(list_dot_product(xs.xe, xs.xe)
+                       - 2.0 * list_dot_product(xs.xe, cbs.ce)
+                       + list_dot_product(cbs.ce, cbs.ce), 6) AS d2
+          FROM xs JOIN cbs ON cbs.j = xs.j),
+    codes AS (SELECT vec_id, j, code FROM (
+                  SELECT vec_id, j, code,
+                         row_number() OVER (PARTITION BY vec_id, j
+                                            ORDER BY d2, code) AS rn
+                  FROM d) WHERE rn = 1),
+    qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 5),
+    qs AS (SELECT t.j, qv.qe[t.j * 16 + 1 : t.j * 16 + 16] AS qe
+           FROM qv CROSS JOIN range(4) t(j)),
+    lut AS (SELECT cbs.j, cbs.code, list_dot_product(qs.qe, cbs.ce) AS v
+            FROM cbs JOIN qs ON qs.j = cbs.j),
+    adc AS (SELECT c.vec_id, round(sum(l.v), 6) AS adc
+            FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+            GROUP BY c.vec_id),
+    cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 50),
+    n2 AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ve,
+                  sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[])) AS nrm
+           FROM embeddings e JOIN cand USING (vec_id)),
+    qq AS (SELECT qe, sqrt(list_dot_product(qe, qe)) AS qn FROM qv),
+    sc AS (SELECT n2.vec_id,
+                  round(list_dot_product(n2.ve, qq.qe) / (n2.nrm * qq.qn), 6)
+                      AS cosine
+           FROM n2 CROSS JOIN qq)
+    SELECT vec_id, cosine FROM sc ORDER BY cosine DESC, vec_id LIMIT 10"""
 
     # SemDeDup over the same unrolled clustering: within-cluster pairs
     # only; a vector is a duplicate iff a LOWER-id cluster-mate sits at

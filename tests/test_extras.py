@@ -612,3 +612,52 @@ def test_mmr_diversify_multiquery_and_short_groups(spark):
     assert {len(v) for v in per_q.values()} == {3}
     for v in per_q.values():
         assert sorted(r["mmr_rank"] for r in v) == [1, 2, 3]
+
+
+def test_pq_encode_seeds_get_their_own_code(spark):
+    rng = np.random.default_rng(41)
+    mat = rng.standard_normal((40, 16))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(40)], ["vec_id", "embedding"])
+    cb = similarity.pq_train(df, m=4, k=8, n_iter=0, dim=16)
+    assert cb.shape == (4, 8, 4)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in similarity.pq_encode(df, cb).collect()}
+    # the k seed vectors are exactly reconstructible: code i in EVERY subspace
+    for i in range(8):
+        assert codes[i] == [i, i, i, i]
+
+
+def test_pq_topk_recalls_query_vector(spark):
+    rng = np.random.default_rng(42)
+    mat = rng.standard_normal((100, 16))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(100)], ["vec_id", "embedding"])
+    cb = similarity.pq_train(df, m=4, k=16, n_iter=1, dim=16)
+    got = similarity.cosine_topk_pq(df, mat[7].tolist(), k=5, codebooks=cb,
+                                    adc_candidates=30).collect()
+    assert got[0]["vec_id"] == 7 and got[0]["cosine"] == pytest.approx(1.0)
+    # rerank is exact cosine, so order within the candidate set matches brute
+    brute = [r["vec_id"] for r in similarity.cosine_topk_bruteforce(
+        df, mat[7].tolist(), k=5).collect()]
+    assert got[0]["vec_id"] == brute[0]
+
+
+def test_pq_train_one_iteration_matches_numpy(spark):
+    rng = np.random.default_rng(43)
+    mat = rng.standard_normal((30, 8))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(30)], ["vec_id", "embedding"])
+    got = similarity.pq_train(df, m=2, k=4, n_iter=1, dim=8)
+    # numpy reference: seeds = first 4 vectors' sub-slices, one L2 Lloyd step
+    for j in range(2):
+        x = mat[:, j * 4:(j + 1) * 4]
+        c = mat[:4, j * 4:(j + 1) * 4].copy()
+        d2 = (x ** 2).sum(1)[:, None] - 2.0 * (x @ c.T) + (c ** 2).sum(1)[None, :]
+        best = np.argmin(np.round(d2, 6), axis=1)
+        exp = c.copy()
+        for code in range(4):
+            sel = x[best == code]
+            if len(sel):
+                exp[code] = sel.mean(axis=0)
+        assert np.allclose(got[j], exp, atol=1e-9)
