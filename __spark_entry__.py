@@ -32,7 +32,7 @@ from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
 from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.operators import (dedup, events, fusion, multimodal,
                                        packing, parse, sampling, scrub,
-                                       similarity, textstats)
+                                       selection, similarity, textstats)
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.operators.search import SearchEngine
 
@@ -638,6 +638,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_lm_score"] = text_lm_score
 
+    def dsir(s, d):
+        """DSIR importance-resampling weights (Xie et al. 2023): raw
+        corpus = documents, target = the lang='en' slice; shared
+        top-8192 unigram+bigram vocabulary (count desc / gram asc),
+        Laplace alpha=1 with the +1 OOV slot on each side's own total.
+        The oracle refits both bag-of-grams models in SQL. The hashed
+        feature-space variant (the fit-free 100-TB path) is
+        pytest-verified against this one."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        out = selection.dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                                     vocab_size=8192)
+        return (out.select("doc_id",
+                           F.col("n_grams").cast("long").alias("n_grams"),
+                           F.round("log_w", 6).alias("log_w"))
+                .orderBy("doc_id"))
+    q["dsir_weights"] = dsir
+
     def decontaminate(s, d):
         """Benchmark decontamination: flag docs sharing any word 5-gram
         with a deterministic 'benchmark' slice (doc_id %% 50 == 0).
@@ -1094,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann/events/multimodal entries, then the ft_* family, then the
     # freshest-verified batch ops (r4-green) at the back.
     front = [
+        "dsir_weights",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
         "ft_more_like_this", "ft_suggest", "ann_cosine_pq",
@@ -2322,6 +2340,43 @@ def oracle_sql() -> dict[str, str]:
            coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
            round(per.n_oov * 1.0 / per.n_tokens, 6) AS oov_frac,
            round(-per.ll / per.n_tokens, 6) AS avg_nll
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id"""
+
+    # DSIR weights: identical two-model fit (shared SOURCE top-8192
+    # unigram+bigram vocab, Laplace alpha=1 over each side's own total
+    # with the +1 OOV slot) and identical log-ratio scoring shape —
+    # ln((ct+1)/denom_t) - ln((cs+1)/denom_s), summed per doc, round @6
+    o["dsir_weights"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(toks) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS gram
+      FROM tok, unnest(range(greatest(len(toks) - 1, 0))) AS t(i)),
+    cs AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+    ct AS (SELECT g.gram, count(*) AS c
+           FROM g JOIN documents d USING (doc_id)
+           WHERE d.lang = 'en' GROUP BY g.gram),
+    tots AS (SELECT (SELECT sum(c) FROM cs) AS ts,
+                    (SELECT coalesce(sum(c), 0) FROM ct) AS tt),
+    vocab AS (SELECT gram, c FROM cs ORDER BY c DESC, gram LIMIT 8192),
+    model AS (SELECT v.gram,
+                     ln((coalesce(ct.c, 0) + 1.0::DOUBLE) / (tt + 8193.0::DOUBLE))
+                     - ln((v.c + 1.0::DOUBLE) / (ts + 8193.0::DOUBLE)) AS dlogp
+              FROM vocab v LEFT JOIN ct USING (gram) CROSS JOIN tots),
+    oov AS (SELECT ln(1.0::DOUBLE / (tt + 8193.0::DOUBLE))
+                   - ln(1.0::DOUBLE / (ts + 8193.0::DOUBLE)) AS od FROM tots),
+    per AS (SELECT g.doc_id, count(*) AS n_grams,
+                   sum(coalesce(m.dlogp, oov.od)) AS lw
+            FROM g LEFT JOIN model m USING (gram) CROSS JOIN oov
+            GROUP BY g.doc_id)
+    SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+           round(per.lw, 6) AS log_w
     FROM documents d LEFT JOIN per USING (doc_id)
     ORDER BY d.doc_id"""
 
