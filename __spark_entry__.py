@@ -30,9 +30,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
 from xltsearch_spark.config import IndexConfig
-from xltsearch_spark.operators import (dedup, events, fusion, multimodal,
-                                       packing, parse, sampling, scrub,
-                                       selection, similarity, textstats)
+from xltsearch_spark.operators import (dedup, domains, events, fusion,
+                                       multimodal, packing, parse, sampling,
+                                       scrub, selection, similarity,
+                                       textstats)
 from xltsearch_spark.operators.build import IndexBuilder
 from xltsearch_spark.operators.search import SearchEngine
 
@@ -655,6 +656,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["dsir_weights"] = dsir
 
+    def curate_domains(s, d):
+        """RefinedWeb-style URL-level curation: blocklist drop + per-domain
+        cap (5 lowest doc ids per host keep their slots; blocked docs never
+        consume one). URLs are synthesized deterministically from doc_id
+        (mixed-case scheme/host + ports exercise normalization); the oracle
+        replays the same synthesis, the same host regexp, and the same
+        row_number rank in SQL."""
+        did = F.col("doc_id")
+        tld = F.element_at(F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+                           (did % 3 + 1).cast("int"))
+        hb = F.concat(F.lit("h"), (did % 23).cast("string"),
+                      F.lit(".example."), tld)
+        url = F.concat(
+            F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+            F.when(did % 4 == 1, F.upper(hb)).otherwise(hb),
+            F.when(did % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/p/"), did.cast("string"))
+        w = (s.read.parquet(f"{d}/documents.parquet")
+             .select("doc_id", url.alias("url")))
+        out = domains.domain_curate(
+            w, blocklist=("h3.example.com", "h7.example.net",
+                          "h11.example.org"), max_per_domain=5)
+        return (out.select("doc_id", "domain",
+                           F.col("keep").cast("long").alias("keep"), "reason")
+                .orderBy("doc_id"))
+    q["curate_domains"] = curate_domains
+
     def decontaminate(s, d):
         """Benchmark decontamination: flag docs sharing any word 5-gram
         with a deterministic 'benchmark' slice (doc_id %% 50 == 0).
@@ -1111,7 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann/events/multimodal entries, then the ft_* family, then the
     # freshest-verified batch ops (r4-green) at the back.
     front = [
-        "dsir_weights",
+        "dsir_weights", "curate_domains",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
         "ft_more_like_this", "ft_suggest", "ann_cosine_pq",
@@ -2379,6 +2407,42 @@ def oracle_sql() -> dict[str, str]:
            round(per.lw, 6) AS log_w
     FROM documents d LEFT JOIN per USING (doc_id)
     ORDER BY d.doc_id"""
+
+    # domain curation: identical URL synthesis, identical host regexp
+    # (lowercase url -> scheme://[user@]host[:port] capture), identical
+    # per-domain rank over non-blocked docs
+    o["curate_domains"] = r"""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+             || (CASE WHEN doc_id % 4 = 1 THEN upper(hb) ELSE hb END)
+             || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+             || '/p/' || doc_id::VARCHAR AS url
+      FROM (SELECT doc_id,
+                   'h' || (doc_id % 23)::VARCHAR || '.example.'
+                   || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       ELSE 'net' END) AS hb
+            FROM documents)),
+    h AS (SELECT doc_id,
+                 regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)
+                 AS domain
+          FROM u),
+    nb AS (SELECT doc_id, domain,
+                  row_number() OVER (PARTITION BY domain
+                                     ORDER BY doc_id) AS rk
+           FROM h
+           WHERE domain NOT IN ('h3.example.com', 'h7.example.net',
+                                'h11.example.org'))
+    SELECT doc_id, domain, (rk <= 5)::BIGINT AS keep,
+           CASE WHEN rk <= 5 THEN 'kept' ELSE 'over_domain_cap' END AS reason
+    FROM nb
+    UNION ALL
+    SELECT doc_id, domain, 0::BIGINT AS keep,
+           'blocked_domain' AS reason
+    FROM h WHERE domain IN ('h3.example.com', 'h7.example.net',
+                            'h11.example.org')
+    ORDER BY doc_id"""
 
     o["decontaminate"] = """
     WITH bt AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
