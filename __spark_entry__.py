@@ -639,6 +639,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["text_lm_score"] = text_lm_score
 
+    def text_ppl_buckets(s, d):
+        """CCNet head/middle/tail perplexity tiers over the corpus-fit
+        unigram LM — moment-based cutoffs (mean ± σ/4, sort-free at
+        scale); the oracle refits the LM and replays the exact moment
+        formula shape in SQL."""
+        out = textstats.ppl_buckets(
+            s.read.parquet(f"{d}/documents.parquet"), vocab_size=4096)
+        return (out.select("doc_id",
+                           F.col("n_tokens").cast("long").alias("n_tokens"),
+                           F.round("avg_nll", 6).alias("avg_nll"), "bucket")
+                .orderBy("doc_id"))
+    q["text_ppl_buckets"] = text_ppl_buckets
+
     def dsir(s, d):
         """DSIR importance-resampling weights (Xie et al. 2023): raw
         corpus = documents, target = the lang='en' slice; shared
@@ -1139,7 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann/events/multimodal entries, then the ft_* family, then the
     # freshest-verified batch ops (r4-green) at the back.
     front = [
-        "dsir_weights", "curate_domains",
+        "dsir_weights", "curate_domains", "text_ppl_buckets",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
         "ft_more_like_this", "ft_suggest", "ann_cosine_pq",
@@ -2348,8 +2361,7 @@ def oracle_sql() -> dict[str, str]:
     # unigram-LM quality: identical fit (top-4096 by count desc / term asc,
     # Laplace alpha=1 with the +1 OOV slot) and identical scoring join;
     # token rule matches textstats.tokens_expr ([a-z0-9_']+ on lower)
-    o["text_lm_score"] = """
-    WITH tok AS (
+    _lm_cte = """tok AS (
       SELECT doc_id,
              unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
                                 x -> x <> '')) AS term
@@ -2363,13 +2375,37 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN v.logp IS NULL THEN 1 ELSE 0 END) AS n_oov,
                    sum(coalesce(v.logp, oov.ol)) AS ll
             FROM tok t LEFT JOIN vocab v USING (term) CROSS JOIN oov
-            GROUP BY t.doc_id)
+            GROUP BY t.doc_id)"""
+
+    o["text_lm_score"] = f"""
+    WITH {_lm_cte}
     SELECT d.doc_id,
            coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
            round(per.n_oov * 1.0 / per.n_tokens, 6) AS oov_frac,
            round(-per.ll / per.n_tokens, 6) AS avg_nll
     FROM documents d LEFT JOIN per USING (doc_id)
     ORDER BY d.doc_id"""
+
+    # perplexity buckets: same LM fit/scoring as text_lm_score; moments in
+    # the exact Python shape (s/n, s2/n - mean*mean, sqrt(greatest(.,0))),
+    # thresholds compared against the UNROUNDED nll like the operator
+    o["text_ppl_buckets"] = f"""
+    WITH {_lm_cte},
+    nll AS (SELECT d.doc_id, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+                   -per.ll / per.n_tokens AS v
+            FROM documents d LEFT JOIN per USING (doc_id)),
+    mo AS (SELECT sum(v) / count(v) AS mean,
+                  sum(v * v) / count(v)
+                  - (sum(v) / count(v)) * (sum(v) / count(v)) AS var
+           FROM nll WHERE v IS NOT NULL),
+    th AS (SELECT mean - 0.25::DOUBLE * sqrt(greatest(var, 0.0::DOUBLE)) AS lo,
+                  mean + 0.25::DOUBLE * sqrt(greatest(var, 0.0::DOUBLE)) AS hi
+           FROM mo)
+    SELECT doc_id, n_tokens, round(v, 6) AS avg_nll,
+           CASE WHEN v IS NULL THEN NULL
+                WHEN v <= lo THEN 'head'
+                WHEN v > hi THEN 'tail' ELSE 'middle' END AS bucket
+    FROM nll CROSS JOIN th ORDER BY doc_id"""
 
     # DSIR weights: identical two-model fit (shared SOURCE top-8192
     # unigram+bigram vocab, Laplace alpha=1 over each side's own total

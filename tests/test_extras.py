@@ -661,3 +661,32 @@ def test_pq_train_one_iteration_matches_numpy(spark):
             if len(sel):
                 exp[code] = sel.mean(axis=0)
         assert np.allclose(got[j], exp, atol=1e-9)
+
+
+def test_ppl_buckets_moment_cutoffs(spark):
+    """head/middle/tail assignment reproduces the documented mean ± σ/4
+    rule computed sequentially; zero-token docs keep a NULL bucket."""
+    import math
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a a a b"), (2, "a b c d"),
+         (3, "x y z w"), (4, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textstats.ppl_buckets(docs, vocab_size=4).collect()}
+    nlls = {k: r["avg_nll"] for k, r in out.items() if r["avg_nll"] is not None}
+    n = len(nlls)
+    mean = sum(nlls.values()) / n
+    var = sum(v * v for v in nlls.values()) / n - mean * mean
+    std = math.sqrt(max(var, 0.0))
+    for k, v in nlls.items():
+        want = ("head" if v <= mean - 0.25 * std
+                else "tail" if v > mean + 0.25 * std else "middle")
+        assert out[k]["bucket"] == want, k
+    assert out[4]["bucket"] is None
+    # the all-common-token doc is the head, the all-rare one the tail
+    assert out[0]["bucket"] == "head" and out[3]["bucket"] == "tail"
+
+
+def test_ppl_buckets_empty_corpus(spark):
+    docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    rows = textstats.ppl_buckets(docs, vocab_size=4).collect()
+    assert len(rows) == 1 and rows[0]["bucket"] is None

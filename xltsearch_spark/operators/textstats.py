@@ -8,6 +8,8 @@ run as map-only stages fused into the scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
@@ -338,6 +340,45 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, <gopher signals + flags>) — unpacked `gopher_struct`."""
     return (df.withColumn("_g", gopher_struct(F.col(text_col)))
             .select("doc_id", "_g.*"))
+
+
+def ppl_buckets(df: DataFrame, text_col: str = "text",
+                vocab_size: int = 4096, spread: float = 0.25,
+                lm=None) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020:
+    score the crawl with a reference LM, split into quality tiers, train
+    preferentially on the low-perplexity 'head').
+
+    (doc_id, n_tokens, avg_nll, bucket): ``head`` when avg_nll <=
+    mean - spread*std, ``tail`` when avg_nll > mean + spread*std,
+    ``middle`` between; zero-token docs keep a NULL bucket. CCNet cuts
+    at corpus TERCILES; this uses moment-based cutoffs (mean ± spread·σ
+    over the scored docs) so the thresholds come from ONE tiny aggregate
+    instead of a corpus-wide sort/percentile — the documented deviation
+    that keeps the 100-TB plan sort-free. Variance uses the explicit
+    E[x²] − E[x]² form so an external oracle can reproduce it verbatim.
+
+    Scale shape: the LM scoring of :func:`lm_quality_scores` (one count
+    shuffle + broadcast-scored aggregate) + a 1-row moment aggregate +
+    a map-only CASE. Pass ``lm=`` to score against a reference-corpus
+    model, exactly like ``lm_quality_scores``."""
+    scored = lm_quality_scores(df, text_col, vocab_size=vocab_size, lm=lm)
+    scored = scored.persist()
+    m = scored.filter(F.col("avg_nll").isNotNull()).agg(
+        F.sum("avg_nll").alias("s"),
+        F.sum(F.col("avg_nll") * F.col("avg_nll")).alias("s2"),
+        F.count("*").alias("n")).collect()[0]
+    if not m["n"]:
+        return scored.withColumn("bucket", F.lit(None).cast("string"))
+    mean = m["s"] / m["n"]
+    var = m["s2"] / m["n"] - mean * mean
+    std = math.sqrt(max(var, 0.0))
+    lo, hi = mean - spread * std, mean + spread * std
+    bucket = (F.when(F.col("avg_nll").isNull(), F.lit(None).cast("string"))
+              .when(F.col("avg_nll") <= F.lit(lo), "head")
+              .when(F.col("avg_nll") > F.lit(hi), "tail")
+              .otherwise("middle"))
+    return scored.withColumn("bucket", bucket)
 
 
 def vocab_stats(df: DataFrame, text_col: str = "text",
