@@ -669,6 +669,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("doc_id"))
     q["dsir_weights"] = dsir
 
+    def bpe_merges(s, d):
+        """Distributed BPE tokenizer training (Sennrich et al. 2016):
+        8 merge rounds over the corpus word-frequency table; overlapping
+        pair counts, greedy-leftmost fuse, (count desc, pair asc)
+        tie-break. The oracle unrolls the identical 8 rounds in SQL with
+        a list_reduce fold proven equivalent to the Spark higher-order
+        fold (tests/test_bpe.py pins both against the sequential
+        reference)."""
+        from xltsearch_spark.operators import bpe as bpe_mod
+        out = bpe_mod.bpe_merges_df(
+            s.read.parquet(f"{d}/documents.parquet"), n_merges=8)
+        return (out.select("merge_rank", F.col("left").alias("lhs"),
+                           F.col("right").alias("rhs"), "pair_count")
+                .orderBy("merge_rank"))
+    q["bpe_merges"] = bpe_merges
+
     def curate_domains(s, d):
         """RefinedWeb-style URL-level curation: blocklist drop + per-domain
         cap (5 lowest doc ids per host keep their slots; blocked docs never
@@ -1152,7 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann/events/multimodal entries, then the ft_* family, then the
     # freshest-verified batch ops (r4-green) at the back.
     front = [
-        "dsir_weights", "curate_domains", "text_ppl_buckets",
+        "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
         "ft_more_like_this", "ft_suggest", "ann_cosine_pq",
@@ -1224,6 +1240,61 @@ def _jaccard_pairs_sql(n: int, threshold: float, max_shingle_df: int | None) -> 
 # and composed under the BM25 CTEs by ft_parse_pipeline. The entity-decode
 # chain is GENERATED from parse.XML_ENTITIES so the oracle can never drift
 # from the operator's table/order.
+# BPE oracle: unrolled merge rounds. The per-word fuse is a list_reduce
+# fold over 'emitted|pending' state — proven equivalent to the Spark
+# higher-order fold and the sequential Sennrich reference in
+# tests/test_bpe.py. Symbols never contain ' ' or '|' (token class is
+# [a-z0-9_']), so the two separators are safe.
+_BPE_FOLD = """list_reduce(list_prepend('|', string_split(s, ' ')),
+      (acc, x) -> CASE
+        WHEN split_part(acc, '|', 2) = '' THEN
+          split_part(acc, '|', 1) || '|' || x
+        WHEN split_part(acc, '|', 2) = m.l AND x = m.r THEN
+          (CASE WHEN split_part(acc, '|', 1) = '' THEN m.lr
+                ELSE split_part(acc, '|', 1) || ' ' || m.lr END) || '|'
+        ELSE (CASE WHEN split_part(acc, '|', 1) = ''
+                   THEN split_part(acc, '|', 2)
+                   ELSE split_part(acc, '|', 1) || ' '
+                        || split_part(acc, '|', 2) END) || '|' || x END)"""
+
+def _bpe_unwrap(col: str) -> str:
+    return (f"CASE WHEN split_part({col}, '|', 2) = '' "
+            f"THEN split_part({col}, '|', 1) "
+            f"WHEN split_part({col}, '|', 1) = '' "
+            f"THEN split_part({col}, '|', 2) "
+            f"ELSE split_part({col}, '|', 1) || ' ' "
+            f"|| split_part({col}, '|', 2) END")
+
+
+def _bpe_oracle_sql(n_rounds: int) -> str:
+    parts = ["""tokb AS (
+      SELECT unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                                x -> x <> '')) AS word
+      FROM documents),
+    wc AS (SELECT word, count(*) AS freq FROM tokb GROUP BY word),
+    w0 AS (SELECT array_to_string(list_transform(range(length(word)),
+                                                 i -> word[i+1]), ' ') AS s,
+                  freq
+           FROM wc)"""]
+    for k in range(1, n_rounds + 1):
+        parts.append(f"""p{k} AS (
+      SELECT toks[i+1] AS l, toks[i+2] AS r, sum(freq) AS cnt
+      FROM (SELECT string_split(s, ' ') AS toks, freq FROM w{k-1}) q{k},
+           unnest(range(greatest(len(toks) - 1, 0))) AS t(i)
+      GROUP BY 1, 2),
+    b{k} AS (SELECT l, r, l || r AS lr, cnt
+             FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    w{k} AS (SELECT {_bpe_unwrap('stt')} AS s, freq
+             FROM (SELECT {_BPE_FOLD} AS stt, freq
+                   FROM w{k-1}, b{k} AS m) u{k})""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {k}::BIGINT AS merge_rank, l AS lhs, r AS rhs, "
+        f"cnt::BIGINT AS pair_count FROM b{k}"
+        for k in range(1, n_rounds + 1))
+    return ("WITH " + ",\n    ".join(parts)
+            + "\n    SELECT * FROM (" + union + ") ORDER BY merge_rank")
+
+
 def _entity_chain_sql(inner: str) -> str:
     from xltsearch_spark.operators.parse import AMP_ENTITY_RE, XML_ENTITIES
     out = inner
@@ -2406,6 +2477,9 @@ def oracle_sql() -> dict[str, str]:
                 WHEN v <= lo THEN 'head'
                 WHEN v > hi THEN 'tail' ELSE 'middle' END AS bucket
     FROM nll CROSS JOIN th ORDER BY doc_id"""
+
+    # BPE training: 8 unrolled merge rounds (see _bpe_oracle_sql)
+    o["bpe_merges"] = _bpe_oracle_sql(8)
 
     # DSIR weights: identical two-model fit (shared SOURCE top-8192
     # unigram+bigram vocab, Laplace alpha=1 over each side's own total

@@ -1,0 +1,88 @@
+"""Distributed BPE merge training vs the sequential Sennrich algorithm."""
+import re
+from collections import Counter
+
+import pytest
+
+from xltsearch_spark.operators import bpe
+
+
+def _py_words(texts):
+    c = Counter()
+    for t in texts:
+        c.update(w for w in re.split(r"[^\w']+", t.lower()) if w)
+    return {w: (list(w), f) for w, f in c.items()}
+
+
+def _py_bpe(texts, n_merges):
+    """Sequential Sennrich reference: overlapping pair counts, greedy
+    leftmost merge, ties (count desc, left asc, right asc)."""
+    vocab = _py_words(texts)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, f in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, cnt))
+        for w, (syms, f) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, f)
+    return merges, vocab
+
+
+TEXTS = ["the cat sat on the mat", "the hat of the cat", "a banana bandana",
+         "ban ban banana", "zzz zz z", "the the the"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)],
+        "doc_id long, text string").persist()
+
+
+def test_merges_match_sequential_reference(spark, docs):
+    got = bpe.bpe_train(docs, 10)
+    want, _ = _py_bpe(TEXTS, 10)
+    assert got == want
+
+
+def test_early_stop_when_fully_merged(spark):
+    docs = spark.createDataFrame([(0, "ab ab"), (1, "ab")],
+                                 "doc_id long, text string")
+    got = bpe.bpe_train(docs, 50)
+    # 'ab' -> one possible merge, then every word is a single symbol
+    assert got == [(1, "a", "b", 3)]
+    with pytest.raises(ValueError):
+        bpe.bpe_train(docs, 0)
+
+
+def test_apply_merges_matches_trained_vocab(spark, docs):
+    merges = bpe.bpe_train(docs, 6)
+    _, vocab = _py_bpe(TEXTS, 6)
+    got = {r["doc_id"]: r["pieces"]
+           for r in bpe.apply_merges(docs, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        toks = [w for w in re.split(r"[^\w']+", t.lower()) if w]
+        want = [p for w in toks for p in vocab[w][0]]
+        assert got[i] == want, i
+
+
+def test_apply_merges_plan_is_map_only_and_udf_free(spark, docs):
+    merges = bpe.bpe_train(docs, 3)
+    plan = bpe.apply_merges(docs, merges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
