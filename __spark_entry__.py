@@ -198,6 +198,25 @@ def _ft(spark: SparkSession, sf_dir: str, query: str, limit: int | None,
     return scored.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSearcher.explain(Query, docID) parity surface (SearchTask's
+    result pane exposes per-hit scores; Lucene's explain decomposes them):
+    per-(hit, clause) BM25 decomposition of a boosted disjunction. The
+    entry explains the FULL hit set (limit=2^30) so the oracle needs no
+    top-k tie-break; production calls use explain(q, limit=10), which
+    broadcasts only the k hit ids against the same pruned postings scan."""
+    engine = _get_engine(spark, sf_dir)
+    exp = engine.explain("merge^2 OR vector", limit=1 << 30)
+    return (exp.join(_orig_ids(engine), "doc_id")
+            .select(F.col("src_doc_id").alias("doc_id"), "term", "df", "tf",
+                    "dl", F.round("idf", 4).alias("idf"),
+                    F.round("tf_component", 4).alias("tf_norm"),
+                    F.round("weight", 4).alias("weight"),
+                    F.round("contrib", 4).alias("contrib"),
+                    F.round("score", 4).alias("score"))
+            .orderBy("doc_id", "term"))
+
+
 # ---- incremental update (B2/B6/B7: SelectTask.java:66-90, IndexTask.java:83,87-88)
 # deterministic mutation of the documents table, applied via catalog.update():
 #   doc_id % 97 == 1 -> DELETED from the snapshot
@@ -307,6 +326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_wildcard_mid"] = lambda s, d: _ft(s, d, "me?ge", None)
     # classic-QP /regexp/ term (RegexpQuery, constant-score multi-term)
     q["ft_regexp"] = lambda s, d: _ft(s, d, "/merg(e|er)[a-z]*/", None)
+    # IndexSearcher.explain analog: per-(hit, clause) score decomposition
+    q["ft_explain"] = _ft_explain
     q["ft_field"] = lambda s, d: _ft(s, d, "lang:de AND merge", 20)
     q["ft_grouped"] = lambda s, d: _ft(s, d, "(merge OR vector) AND part", 20)
     # multi-valued metadata field (meta.tags carries [lang, source] per doc)
@@ -1168,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann/events/multimodal entries, then the ft_* family, then the
     # freshest-verified batch ops (r4-green) at the back.
     front = [
+        "ft_explain",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -1386,6 +1408,31 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, score * 2.0 AS score FROM ({_bm25_sql('merge')})
               UNION ALL {_bm25_sql('vector')})
         GROUP BY doc_id ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 20)"""
+
+    # per-(hit, clause) decomposition for 'merge^2 OR vector': same BM25
+    # formula shape as _bm25_sql so the round-4 values agree bit-for-bit
+    def _explain_term(term: str, weight: float) -> str:
+        return f"""
+        SELECT t.doc_id, '{term}' AS term, d.df, t.tf, dl.dl,
+               ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) AS idf,
+               t.tf / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS tf_norm,
+               {weight!r} AS weight,
+               ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.tf
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                 * {weight!r} AS contrib
+        FROM (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id) t
+        JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{term}') d ON true
+        JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st"""
+
+    o["ft_explain"] = f"""WITH {_TOK_CTE},
+    e AS ({_explain_term('merge', 2.0)} UNION ALL {_explain_term('vector', 1.0)}),
+    tot AS (SELECT doc_id, sum(contrib) AS score FROM e GROUP BY doc_id)
+    SELECT e.doc_id, e.term, e.df, e.tf, e.dl,
+           round(e.idf, 4) AS idf, round(e.tf_norm, 4) AS tf_norm,
+           round(e.weight, 4) AS weight, round(e.contrib, 4) AS contrib,
+           round(tot.score, 4) AS score
+    FROM e JOIN tot USING (doc_id)
+    ORDER BY e.doc_id, e.term"""
 
     o["ft_must_not"] = f"""WITH {_TOK_CTE}
     SELECT doc_id, round(score, 4) AS score FROM ({_bm25_sql('merge')})

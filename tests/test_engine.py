@@ -642,3 +642,61 @@ def test_suggest_terms_ordering(bm25_setup):
     exp = sorted(((lev("gradd", t), -df, t) for t, df in vocab.items()
                   if 1 <= lev("gradd", t) <= 2))[:5]
     assert [(r["dist"], -r["df"], r["suggestion"]) for r in got] == exp
+
+
+def _assert_explain_consistent(engine, query, limit=10):
+    """explain() invariants: per-hit coord x sum(contrib) == score ==
+    search_scores; contrib rebuilds from (idf, tf_component, norm, weight)."""
+    model = engine.config.scoring_model
+    k1 = engine.config.k1
+    rows = engine.explain(query, limit=limit).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        d = per.setdefault(int(r["doc_id"]),
+                           {"sum": 0.0, "coord": r["coord"], "score": r["score"]})
+        d["sum"] += r["contrib"]
+        assert r["coord"] == pytest.approx(d["coord"], abs=1e-12)
+        raw = (r["idf"] * (k1 + 1) * r["tf_component"] if model == "bm25"
+               else r["tf_component"] * r["idf"] * r["idf"] * r["norm"])
+        assert r["contrib"] == pytest.approx(raw * r["weight"], rel=1e-9)
+        assert r["df"] >= 1 and r["tf"] >= 1 and r["dl"] >= 1
+    hits = {int(r["doc_id"]): float(r["score"])
+            for r in engine.search_scores(query, limit).collect()}
+    assert set(per) == set(hits)
+    for doc, d in per.items():
+        assert d["coord"] * d["sum"] == pytest.approx(d["score"], rel=1e-6)
+        assert hits[doc] == pytest.approx(d["score"], rel=1e-9)
+
+
+def test_explain_bm25(bm25_setup):
+    engine, _, _ = bm25_setup
+    for q in ("needle_17", "alpha OR beta", "common_token AND graded",
+              "graded^2 OR alpha"):
+        _assert_explain_consistent(engine, q)
+
+
+def test_explain_tfidf_coord(spark, tiny_corpus):
+    cfg = IndexConfig(scoring_model="default", doc_range_size=16,
+                      block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, tiny_corpus, cfg)
+    for q in ("alpha OR beta", "common_token AND graded", "needle_17"):
+        _assert_explain_consistent(engine, q)
+    # a partial-overlap doc must carry coord < 1 on an OR query
+    rows = engine.explain("alpha OR needle_17", limit=64).collect()
+    coords = {r["coord"] for r in rows}
+    assert any(c < 1.0 for c in coords)
+
+
+def test_explain_doc_ids_and_errors(bm25_setup):
+    engine, _, _ = bm25_setup
+    top = [int(r["doc_id"]) for r in
+           engine.search_scores("alpha OR beta", 3).collect()]
+    rows = engine.explain("alpha OR beta", doc_ids=top[:2]).collect()
+    assert {int(r["doc_id"]) for r in rows} == set(top[:2])
+    # fuzzy rewrites to OR-of-terms, so it IS explainable (Lucene explains
+    # the rewritten query); phrase/prefix/MUST_NOT are not.
+    _assert_explain_consistent(engine, "gradd~1")
+    for bad in ('"alpha beta"', "need*", "graded NOT alpha"):
+        with pytest.raises(ValueError):
+            engine.explain(bad)

@@ -558,6 +558,101 @@ class SearchEngine:
         shown = n if limit is None else min(n, limit)
         return n, f"{shown} results"
 
+    def explain(self, query: str, doc_ids: list[int] | None = None,
+                limit: int = 10) -> DataFrame:
+        """Lucene ``IndexSearcher.explain(Query, docID)`` analog for term
+        and flat boolean-of-term queries: one row per (hit, matching
+        clause) with the similarity's score decomposition.
+
+        Columns: (doc_id, field, term, df, tf, dl, idf, tf_component,
+        norm, weight, contrib, coord, score) where
+
+        - ``tf_component`` / ``norm``: BM25 -> the tf saturation
+          tf/(tf + k1(1-b+b·dl/avgdl)) and 1.0; DefaultSimilarity ->
+          sqrt(tf) and the field norm 1/sqrt(dl) (decoded from the
+          8-bit byte under ``quantize_norms``).
+        - ``weight``: queryBoost x clauseBoost x queryNorm — the clause's
+          query-side multiplier (Lucene's queryWeight against the raw
+          similarity score).
+        - ``contrib``: the clause's share, model score x weight — the
+          exact per-clause value BooleanQuery sums.
+        - ``coord``: matched/total scoring clauses (DefaultSimilarity
+          booleans; 1.0 under BM25, ``BM25Similarity.coord()``).
+        - ``score``: the hit's total, = coord x sum(contrib) over its
+          rows, identical to ``score_all(query)``.
+
+        ``doc_ids`` restricts to specific hits (the Lucene signature);
+        otherwise the top-``limit`` hits by (score desc, doc_id asc).
+        Raises ValueError for phrase/wildcard/range/fuzzy or MUST_NOT
+        clauses — out of scope for this decomposition.
+
+        Scale shape: components come from the SAME pruned+decoded
+        postings scan the scorer uses, joined against a BROADCAST of
+        <= limit hit ids and a <= n_clauses metadata table; no extra
+        full-corpus pass."""
+        from pyspark.sql.window import Window
+        ast = self._rewrite(self.parser.parse(query))
+        if isinstance(ast, TermQuery):
+            clauses = [(SHOULD, ast)]
+            bq_boost = 1.0
+        elif isinstance(ast, BooleanQuery) and all(
+                occ != MUST_NOT and isinstance(sub, TermQuery)
+                for occ, sub in ast.clauses):
+            clauses = list(ast.clauses)
+            bq_boost = ast.boost
+        else:
+            raise ValueError(
+                "explain() decomposes term and flat AND/OR-of-term "
+                "queries; got a clause it cannot attribute")
+        n_scoring = len(clauses)
+        terms = [(sub.field, sub.term) for _, sub in clauses]
+        idf_map = self._doc_freqs(terms)
+        model = self.config.scoring_model
+        n, k1 = self.stats.n_docs, self.config.k1
+        if model == "bm25":
+            qn = 1.0
+            def idf_of(f, t):
+                return scoring.bm25_idf(n, idf_map.get((f, t), 0))
+        else:
+            def idf_of(f, t):
+                return scoring.tfidf_idf(n, idf_map.get((f, t), 0))
+            qn = scoring.query_norm(
+                scoring.tfidf_sum_sq_weights(ast, 1.0, idf_of))
+
+        scored = self._score_ast(ast, idf_map)
+        if doc_ids is not None:
+            hits = scored.filter(F.col("doc_id").isin([int(i) for i in
+                                                       doc_ids]))
+        else:
+            hits = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(limit))
+        meta = [(sub.field, sub.term, idf_map.get((sub.field, sub.term), 0),
+                 float(idf_of(sub.field, sub.term)),
+                 float(bq_boost * sub.boost * qn))
+                for _, sub in clauses]
+        meta_df = self.spark.createDataFrame(
+            meta, "field string, term string, df long, idf double, "
+                  "weight double")
+        decoded = self._decode_postings(terms, [], idf_map, False)
+        j = (decoded.join(F.broadcast(hits.withColumnRenamed("score", "_total")),
+                          "doc_id")
+             .join(F.broadcast(meta_df), ["field", "term"]))
+        if model == "bm25":
+            tf_component = F.col("score") / (F.col("idf") * F.lit(k1 + 1))
+            norm = F.lit(1.0)
+        else:
+            tf_component = F.sqrt(F.col("tf").cast("double"))
+            norm = F.col("score") / (tf_component * F.col("idf") * F.col("idf"))
+        coord = (F.lit(1.0) if model == "bm25" or not isinstance(ast, BooleanQuery)
+                 else F.count("*").over(Window.partitionBy("doc_id"))
+                 / F.lit(float(n_scoring)))
+        return (j.select(
+            "doc_id", "field", "term", "df", "tf", "dl", "idf",
+            tf_component.alias("tf_component"), norm.alias("norm"),
+            "weight", (F.col("score") * F.col("weight")).alias("contrib"),
+            coord.alias("coord"), F.col("_total").alias("score"))
+            .orderBy("doc_id", "field", "term"))
+
     def score_all(self, query: str, _idf_map: dict | None = None) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks.
 
