@@ -328,6 +328,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_regexp"] = lambda s, d: _ft(s, d, "/merg(e|er)[a-z]*/", None)
     # IndexSearcher.explain analog: per-(hit, clause) score decomposition
     q["ft_explain"] = _ft_explain
+
+    def ft_facets(s, d):
+        """Facet value-counts over the FULL hit set of 'merge' on the
+        stored (lang, repo) fields — the Lucene facets-module analog.
+        Hit set joins the stored-docs frame (no collect), then one
+        map-side-combined groupBy over the tiny facet domain."""
+        engine = _get_engine(s, d)
+        return (engine.facets("merge", ["lang", "repo"])
+                .select("lang", F.col("repo").alias("source"), "n")
+                .orderBy("lang", "source"))
+    q["ft_facets"] = ft_facets
+
+    def ft_highlight(s, d):
+        """First-match snippet extraction for the top-10 hits of
+        'merge AND vector' (Lucene highlighter SimpleFragmenter analog):
+        1-based match offset, matched term, 100-char window starting 40
+        chars before the match. Top-k broadcasts against the documents
+        doc-store; the snippet is a map-only JVM expression over k rows."""
+        from xltsearch_spark.functions.highlight import highlight
+        engine = _get_engine(s, d)
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        top = (engine.score_all("merge AND vector")
+               .withColumn("score", F.round("score", 4))
+               .join(_orig_ids(engine), "doc_id")
+               .select(F.col("src_doc_id").alias("doc_id"), "score")
+               .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+        return (highlight(top, docs, ["merge", "vector"])
+                .withColumn("pos", F.col("pos").cast("long"))
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_highlight"] = ft_highlight
     q["ft_field"] = lambda s, d: _ft(s, d, "lang:de AND merge", 20)
     q["ft_grouped"] = lambda s, d: _ft(s, d, "(merge OR vector) AND part", 20)
     # multi-valued metadata field (meta.tags carries [lang, source] per doc)
@@ -705,6 +735,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            F.col("right").alias("rhs"), "pair_count")
                 .orderBy("merge_rank"))
     q["bpe_merges"] = bpe_merges
+
+    def bpe_encode(s, d):
+        """Deploy-side BPE segmentation: train 8 merges (same rounds as
+        bpe_merges), then apply them in rank order to every document —
+        the real-tokenizer token count a training pipeline budgets with.
+        Encoding is ONE map-only composed fold expression (no shuffle, no
+        Python); the oracle runs the identical unrolled chain over the
+        distinct vocabulary and joins doc words to final segmentations."""
+        from xltsearch_spark.operators import bpe as bpe_mod
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        merges = bpe_mod.bpe_train(docs, n_merges=8)
+        enc = bpe_mod.apply_merges(docs, merges)
+        return (enc.select("doc_id",
+                           F.size("pieces").cast("long").alias("n_pieces"),
+                           F.concat_ws(" ", "pieces").alias("pieces"))
+                .orderBy("doc_id"))
+    q["bpe_encode"] = bpe_encode
 
     def curate_domains(s, d):
         """RefinedWeb-style URL-level curation: blocklist drop + per-domain
@@ -1189,7 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann/events/multimodal entries, then the ft_* family, then the
     # freshest-verified batch ops (r4-green) at the back.
     front = [
-        "ft_explain",
+        "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -1288,13 +1335,20 @@ def _bpe_unwrap(col: str) -> str:
             f"|| split_part({col}, '|', 2) END")
 
 
-def _bpe_oracle_sql(n_rounds: int) -> str:
+def _bpe_oracle_sql(n_rounds: int, encode: bool = False) -> str:
+    """Unrolled BPE merge training (and, with ``encode=True``, the
+    deploy-side segmentation): the fold chain runs over the DISTINCT
+    vocabulary carrying the original word as the key, so encoding is a
+    word-level join of each doc's token sequence against the final
+    segmentation — the same vocab-table-not-corpus shape as the Spark
+    operator."""
     parts = ["""tokb AS (
       SELECT unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
                                 x -> x <> '')) AS word
       FROM documents),
     wc AS (SELECT word, count(*) AS freq FROM tokb GROUP BY word),
-    w0 AS (SELECT array_to_string(list_transform(range(length(word)),
+    w0 AS (SELECT word,
+                  array_to_string(list_transform(range(length(word)),
                                                  i -> word[i+1]), ' ') AS s,
                   freq
            FROM wc)"""]
@@ -1306,15 +1360,33 @@ def _bpe_oracle_sql(n_rounds: int) -> str:
       GROUP BY 1, 2),
     b{k} AS (SELECT l, r, l || r AS lr, cnt
              FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-    w{k} AS (SELECT {_bpe_unwrap('stt')} AS s, freq
-             FROM (SELECT {_BPE_FOLD} AS stt, freq
+    w{k} AS (SELECT word, {_bpe_unwrap('stt')} AS s, freq
+             FROM (SELECT word, {_BPE_FOLD} AS stt, freq
                    FROM w{k-1}, b{k} AS m) u{k})""")
-    union = "\n    UNION ALL\n    ".join(
-        f"SELECT {k}::BIGINT AS merge_rank, l AS lhs, r AS rhs, "
-        f"cnt::BIGINT AS pair_count FROM b{k}"
-        for k in range(1, n_rounds + 1))
-    return ("WITH " + ",\n    ".join(parts)
-            + "\n    SELECT * FROM (" + union + ") ORDER BY merge_rank")
+    if not encode:
+        union = "\n    UNION ALL\n    ".join(
+            f"SELECT {k}::BIGINT AS merge_rank, l AS lhs, r AS rhs, "
+            f"cnt::BIGINT AS pair_count FROM b{k}"
+            for k in range(1, n_rounds + 1))
+        return ("WITH " + ",\n    ".join(parts)
+                + "\n    SELECT * FROM (" + union + ") ORDER BY merge_rank")
+    parts.append(f"""dt AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    dw AS (SELECT doc_id, i, toks[i+1] AS word
+           FROM dt, unnest(range(len(toks))) AS t(i)),
+    enc AS (SELECT dw.doc_id, dw.i, seg.s
+            FROM dw JOIN w{n_rounds} seg USING (word)),
+    agg AS (SELECT doc_id,
+                   sum(len(string_split(s, ' ')))::BIGINT AS n_pieces,
+                   string_agg(s, ' ' ORDER BY i) AS pieces
+            FROM enc GROUP BY doc_id)""")
+    return ("WITH " + ",\n    ".join(parts) + """
+    SELECT d.doc_id, coalesce(agg.n_pieces, 0) AS n_pieces,
+           coalesce(agg.pieces, '') AS pieces
+    FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""")
 
 
 def _entity_chain_sql(inner: str) -> str:
@@ -2527,6 +2599,31 @@ def oracle_sql() -> dict[str, str]:
 
     # BPE training: 8 unrolled merge rounds (see _bpe_oracle_sql)
     o["bpe_merges"] = _bpe_oracle_sql(8)
+    o["bpe_encode"] = _bpe_oracle_sql(8, encode=True)
+
+    # facet value-counts over the full 'merge' hit set
+    o["ft_facets"] = f"""WITH {_TOK_CTE}
+    SELECT d.lang, d.source, count(*) AS n
+    FROM (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge') h
+    JOIN documents d USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # first-match snippet for the top-10 'merge AND vector' hits: same
+    # (?s) lazy-prefix regex as functions/highlight.py, 1-based offset,
+    # 100-char window starting 40 chars before the match
+    hl_pat = r"(?s)^(.*?)\b(merge|vector)\b"
+    hl_pre = f"length(regexp_extract(d.text, '{hl_pat}', 1)) + 1"
+    o["ft_highlight"] = f"""WITH {_TOK_CTE},
+    sc AS (SELECT doc_id, round(sum(score), 4) AS score
+           FROM ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')})
+           GROUP BY doc_id HAVING count(*) = 2
+           ORDER BY round(sum(score), 4) DESC, doc_id LIMIT 10)
+    SELECT sc.doc_id, sc.score,
+           ({hl_pre})::BIGINT AS pos,
+           regexp_extract(d.text, '{hl_pat}', 2) AS term,
+           substr(d.text, greatest({hl_pre} - 40, 1), 100) AS snippet
+    FROM sc JOIN documents d USING (doc_id)
+    ORDER BY sc.score DESC, sc.doc_id"""
 
     # DSIR weights: identical two-model fit (shared SOURCE top-8192
     # unigram+bigram vocab, Laplace alpha=1 over each side's own total

@@ -700,3 +700,17 @@ def test_explain_doc_ids_and_errors(bm25_setup):
     for bad in ('"alpha beta"', "need*", "graded NOT alpha"):
         with pytest.raises(ValueError):
             engine.explain(bad)
+
+
+def test_facets_match_oracle_hit_set(bm25_setup):
+    """facets() == per-(lang, repo) counts over the oracle's full hit set."""
+    engine, oracle, _ = bm25_setup
+    for q in ("graded", "alpha OR beta", "common_token AND graded"):
+        hit_ids = {h["doc_id"] for h in oracle.search(q, 10 ** 6)}
+        sub = oracle.docs.iloc[sorted(hit_ids)]
+        exp = sub.groupby(["lang", "repo"]).size().to_dict()
+        got = {(r["lang"], r["repo"]): r["n"]
+               for r in engine.facets(q, ["lang", "repo"]).collect()}
+        assert got == exp, q
+    with pytest.raises(ValueError):
+        engine.facets("graded", [])

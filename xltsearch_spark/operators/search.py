@@ -653,6 +653,22 @@ class SearchEngine:
             coord.alias("coord"), F.col("_total").alias("score"))
             .orderBy("doc_id", "field", "term"))
 
+    def facets(self, query: str, fields: list[str]) -> DataFrame:
+        """Facet counts over the FULL hit set of ``query`` (the Lucene
+        facets module's value-count analog): one row per distinct
+        combination of the stored ``fields``, with the number of hits.
+
+        Scale shape: the hit set never collects — it joins the stored-docs
+        frame on doc_id (both sides distributed), then a map-side-combined
+        groupBy over the (low-cardinality) facet fields. One shuffle for
+        the join, partial aggregation before the tiny facet exchange."""
+        if not fields:
+            raise ValueError("facets() needs at least one field")
+        hits = self.score_all(query).select("doc_id")
+        return (hits.join(self.docs.select("doc_id", *fields), "doc_id")
+                .groupBy(*fields).agg(F.count("*").alias("n"))
+                .orderBy(*fields))
+
     def score_all(self, query: str, _idf_map: dict | None = None) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks.
 
