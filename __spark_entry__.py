@@ -329,6 +329,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # IndexSearcher.explain analog: per-(hit, clause) score decomposition
     q["ft_explain"] = _ft_explain
 
+    def ft_min_should_match(s, d):
+        """BooleanQuery.setMinimumNumberShouldMatch (Lucene 4.6 API): all
+        docs matching >= 2 of the three SHOULD terms, scored over the
+        matched clauses only. WAND is declined under msm by design (a
+        single-clause tau floor could prune docs that do qualify)."""
+        engine = _get_engine(s, d)
+        scored = (engine.score_all("merge OR vector OR part", msm=2)
+                  .withColumn("score", F.round("score", 4))
+                  .join(_orig_ids(engine), "doc_id")
+                  .select(F.col("src_doc_id").alias("doc_id"), "score"))
+        return scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    q["ft_min_should_match"] = ft_min_should_match
+
     def ft_facets(s, d):
         """Facet value-counts over the FULL hit set of 'merge' on the
         stored (lang, repo) fields — the Lucene facets-module analog.
@@ -1237,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
+        "ft_min_should_match",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2600,6 +2614,16 @@ def oracle_sql() -> dict[str, str]:
     # BPE training: 8 unrolled merge rounds (see _bpe_oracle_sql)
     o["bpe_merges"] = _bpe_oracle_sql(8)
     o["bpe_encode"] = _bpe_oracle_sql(8, encode=True)
+
+    # minimum-should-match 2-of-3: sum of matched clause scores, HAVING
+    # the SHOULD hit count gate (bm25 -> no coord rescale)
+    o["ft_min_should_match"] = f"""WITH {_TOK_CTE}
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(sum(score), 4) AS score
+        FROM ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')}
+              UNION ALL {_bm25_sql('part')})
+        GROUP BY doc_id HAVING count(*) >= 2
+        ORDER BY round(sum(score), 4) DESC, doc_id)"""
 
     # facet value-counts over the full 'merge' hit set
     o["ft_facets"] = f"""WITH {_TOK_CTE}

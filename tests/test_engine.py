@@ -714,3 +714,45 @@ def test_facets_match_oracle_hit_set(bm25_setup):
         assert got == exp, q
     with pytest.raises(ValueError):
         engine.facets("graded", [])
+
+
+def test_minimum_should_match_rank_identical(bm25_setup):
+    """BooleanQuery.setMinimumNumberShouldMatch parity: engine ==
+    pyoracle for pure-SHOULD (flat path), MUST+SHOULD, and the general
+    path (phrase clause present); msm > optional count matches nothing."""
+    engine, oracle, _ = bm25_setup
+    cases = [
+        ("alpha OR beta OR graded", (1, 2, 3)),          # flat path
+        ("+common_token alpha beta", (1, 2)),            # MUST + SHOULD
+        ('"alpha beta" OR graded OR needle_17', (1, 2)),  # general path
+    ]
+    for q, msms in cases:
+        for msm in msms:
+            exp = [(h["doc_id"], h["score"])
+                   for h in oracle.search(q, 100, msm=msm)]
+            got = [(int(r["doc_id"]), float(r["score"]))
+                   for r in engine.search_scores(q, 100, msm=msm).collect()]
+            assert [g[0] for g in got] == [e[0] for e in exp], (q, msm)
+            for g, e in zip(got, exp):
+                assert g[1] == pytest.approx(e[1], rel=1e-6), (q, msm)
+    # msm exceeding the SHOULD count -> empty (Lucene semantics)
+    assert engine.search_scores("alpha OR beta", 10, msm=3).count() == 0
+    assert oracle.search("alpha OR beta", 10, msm=3) == []
+    with pytest.raises(ValueError):
+        engine.search_scores("graded", 10, msm=1).count()
+
+
+def test_minimum_should_match_tfidf_coord(spark, tiny_corpus):
+    """Under DefaultSimilarity coord stays overlap/maxOverlap — msm only
+    gates membership, never rescales."""
+    cfg = IndexConfig(scoring_model="default", doc_range_size=16,
+                      block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle = OracleIndex(tiny_corpus, cfg)
+    q = "alpha OR beta OR graded"
+    exp = [(h["doc_id"], h["score"]) for h in oracle.search(q, 100, msm=2)]
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in engine.search_scores(q, 100, msm=2).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)

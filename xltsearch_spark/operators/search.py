@@ -27,7 +27,7 @@ rewrite semantics of ``plans/rewrite.py``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 
 import numpy as np
 import pandas as pd
@@ -208,12 +208,12 @@ class SearchEngine:
 
     # ------------------------- public API ----------------------------------
     def search(self, query: str, limit: int = 100,
-               with_details: bool = False) -> DataFrame:
+               with_details: bool = False, msm: int = 0) -> DataFrame:
         """Top-k hits with stored fields, ordered (score desc, doc_id asc).
 
         ``with_details`` adds the reference's details pane: every stored
         field rendered as ``name: value`` lines (SearchTask.java:74-81)."""
-        topk = self.search_scores(query, limit)
+        topk = self.search_scores(query, limit, msm=msm)
         stored = ("doc_id", "repo", "path", "commit", "lang", "title", "hashsum")
         if "meta" in self.docs.columns:  # multi-valued Tika metadata, stored
             stored = stored + ("meta",)
@@ -226,7 +226,8 @@ class SearchEngine:
             joined = joined.withColumn("details", F.concat_ws("\n", *lines))
         return joined.orderBy(F.desc("score"), F.asc("doc_id"))
 
-    def search_scores(self, query: str, limit: int = 100) -> DataFrame:
+    def search_scores(self, query: str, limit: int = 100,
+                      msm: int = 0) -> DataFrame:
         """(doc_id, score) top-k without the stored-field join.
 
         Pure term / disjunctive BM25 queries go through the block-max WAND
@@ -235,11 +236,18 @@ class SearchEngine:
         each term's best block — then the full scan SKIPS every block whose
         upper bound (own block-max + other terms' global maxima) cannot beat
         tau; the skip condition is a pushed-down parquet filter on the
-        block_max_score column, so pruned blocks are never read."""
-        wand, idf_map = self._wand_topk(query, limit)
-        if wand is not None:
-            return wand
-        scored = self.score_all(query, _idf_map=idf_map)
+        block_max_score column, so pruned blocks are never read.
+
+        ``msm`` > 0 declines WAND: the tau seed is a single-clause score
+        floor, but under minimum-should-match a one-clause doc may not
+        qualify at all, so that floor could prune true hits."""
+        if msm == 0:
+            wand, idf_map = self._wand_topk(query, limit)
+            if wand is not None:
+                return wand
+        else:
+            idf_map = None
+        scored = self.score_all(query, _idf_map=idf_map, msm=msm)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     # --------------------- block-max WAND top-k ----------------------------
@@ -669,12 +677,20 @@ class SearchEngine:
                 .groupBy(*fields).agg(F.count("*").alias("n"))
                 .orderBy(*fields))
 
-    def score_all(self, query: str, _idf_map: dict | None = None) -> DataFrame:
+    def score_all(self, query: str, _idf_map: dict | None = None,
+                  msm: int = 0) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks.
 
         ``_idf_map``: doc freqs already collected by a declined WAND attempt
-        (same (field, term) keys by construction) — skips the re-collect."""
+        (same (field, term) keys by construction) — skips the re-collect.
+        ``msm``: BooleanQuery.setMinimumNumberShouldMatch — requires a
+        boolean top-level query; docs must match >= msm SHOULD clauses."""
         ast = self._rewrite(self.parser.parse(query))
+        if msm:
+            if not isinstance(ast, BooleanQuery):
+                raise ValueError(
+                    "minimum_should_match applies to boolean queries only")
+            ast = dc_replace(ast, msm=int(msm))
         return self._score_ast(ast, _idf_map)
 
     def _score_ast(self, ast, _idf_map: dict | None = None) -> DataFrame:
@@ -1261,6 +1277,7 @@ class SearchEngine:
         aggs, post = [], []
         n_must = 0
         scoring_idx = []
+        should_idx = []
         for i, (occ, sub) in enumerate(node.clauses):
             if isinstance(sub, TermQuery):
                 cond = (F.col("field") == sub.field) & (F.col("term") == sub.term)
@@ -1282,8 +1299,12 @@ class SearchEngine:
                 n_must += 1
             if occ != MUST_NOT:
                 scoring_idx.append(i)
+            if occ == SHOULD:
+                should_idx.append(i)
         if not scoring_idx:
             return self._empty_scores()
+        if node.msm > len(should_idx):
+            return self._empty_scores()  # Lucene: msm > optional count -> no hits
         agg = decoded.groupBy("doc_id").agg(*aggs)
         score = F.lit(0.0)
         gate = F.lit(True)
@@ -1297,6 +1318,8 @@ class SearchEngine:
             contrib = (F.col(f"s{i}") * F.lit(w)) if kind == "term" \
                 else F.when(hit, F.lit(w)).otherwise(0.0)
             score = score + contrib
+        if node.msm > 0:
+            gate &= sum(F.col(f"m{i}") for i in should_idx) >= node.msm
         if n_must == 0:
             gate &= sum(F.col(f"m{i}") for i in scoring_idx) >= 1
         out = agg.filter(gate).withColumn("score", score)
@@ -1314,20 +1337,26 @@ class SearchEngine:
         tagged = []
         n_must = 0
         n_scoring = 0
+        n_should = 0
         for i, (occ, sub) in enumerate(node.clauses):
             child = self._eval(sub, decoded, m2, idf_map, tfidf_qn)
             if occ == MUST:
                 n_must += 1
             if occ != MUST_NOT:
                 n_scoring += 1
+            if occ == SHOULD:
+                n_should += 1
             tagged.append(child.select(
                 "doc_id",
                 F.when(F.lit(occ == MUST_NOT), F.lit(0.0)).otherwise(F.col("score")).alias("score"),
                 F.lit(1 if occ == MUST else 0).alias("is_must"),
                 F.lit(1 if occ == MUST_NOT else 0).alias("is_not"),
-                F.lit(1 if occ != MUST_NOT else 0).alias("is_scoring")))
+                F.lit(1 if occ != MUST_NOT else 0).alias("is_scoring"),
+                F.lit(1 if occ == SHOULD else 0).alias("is_should")))
         if n_scoring == 0:
             return self._empty_scores()  # pure-negative matches nothing
+        if node.msm > n_should:
+            return self._empty_scores()  # Lucene: msm > optional count -> no hits
         unioned = tagged[0]
         for t in tagged[1:]:
             unioned = unioned.unionByName(t)
@@ -1335,8 +1364,11 @@ class SearchEngine:
             F.sum("score").alias("score"),
             F.sum("is_must").alias("must_hits"),
             F.max("is_not").alias("excluded"),
-            F.sum("is_scoring").alias("overlap")))
+            F.sum("is_scoring").alias("overlap"),
+            F.sum("is_should").alias("should_hits")))
         cond = (F.col("excluded") == 0) & (F.col("must_hits") == n_must)
+        if node.msm > 0:
+            cond &= F.col("should_hits") >= node.msm
         if n_must == 0:
             cond &= F.col("overlap") >= 1
         out = agg.filter(cond)

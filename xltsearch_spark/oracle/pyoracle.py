@@ -25,6 +25,7 @@ Scoring formulas (public Lucene 4.6 knowledge):
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import math
 
@@ -123,9 +124,14 @@ class OracleIndex:
 
     # ---------------------------- search ----------------------------------
     def search(self, query: str, limit: int = 100,
-               parser: QueryParser | None = None) -> list[dict]:
+               parser: QueryParser | None = None, msm: int = 0) -> list[dict]:
         parser = parser or QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
         ast = rewrite(parser.parse(query), self.vocab)
+        if msm:
+            if not isinstance(ast, BooleanQuery):
+                raise ValueError(
+                    "minimum_should_match applies to boolean queries only")
+            ast = dataclasses.replace(ast, msm=int(msm))
         model = self.config.scoring_model
         if model == "bm25":
             scores = self._eval_bm25(ast, 1.0)
@@ -253,6 +259,11 @@ class OracleIndex:
                 docs |= set(s)
         for nmap in nots:
             docs -= set(nmap)
+        if node.msm:
+            if node.msm > len(shoulds):
+                return {}
+            docs = {d for d in docs
+                    if sum(1 for s in shoulds if d in s) >= node.msm}
         scoring = musts + shoulds
         max_overlap = len(scoring)
         out = {}

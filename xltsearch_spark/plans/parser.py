@@ -112,6 +112,10 @@ class MatchAllQuery:
 class BooleanQuery:
     clauses: tuple[tuple[str, object], ...]  # (occur, subquery)
     boost: float = 1.0
+    # BooleanQuery.setMinimumNumberShouldMatch (Lucene 4.6, API-level —
+    # the classic QP has no syntax for it): a doc matches only if at
+    # least `msm` SHOULD clauses match, on top of MUST/MUST_NOT gating.
+    msm: int = 0
 
 
 # ------------------------------- lexer -------------------------------------
