@@ -217,6 +217,26 @@ def _ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "term"))
 
 
+def _ft_explain_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explain() under DefaultSimilarity (the reference's default model,
+    Config.java:80-84): the decomposition carries the field norm
+    1/sqrt(dl), the queryNorm weight, and the boolean coord — the three
+    components BM25 doesn't exercise. Full hit set of 'merge OR vector'
+    so the oracle needs no top-k tie-break."""
+    engine = _get_engine(spark, sf_dir, model="default")
+    exp = engine.explain("merge OR vector", limit=1 << 30)
+    return (exp.join(_orig_ids(engine), "doc_id")
+            .select(F.col("src_doc_id").alias("doc_id"), "term", "df", "tf",
+                    "dl", F.round("idf", 4).alias("idf"),
+                    F.round("tf_component", 4).alias("tf_comp"),
+                    F.round("norm", 4).alias("norm"),
+                    F.round("weight", 4).alias("weight"),
+                    F.round("contrib", 6).alias("contrib"),
+                    F.round("coord", 4).alias("coord"),
+                    F.round("score", 4).alias("score"))
+            .orderBy("doc_id", "term"))
+
+
 # ---- incremental update (B2/B6/B7: SelectTask.java:66-90, IndexTask.java:83,87-88)
 # deterministic mutation of the documents table, applied via catalog.update():
 #   doc_id % 97 == 1 -> DELETED from the snapshot
@@ -328,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_regexp"] = lambda s, d: _ft(s, d, "/merg(e|er)[a-z]*/", None)
     # IndexSearcher.explain analog: per-(hit, clause) score decomposition
     q["ft_explain"] = _ft_explain
+    q["ft_explain_tfidf"] = _ft_explain_tfidf
 
     def ft_min_should_match(s, d):
         """BooleanQuery.setMinimumNumberShouldMatch (Lucene 4.6 API): all
@@ -1250,7 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
-        "ft_min_should_match",
+        "ft_min_should_match", "ft_explain_tfidf",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2614,6 +2635,44 @@ def oracle_sql() -> dict[str, str]:
     # BPE training: 8 unrolled merge rounds (see _bpe_oracle_sql)
     o["bpe_merges"] = _bpe_oracle_sql(8)
     o["bpe_encode"] = _bpe_oracle_sql(8, encode=True)
+
+    # DefaultSimilarity decomposition for 'merge OR vector' (quantize off):
+    # idf = 1+ln(n/(df+1)), tf_comp = sqrt(tf), norm = 1/sqrt(dl),
+    # weight = queryNorm = 1/sqrt(idf_m^2 + idf_v^2) (boosts 1),
+    # contrib = tf_comp*idf*idf*norm*qn, coord = matched/2,
+    # score = coord * sum(contrib)
+    def _exp_tfidf_term(term: str) -> str:
+        return f"""
+        SELECT t.doc_id, '{term}' AS term, d.df, t.tf, dl.dl,
+               (1 + ln(st.n / (d.df + 1.0))) AS idf,
+               sqrt(t.tf) AS tf_comp,
+               1.0 / sqrt(dl.dl) AS norm,
+               qn.qn AS weight,
+               sqrt(t.tf) * (1 + ln(st.n / (d.df + 1.0)))
+                          * (1 + ln(st.n / (d.df + 1.0)))
+                          * (1.0 / sqrt(dl.dl)) * qn.qn AS contrib
+        FROM (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{term}' GROUP BY doc_id) t
+        JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = '{term}') d ON true
+        JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st CROSS JOIN qn"""
+
+    o["ft_explain_tfidf"] = f"""WITH {_TOK_CTE},
+    i AS (SELECT (1 + ln(st.n / (dm.df + 1.0))) AS im,
+                 (1 + ln(st.n / (dv.df + 1.0))) AS iv
+          FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'merge') dm,
+               (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = 'vector') dv,
+               st),
+    qn AS (SELECT 1.0 / sqrt(im * im + iv * iv) AS qn FROM i),
+    e AS ({_exp_tfidf_term('merge')} UNION ALL {_exp_tfidf_term('vector')}),
+    tot AS (SELECT doc_id, count(*) / 2.0 AS coord,
+                   sum(contrib) AS raw FROM e GROUP BY doc_id)
+    SELECT e.doc_id, e.term, e.df, e.tf, e.dl,
+           round(e.idf, 4) AS idf, round(e.tf_comp, 4) AS tf_comp,
+           round(e.norm, 4) AS norm, round(e.weight, 4) AS weight,
+           round(e.contrib, 6) AS contrib,
+           round(tot.coord, 4) AS coord,
+           round(tot.coord * tot.raw, 4) AS score
+    FROM e JOIN tot USING (doc_id)
+    ORDER BY e.doc_id, e.term"""
 
     # minimum-should-match 2-of-3: sum of matched clause scores, HAVING
     # the SHOULD hit count gate (bm25 -> no coord rescale)
