@@ -363,6 +363,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return scored.orderBy(F.desc("score"), F.asc("doc_id"))
     q["ft_min_should_match"] = ft_min_should_match
 
+    def ft_index_stats(s, d):
+        """CheckIndex-style collection statistics for the content field:
+        the dictionary aggregate (vocabulary-sized, never corpus-sized)
+        must reproduce term/posting/token counts recomputed from the raw
+        documents."""
+        engine = _get_engine(s, d)
+        return (engine.index_stats().filter(F.col("field") == "content")
+                .select("field", "n_terms", "n_postings", "sum_ttf",
+                        "n_docs", F.round("avgdl", 6).alias("avgdl")))
+    q["ft_index_stats"] = ft_index_stats
+
+    def ft_sort_by_field(s, d):
+        """IndexSearcher.search(query, n, Sort) analog: the 'merge' hit
+        set ordered by stored (lang, path) instead of relevance, cut at
+        50 — TakeOrderedAndProject over the hit-docs join, no full sort.
+        path is the zero-padded source doc_id, so the string cut equals
+        the oracle's numeric ordering."""
+        engine = _get_engine(s, d)
+        out = engine.search_sorted("merge", ["lang", "path"], 50)
+        return (out.select(F.col("path").cast("long").alias("doc_id"),
+                           "lang")
+                .orderBy("lang", "doc_id"))
+    q["ft_sort_by_field"] = ft_sort_by_field
+
     def ft_facets(s, d):
         """Facet value-counts over the FULL hit set of 'merge' on the
         stored (lang, repo) fields — the Lucene facets-module analog.
@@ -1271,7 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # freshest-verified batch ops (r4-green) at the back.
     front = [
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
-        "ft_min_should_match", "ft_explain_tfidf",
+        "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
+        "ft_sort_by_field",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2683,6 +2708,25 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL {_bm25_sql('part')})
         GROUP BY doc_id HAVING count(*) >= 2
         ORDER BY round(sum(score), 4) DESC, doc_id)"""
+
+    # collection stats recomputed from the raw corpus (content field)
+    o["ft_index_stats"] = f"""WITH {_TOK_CTE}
+    SELECT 'content' AS field,
+           count(DISTINCT term) AS n_terms,
+           (SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM tok)) AS n_postings,
+           count(*) AS sum_ttf,
+           st.n::BIGINT AS n_docs,
+           round(count(*) * 1.0 / st.n, 6) AS avgdl
+    FROM tok CROSS JOIN st GROUP BY st.n"""
+
+    # sort-by-stored-field results: 'merge' hits by (lang, doc_id), top 50
+    o["ft_sort_by_field"] = f"""WITH {_TOK_CTE}
+    SELECT doc_id, lang FROM (
+        SELECT d.doc_id, d.lang
+        FROM (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge') h
+        JOIN documents d USING (doc_id)
+        ORDER BY d.lang, d.doc_id LIMIT 50)
+    ORDER BY lang, doc_id"""
 
     # facet value-counts over the full 'merge' hit set
     o["ft_facets"] = f"""WITH {_TOK_CTE}

@@ -154,6 +154,26 @@ def main() -> int:
     timings["batch_16_queries"] = round(batch_sec, 3)
     timings["batch_sec_per_query"] = round(batch_sec / len(batch), 4)
 
+    # r5 surface ops (NOT in the p95 population — bands comparable across
+    # rounds): msm-gated boolean (WAND declined by design), facet counts
+    # over the full hit set, per-clause explain decomposition
+    r5_ops = {
+        "q_msm": lambda: fixture_engine.search_scores(
+            "alpha OR beta OR graded", 100, msm=2).collect(),
+        "q_facets": lambda: fixture_engine.facets(
+            "common_token", ["lang", "repo"]).collect(),
+        "q_explain": lambda: fixture_engine.explain(
+            "alpha OR beta", limit=10).collect(),
+    }
+    for name, fn in r5_ops.items():
+        fn()  # warm
+        runs_sec = []
+        for _ in range(3):
+            tq = time.time()
+            fn()
+            runs_sec.append(time.time() - tq)
+        timings[name] = round(min(runs_sec), 3)
+
     # ---- 3. training-pipeline ops on the sf tables ----
     documents = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
     documents.count()

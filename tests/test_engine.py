@@ -756,3 +756,35 @@ def test_minimum_should_match_tfidf_coord(spark, tiny_corpus):
     assert [g[0] for g in got] == [e[0] for e in exp]
     for g, e in zip(got, exp):
         assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+
+def test_index_stats_match_oracle(bm25_setup):
+    """CheckIndex-style collection stats: dictionary aggregate == the
+    python oracle's postings map, per field."""
+    engine, oracle, _ = bm25_setup
+    got = {r["field"]: r for r in engine.index_stats().collect()}
+    fields = {f for f, _ in oracle.postings}
+    assert set(got) == fields
+    for f in fields:
+        terms = [(t, ps) for (ff, t), ps in oracle.postings.items() if ff == f]
+        assert got[f]["n_terms"] == len(terms), f
+        assert got[f]["n_postings"] == sum(len(ps) for _, ps in terms), f
+        assert got[f]["sum_ttf"] == oracle.sum_ttf[f], f
+        assert got[f]["n_docs"] == oracle.n_docs
+        assert got[f]["avgdl"] == pytest.approx(
+            oracle.sum_ttf[f] / oracle.n_docs)
+
+
+def test_search_sorted_matches_oracle(bm25_setup):
+    """Sort-by-stored-field results (IndexSearcher Sort analog): hit set
+    ordered by (field..., doc_id), cut at limit."""
+    engine, oracle, _ = bm25_setup
+    hits = sorted(h["doc_id"] for h in oracle.search("graded", 10 ** 6))
+    sub = oracle.docs.iloc[hits]
+    exp = sorted(((r.lang, r.repo, did) for did, r in
+                  zip(hits, sub.itertuples())))[:7]
+    got = [(r["lang"], r["repo"], int(r["doc_id"])) for r in
+           engine.search_sorted("graded", ["lang", "repo"], 7).collect()]
+    assert got == exp
+    with pytest.raises(ValueError):
+        engine.search_sorted("graded", [])

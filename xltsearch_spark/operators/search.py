@@ -677,6 +677,44 @@ class SearchEngine:
                 .groupBy(*fields).agg(F.count("*").alias("n"))
                 .orderBy(*fields))
 
+    def index_stats(self) -> DataFrame:
+        """Per-field collection statistics (Lucene CheckIndex / segment
+        info analog): (field, n_terms, n_postings, sum_ttf, n_docs,
+        avgdl). n_postings counts (term, doc) pairs (sum of doc freqs);
+        sum_ttf is the total token count the norms are built from.
+
+        Scale shape: one map-side-combined aggregate over the dictionary
+        (which is vocabulary-sized, not corpus-sized); sum_ttf/avgdl come
+        from the build's stats stage (already computed distributedly and
+        cached as O(n_fields) driver values)."""
+        d = (self.dictionary.groupBy("field")
+             .agg(F.countDistinct("term").alias("n_terms"),
+                  F.sum("doc_freq").alias("n_postings")))
+        ttf = self.spark.createDataFrame(
+            [(f, int(v)) for f, v in sorted(self.stats.sum_ttf.items())],
+            "field string, sum_ttf long")
+        return (d.join(F.broadcast(ttf), "field")
+                .withColumn("n_docs",
+                            F.lit(int(self.stats.n_docs)).cast("long"))
+                .withColumn("avgdl", F.col("sum_ttf")
+                            / F.col("n_docs").cast("double"))
+                .orderBy("field"))
+
+    def search_sorted(self, query: str, by: list[str], limit: int = 100,
+                      ascending: bool = True) -> DataFrame:
+        """``IndexSearcher.search(query, n, Sort)`` analog: top-n hits
+        ordered by STORED FIELDS instead of relevance (ties broken by
+        doc_id asc). The hit set joins the stored-docs frame distributed;
+        the cut is TakeOrderedAndProject on (fields..., doc_id) — no full
+        sort, no collect."""
+        if not by:
+            raise ValueError("search_sorted() needs at least one field")
+        hits = self.score_all(query).select("doc_id")
+        cols = ([F.col(c).asc() for c in by] if ascending
+                else [F.col(c).desc() for c in by])
+        return (hits.join(self.docs.select("doc_id", *by), "doc_id")
+                .orderBy(*cols, F.asc("doc_id")).limit(limit))
+
     def score_all(self, query: str, _idf_map: dict | None = None,
                   msm: int = 0) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks.
