@@ -934,6 +934,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "lang").orderBy("doc_id")
     q["sample_stratified"] = sample_strat
 
+    def sample_weighted(s, d):
+        """Efraimidis-Spirtakis A-ES weighted sampling without
+        replacement: 50 docs, inclusion probability proportional to
+        token count; exponential race keys -ln(u)/w from the
+        deterministic hash-uniform, rounded@9 BEFORE the TakeOrdered cut
+        so the k-th slot never flips on a last-ulp ln() difference."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        wdf = docs.select(
+            "doc_id",
+            F.size(textstats.tokens_expr(F.col("text")))
+            .cast("long").alias("n_tokens"))
+        out = sampling.weighted_sample(wdf, 50, "n_tokens")
+        return (out.select("doc_id", "n_tokens", "es_key")
+                .orderBy("es_key", "doc_id"))
+    q["sample_weighted"] = sample_weighted
+
     # ---- training-data last mile: packing / sharding / mixture ----
     def _docs_with_tokens(s, d):
         ntok = F.size(F.filter(F.split(F.lower(F.col("text")), r"[^\w']+"),
@@ -1296,7 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
-        "ft_sort_by_field",
+        "ft_sort_by_field", "sample_weighted",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2274,6 +2290,20 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'test' END AS split FROM h)
     SELECT split, lang, count(*) AS n_docs FROM s
     GROUP BY split, lang ORDER BY split, lang"""
+
+    # A-ES weighted sample: identical hash-uniform, race key, round@9 cut
+    o["sample_weighted"] = """
+    WITH t AS (SELECT doc_id,
+                      len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                                      x -> x <> ''))::BIGINT AS n_tokens
+               FROM documents),
+    k AS (SELECT doc_id, n_tokens,
+                 round(-ln(((doc_id % 2147483648) * 2654435761 % 2147483648 + 1)
+                           / 2147483648.0) / n_tokens, 9) AS es_key
+          FROM t WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens, es_key FROM (
+        SELECT * FROM k ORDER BY es_key, doc_id LIMIT 50)
+    ORDER BY es_key, doc_id"""
 
     o["sample_stratified"] = f"""
     WITH h AS (SELECT doc_id, lang, {_hash_sql} AS hv FROM documents),

@@ -71,3 +71,39 @@ def test_sampling_plan_is_udf_free(spark, docs):
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan
     assert "Exchange" not in plan  # split is map-only, no shuffle
+
+
+def test_weighted_sample_matches_python_recomputation(spark, docs):
+    """A-ES winners == the k smallest -ln(u)/w recomputed in numpy with
+    the identical hash-uniform; ties by id; partition-invariant."""
+    import numpy as np
+    wdf = docs.withColumn("w", (F.col("doc_id") % 7 + 1).cast("double"))
+    got = [(r["doc_id"], r["es_key"]) for r in
+           sampling.weighted_sample(wdf, 10, "w").collect()]
+    ids = np.arange(600, dtype=np.int64)
+    h = (ids % (1 << 31)) * 2654435761 % (1 << 31)
+    u = (h + 1).astype(np.float64) / float(1 << 31)
+    w = (ids % 7 + 1).astype(np.float64)
+    key = np.round(-np.log(u) / w, 9)
+    exp = sorted(zip(key, ids))[:10]
+    assert got == [(int(i), float(k)) for k, i in exp]
+    again = sampling.weighted_sample(wdf.repartition(13), 10, "w").collect()
+    assert [(r["doc_id"], r["es_key"]) for r in again] == got
+
+
+def test_weighted_sample_weight_bias_and_edge_cases(spark, docs):
+    # a 1000x-weight doc should win across (almost) every salt
+    wdf = docs.withColumn(
+        "w", F.when(F.col("doc_id") == 123, 1000.0).otherwise(1.0))
+    wins = sum(
+        any(r["doc_id"] == 123 for r in
+            sampling.weighted_sample(wdf, 10, "w", salt=s).collect())
+        for s in range(10))
+    assert wins >= 9
+    # non-positive weights are excluded entirely
+    zdf = docs.withColumn(
+        "w", F.when(F.col("doc_id") < 590, 0.0).otherwise(1.0))
+    rows = sampling.weighted_sample(zdf, 50, "w").collect()
+    assert len(rows) == 10 and all(r["doc_id"] >= 590 for r in rows)
+    with pytest.raises(ValueError):
+        sampling.weighted_sample(docs.withColumn("w", F.lit(1.0)), 0, "w")

@@ -49,6 +49,34 @@ def bucket_hash(id_col: Column, salt: int = 0) -> Column:
     return (folded * F.lit(_KNUTH)) % F.lit(_MOD)
 
 
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", salt: int = 0) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: Efraimidis &
+    Spiropoulos-Spirtakis (2006) A-ES — every row draws the exponential
+    race key ``e = -ln(u)/w`` with ``u`` a uniform in (0, 1] derived from
+    the id hash, and the k SMALLEST keys win (the monotone-equivalent
+    form of the paper's ``u^(1/w)`` top-k; inclusion probability is
+    proportional to weight draw by draw). Rows with weight <= 0 are
+    excluded (the estimator is undefined there).
+
+    Returns the winning rows plus ``es_key`` (rounded to 9 decimals
+    BEFORE the cut so the k-th slot never flips on a last-ulp ln()
+    difference across engines; ties broken by id).
+
+    Scale shape: the key is map-only arithmetic fused into the scan; the
+    cut is TakeOrderedAndProject(k) — no global sort, no collect; the
+    selected set depends only on (id, salt, weight), never on
+    partitioning or cluster size."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (bucket_hash(F.col(id_col), salt) + F.lit(1)).cast("double") \
+        / F.lit(float(_MOD))
+    e = F.round(-F.log(u) / w, 9)
+    return (df.filter(w > 0).withColumn("es_key", e)
+            .orderBy(F.asc("es_key"), F.asc(id_col)).limit(k))
+
+
 def hash_split(df: DataFrame, id_col: str = "doc_id",
                weights: dict[str, float] | None = None,
                salt: int = 0, out_col: str = "split") -> DataFrame:
