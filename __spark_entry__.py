@@ -934,6 +934,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "lang").orderBy("doc_id")
     q["sample_stratified"] = sample_strat
 
+    def text_bigram_lm(s, d):
+        """Stupid Backoff bigram LM scoring (Brants et al. 2007): counts
+        fit on the en-docs reference, every doc scored by its mean log
+        bigram score with the alpha=0.4 smoothed-unigram backoff. Two
+        count aggregates + equi-joins from the pair stream; no Python."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        out = textstats.stupid_backoff_scores(
+            docs, docs.filter(F.col("lang") == "en"))
+        return (out.select("doc_id", "n_bigrams",
+                           F.round("sb_score", 6).alias("sb_score"))
+                .orderBy("doc_id"))
+    q["text_bigram_lm"] = text_bigram_lm
+
     def sample_weighted(s, d):
         """Efraimidis-Spirtakis A-ES weighted sampling without
         replacement: 50 docs, inclusion probability proportional to
@@ -1312,7 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
-        "ft_sort_by_field", "sample_weighted",
+        "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2290,6 +2303,38 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'test' END AS split FROM h)
     SELECT split, lang, count(*) AS n_docs FROM s
     GROUP BY split, lang ORDER BY split, lang"""
+
+    # Stupid Backoff: same ref counts (en docs), same two-branch formula
+    o["text_bigram_lm"] = """
+    WITH dt AS (SELECT doc_id,
+                       list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+    rt AS (SELECT dt.toks FROM dt JOIN documents d USING (doc_id)
+           WHERE d.lang = 'en'),
+    c1 AS (SELECT w, count(*) AS c1
+           FROM (SELECT unnest(toks) AS w FROM rt) GROUP BY w),
+    tv AS (SELECT (SELECT coalesce(sum(c1), 0) FROM c1) AS t,
+                  (SELECT count(*) FROM c1) AS v),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM (
+               SELECT toks[i+1] AS w1, toks[i+2] AS w2
+               FROM rt, unnest(range(greatest(len(toks) - 1, 0))) AS q(i))
+           GROUP BY w1, w2),
+    db AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+           FROM dt, unnest(range(greatest(len(toks) - 1, 0))) AS q(i)),
+    sc AS (SELECT db.doc_id,
+                  CASE WHEN c2.c2 IS NOT NULL THEN ln(c2.c2 / p.c1)
+                       ELSE ln(0.4 * (coalesce(cc.c1, 0) + 1)
+                               / (tv.t + tv.v + 1)) END AS ls
+           FROM db LEFT JOIN c2 USING (w1, w2)
+                   LEFT JOIN c1 p ON db.w1 = p.w
+                   LEFT JOIN c1 cc ON db.w2 = cc.w
+                   CROSS JOIN tv),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(avg(ls), 6) AS sb_score
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.sb_score
+    FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""
 
     # A-ES weighted sample: identical hash-uniform, race key, round@9 cut
     o["sample_weighted"] = """

@@ -690,3 +690,39 @@ def test_ppl_buckets_empty_corpus(spark):
     docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
     rows = textstats.ppl_buckets(docs, vocab_size=4).collect()
     assert len(rows) == 1 and rows[0]["bucket"] is None
+
+
+def test_stupid_backoff_matches_hand_lm(spark):
+    """Stupid Backoff bigram scores == a sequential recomputation of the
+    ref counts and the two-branch formula."""
+    import math
+    from xltsearch_spark.operators.textstats import stupid_backoff_scores
+    rows = [(0, "a b a b c"), (1, "a a b"), (2, "x y"), (3, "a"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.filter("doc_id < 2")
+    got = {r["doc_id"]: (r["n_bigrams"],
+                         None if r["sb_score"] is None
+                         else round(r["sb_score"], 9))
+           for r in stupid_backoff_scores(df, ref).collect()}
+    # hand model: c1 = {a:4, b:3, c:1}, T=8, V=3
+    c1 = {"a": 4, "b": 3, "c": 1}
+    c2 = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("a", "a"): 1}
+    T, V = 8, 3
+
+    def s(w1, w2):
+        if (w1, w2) in c2:
+            return c2[(w1, w2)] / c1[w1]
+        return 0.4 * (c1.get(w2, 0) + 1) / (T + V + 1)
+
+    def doc_score(text):
+        toks = text.split()
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            return 0, None
+        return len(pairs), round(
+            sum(math.log(s(a, b)) for a, b in pairs) / len(pairs), 9)
+
+    exp = {i: doc_score(t) for i, t in rows}
+    assert got == exp
+    # every doc present, including empty/one-token ones
+    assert got[3] == (0, None) and got[4] == (0, None)

@@ -398,3 +398,66 @@ def vocab_stats(df: DataFrame, text_col: str = "text",
     agg = per_doc.groupBy("term").agg(F.count("*").alias("df"),
                                       F.sum("c").alias("tf"))
     return agg.orderBy(F.desc("df"), F.asc("term")).limit(top_n)
+
+
+def _bigram_pairs(toks: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs (overlapping)."""
+    return F.filter(
+        F.zip_with(toks,
+                   F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        lambda p: p["w2"].isNotNull())
+
+
+def stupid_backoff_scores(df: DataFrame, ref: DataFrame, alpha: float = 0.4,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale LM built for
+    exactly this setting: counts, not normalized probabilities): fit
+    bigram/unigram counts on ``ref`` (the trusted corpus), score every
+    doc in ``df`` by the mean log score over its adjacent token pairs,
+
+        S(w2 | w1) = c2(w1 w2) / c1(w1)              if the bigram is seen
+                   = alpha * (c1(w2) + 1) / (T + V + 1)   otherwise
+
+    where T = ref token count, V = ref vocabulary size. The unseen
+    branch add-one-smooths the unigram so unseen WORDS also get a finite
+    score (documented deviation from the paper, which leaves the OOV
+    floor to the application). Returns (doc_id, n_bigrams, sb_score)
+    with NULL score for docs having < 2 tokens.
+
+    Scale shape: two map-side-combined count aggregates over the ref
+    (bigram table is ref-sized, unigram vocabulary-sized), then two
+    equi-joins from the doc pair stream (AQE picks broadcast when the
+    ref fits) and ONE doc-keyed aggregate. T and V are the only driver
+    values (2 ints). No Python anywhere."""
+    rtoks = ref.select(tokens_expr(F.col(text_col)).alias("toks"))
+    uni = (rtoks.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c1")).persist())
+    tv = uni.agg(F.sum("c1"), F.count("*")).collect()[0]
+    t_total, v_size = int(tv[0] or 0), int(tv[1])
+    bi = (rtoks.select(F.explode(_bigram_pairs(F.col("toks"))).alias("p"))
+          .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .agg(F.count("*").alias("c2")))
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_bigram_pairs(tokens_expr(F.col(text_col)))).alias("p"))
+    scored = (pairs
+              .join(bi, (F.col("p.w1") == bi.w1) & (F.col("p.w2") == bi.w2),
+                    "left")
+              .join(uni.withColumnRenamed("w", "_w1")
+                    .withColumnRenamed("c1", "c1_prev"),
+                    F.col("p.w1") == F.col("_w1"), "left")
+              .join(uni.withColumnRenamed("w", "_w2")
+                    .withColumnRenamed("c1", "c1_cur"),
+                    F.col("p.w2") == F.col("_w2"), "left"))
+    s = F.when(F.col("c2").isNotNull(), F.col("c2") / F.col("c1_prev")) \
+        .otherwise(F.lit(alpha) * (F.coalesce(F.col("c1_cur"), F.lit(0))
+                                   + F.lit(1))
+                   / F.lit(float(t_total + v_size + 1)))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.col("p.w1")).alias("n_bigrams"),
+                 F.avg(F.when(F.col("p.w1").isNotNull(), F.log(s)))
+                 .alias("sb_score"))
+            .withColumn("n_bigrams", F.col("n_bigrams").cast("long")))
