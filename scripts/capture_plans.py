@@ -236,6 +236,36 @@ def main(out_path: str | None = None) -> int:
                      "is a literal CASE), no Python eval.",
                      explain_str(mixed, mode="simple")))
 
+    # 6) r5 surface ops: explain / facets / search_sorted / weighted_sample
+    sections.append(("explain('alpha OR beta', limit=10): broadcast hit join",
+                     "Expected: the SAME pruned postings scan the scorer "
+                     "uses, BroadcastHashJoin against the <= limit hit ids "
+                     "and the n_clauses metadata LocalTableScan — no second "
+                     "corpus-wide pass, no shuffle of the decoded frame.",
+                     explain_str(eng.explain("alpha OR beta", limit=10),
+                                 mode="simple")))
+    sections.append(("facets('graded', [lang, repo]): partial-agg counts",
+                     "Expected: the hit set joins the stored-docs scan "
+                     "(SortMergeJoin/shuffle or AQE broadcast — BOTH sides "
+                     "stay distributed, no collect), then partial_count "
+                     "before the tiny facet-key Exchange (map-side combine).",
+                     explain_str(eng.facets("graded", ["lang", "repo"]),
+                                 mode="simple")))
+    sections.append(("search_sorted('graded', [lang, repo], 7): field-sort cut",
+                     "Expected: TakeOrderedAndProject over the hit-docs "
+                     "join — no global Sort node, no full-corpus ordering.",
+                     explain_str(eng.search_sorted("graded", ["lang", "repo"],
+                                                   7), mode="simple")))
+    from xltsearch_spark.operators.sampling import weighted_sample
+    wdf = pdocs.select("doc_id", F.col("n_tokens").alias("w"))
+    sections.append(("weighted_sample(k=50): map-only key + TakeOrdered",
+                     "Expected: the exponential race key is a Project fused "
+                     "into the scan (no Exchange before the cut), the cut is "
+                     "TakeOrderedAndProject(51-col limit 50) — executors "
+                     "stream through k-bounded heaps, driver sees k rows.",
+                     explain_str(weighted_sample(wdf, 50, "w"),
+                                 mode="simple")))
+
     with open(out_path, "w") as f:  # fresh file: stale plans are worse
         f.write("# Plan evidence (regenerated at HEAD by "
                 "scripts/capture_plans.py — one complete capture, "
