@@ -537,6 +537,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("a", "b"))
     q["dedup_minhash_lsh"] = dedup_minhash
 
+    def dedup_cross(s, d):
+        """Incremental (cross-corpus) near-dedup: the crawl-N slice
+        (doc_id % 5 == 0) deduped against the reference corpus (all other
+        docs) — banded LSH join BETWEEN corpora, exact 3-gram jaccard
+        verify, per-new-doc best-match verdict. Same recall argument as
+        dedup_minhash_lsh (P(miss | j>=0.8) ~ 4e-8)."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        out = dedup.cross_corpus_near_dups(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+            threshold=0.8, shingle_n=3)
+        return (out.select("doc_id", F.col("is_dup").cast("long").alias("is_dup"),
+                           "best_ref", "best_jaccard")
+                .orderBy("doc_id"))
+    q["dedup_cross_corpus"] = dedup_cross
+
     def dedup_simhash(s, d):
         """Simhash near-pair candidates (hamming <= 8, 9-block multi-table)
         verified with EXACT 4-gram jaccard >= 0.8. On this corpus every
@@ -1326,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
+        "dedup_cross_corpus",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2303,6 +2320,33 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'test' END AS split FROM h)
     SELECT split, lang, count(*) AS n_docs FROM s
     GROUP BY split, lang ORDER BY split, lang"""
+
+    # cross-corpus near-dedup: all cross pairs (new x ref), exact 3-gram
+    # jaccard, round@6 before the >= and the argmax — identical split,
+    # identical tie-break (j desc, ref asc)
+    o["dedup_cross_corpus"] = """
+    WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(toks[i+1:i+3], chr(31)) AS sh
+          FROM f, unnest(range(greatest(len(toks) - 2, 0))) AS t(i)),
+    s AS (SELECT DISTINCT doc_id, sh FROM g),
+    sz AS (SELECT doc_id, count(*) AS sz FROM s GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM s x JOIN s y USING (sh)
+              WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+              GROUP BY 1, 2),
+    j AS (SELECT a, b, round(i * 1.0 / (za.sz + zb.sz - i), 6) AS j
+          FROM inter JOIN sz za ON a = za.doc_id JOIN sz zb ON b = zb.doc_id),
+    jt AS (SELECT * FROM j WHERE j >= 0.8),
+    best AS (SELECT a, b, j,
+                    row_number() OVER (PARTITION BY a ORDER BY j DESC, b) AS rn
+             FROM jt)
+    SELECT d.doc_id,
+           (CASE WHEN w.b IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_dup,
+           w.b AS best_ref, w.j AS best_jaccard
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) w ON d.doc_id = w.a
+    WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id"""
 
     # Stupid Backoff: same ref counts (en docs), same two-branch formula
     o["text_bigram_lm"] = """

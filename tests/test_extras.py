@@ -726,3 +726,42 @@ def test_stupid_backoff_matches_hand_lm(spark):
     assert got == exp
     # every doc present, including empty/one-token ones
     assert got[3] == (0, None) and got[4] == (0, None)
+
+
+def test_cross_corpus_near_dups_matches_bruteforce(spark):
+    """Incremental dedup verdicts == brute-force cross jaccard (the new
+    side never pairs against itself, the ref never against itself)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),                                   # new: dup of ref 10
+        (1, base + " extra tail words here"),        # new: near ref 10
+        (2, "completely different content nothing alike at all yes"),
+        (10, base),                                  # ref
+        (11, "another unrelated reference document entirely separate"),
+        (12, base + " extra tail words here"),       # ref near-dup of new 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new, ref = df.filter("doc_id < 10"), df.filter("doc_id >= 10")
+    from xltsearch_spark.operators.dedup import cross_corpus_near_dups
+    got = {r["doc_id"]: (r["is_dup"], r["best_ref"], r["best_jaccard"])
+           for r in cross_corpus_near_dups(new, ref, threshold=0.5,
+                                           shingle_n=3).collect()}
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    import itertools
+    exp = {}
+    for nid, ntext in rows[:3]:
+        best = None
+        for rid, rtext in rows[3:]:
+            a, b = shingles(ntext), shingles(rtext)
+            j = round(len(a & b) / len(a | b), 6)
+            if j >= 0.5 and (best is None or (j, -rid) > (best[1], -best[0])):
+                best = (rid, j)
+        exp[nid] = (1, best[0], best[1]) if best else (0, None, None)
+    assert got == exp
+    assert got[0][0] == 1 and got[2][0] == 0  # sanity: dup found, clean kept
+    # new docs never flagged against each other: doc 1's best is a REF id
+    assert got[1][1] >= 10

@@ -181,12 +181,7 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
     near-identical boilerplate docs fills a bucket with all k of them.
     Capped clusters are better handled by exact_dedup_groups first (byte
     dups) or transitive closure over the surviving pair graph."""
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.hash(F.concat_ws(",", F.lit(bnd), *[
-                F.col("sig")[bnd * rows_per_band + r] for r in range(rows_per_band)]))
-            for bnd in range(bands)])).alias("band", "bucket"))
+    banded = _band_keys(sigs, bands, rows_per_band)
     if max_bucket_size is not None:
         ok = (banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
               .filter(F.col("bsz") <= max_bucket_size).drop("bsz"))
@@ -195,6 +190,81 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
     right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
+
+
+def _band_keys(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH band keys — the id-only banded layout
+    shared by within-corpus and cross-corpus candidate generation."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.hash(F.concat_ws(",", F.lit(bnd), *[
+                F.col("sig")[bnd * rows_per_band + r] for r in range(rows_per_band)]))
+            for bnd in range(bands)])).alias("band", "bucket"))
+
+
+def cross_corpus_candidates(new_sigs: DataFrame, ref_sigs: DataFrame,
+                            bands: int = 16, rows_per_band: int = 4,
+                            max_bucket_size: int | None = None) -> DataFrame:
+    """Distinct (a=new_id, b=ref_id) pairs sharing >= 1 LSH band bucket
+    ACROSS corpora — the incremental-dedup primitive: dedup crawl N
+    against the union of crawls 1..N-1 without ever pairing the
+    reference against itself.
+
+    Scale shape: both sides shuffle id-only band keys on (band, bucket)
+    — one equi-join, no all-pairs, no broadcast of the reference (at
+    web scale the reference is the BIG side). ``max_bucket_size`` caps
+    COMBINED bucket occupancy (a boilerplate bucket hot on either side
+    explodes the join) — capped buckets are better handled by exact
+    hash dedup first, same rationale as minhash_lsh_candidates."""
+    nb = _band_keys(new_sigs, bands, rows_per_band)
+    rb = _band_keys(ref_sigs, bands, rows_per_band)
+    if max_bucket_size is not None:
+        ok = (nb.unionByName(rb).groupBy("band", "bucket")
+              .agg(F.count("*").alias("bsz"))
+              .filter(F.col("bsz") <= max_bucket_size).drop("bsz"))
+        nb = nb.join(ok, ["band", "bucket"])
+        rb = rb.join(ok, ["band", "bucket"])
+    return (nb.select(F.col("doc_id").alias("a"), "band", "bucket")
+            .join(rb.select(F.col("doc_id").alias("b"), "band", "bucket"),
+                  ["band", "bucket"])
+            .select("a", "b").distinct())
+
+
+def cross_corpus_near_dups(new: DataFrame, ref: DataFrame,
+                           text_col: str = "text", threshold: float = 0.8,
+                           shingle_n: int = 3, num_hashes: int = 64,
+                           bands: int = 16, rows_per_band: int = 4,
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """Per-NEW-doc incremental near-dup verdicts against a reference
+    corpus: (doc_id, is_dup, best_ref, best_jaccard) for every new doc —
+    ``best_ref`` the smallest ref id among the highest-jaccard matches
+    (jaccard rounded @6 BEFORE the argmax so ties break identically in
+    any engine), NULLs when nothing clears ``threshold``.
+
+    LSH candidates verified with EXACT shingle jaccard (same recall
+    argument as minhash_lsh_pairs: P(miss | j>=t) = (1-t^r)^b). The
+    verdict aggregate is one window over candidate pairs — bounded by
+    the LSH collision count, never |new| x |ref|."""
+    from pyspark.sql.window import Window
+    nsig = minhash_signatures(new, text_col, num_hashes, shingle_n)
+    rsig = minhash_signatures(ref, text_col, num_hashes, shingle_n)
+    cand = cross_corpus_candidates(nsig, rsig, bands, rows_per_band,
+                                   max_bucket_size)
+    both = new.select("doc_id", text_col).unionByName(
+        ref.select("doc_id", text_col))
+    ex = (pair_exact_jaccard(both, cand, text_col=text_col, n=shingle_n)
+          .withColumn("j", F.round("jaccard", 6))
+          .filter(F.col("j") >= threshold))
+    w = Window.partitionBy("a").orderBy(F.desc("j"), F.asc("b"))
+    best = (ex.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("a").alias("doc_id"),
+                    F.col("b").alias("best_ref"),
+                    F.col("j").alias("best_jaccard")))
+    return (new.select("doc_id").join(best, "doc_id", "left")
+            .withColumn("is_dup", F.col("best_ref").isNotNull().cast("int"))
+            .select("doc_id", "is_dup", "best_ref", "best_jaccard"))
 
 
 def minhash_lsh_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
