@@ -387,6 +387,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy("lang", "doc_id"))
     q["ft_sort_by_field"] = ft_sort_by_field
 
+    def eval_retrieval(s, d):
+        """Retrieval-quality eval (nDCG@10 / MRR / recall@10) of the BM25
+        engine over three term queries, against tf-graded synthetic
+        qrels (rel = min(tf, 3)). Ranks come from the rounded score with
+        doc_id tie-break so the rank table is engine-exact; the metric
+        math is one qrels join + two per-query aggregates."""
+        from pyspark.sql.window import Window
+        from xltsearch_spark.operators import evaluate
+        engine = _get_engine(s, d)
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        qs = [("q_merge", "merge"), ("q_part", "part"),
+              ("q_vector", "vector")]
+        legs = []
+        for qid, term in qs:
+            legs.append(
+                engine.score_all(term).withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.lit(qid).alias("query_id"),
+                        F.col("src_doc_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+        runs = legs[0]
+        for leg in legs[1:]:
+            runs = runs.unionByName(leg)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id"))
+        runs = (runs.withColumn("rank", F.row_number().over(w).cast("long"))
+                .drop("score"))
+        toks = textstats.tokens_expr(F.col("text"))
+
+        def _tf(term):
+            # NB: a 2-arg lambda in F.filter means (element, index) — a
+            # default-arg capture would silently bind the index column
+            return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+        qlegs = []
+        for qid, term in qs:
+            tf = _tf(term)
+            qlegs.append(docs.select(
+                F.lit(qid).alias("query_id"), "doc_id",
+                F.least(tf, F.lit(3)).cast("long").alias("rel"))
+                .filter(F.col("rel") > 0))
+        qrels = qlegs[0]
+        for leg in qlegs[1:]:
+            qrels = qrels.unionByName(leg)
+        out = evaluate.retrieval_metrics(runs, qrels, k=10)
+        return out.select(
+            "query_id", F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+            F.round("mrr", 6).alias("mrr"),
+            F.round("recall_at_k", 6).alias("recall_at_k"),
+            "n_rel").orderBy("query_id")
+    q["eval_retrieval"] = eval_retrieval
+
     def ft_facets(s, d):
         """Facet value-counts over the FULL hit set of 'merge' on the
         stored (lang, repo) fields — the Lucene facets-module analog.
@@ -1342,7 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
-        "dedup_cross_corpus",
+        "dedup_cross_corpus", "eval_retrieval",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2320,6 +2372,61 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'test' END AS split FROM h)
     SELECT split, lang, count(*) AS n_docs FROM s
     GROUP BY split, lang ORDER BY split, lang"""
+
+    # retrieval eval: engine-exact runs (rounded-score rank) + tf-graded
+    # qrels + the same DCG/IDCG/MRR/recall arithmetic
+    def _run_leg(qid: str, term: str) -> str:
+        return f"""
+        SELECT '{qid}' AS query_id, doc_id, round(score, 4) AS score
+        FROM ({_bm25_sql(term)})
+        ORDER BY round(score, 4) DESC, doc_id LIMIT 10"""
+
+    def _qrel_leg(qid: str, term: str) -> str:
+        return f"""
+        SELECT '{qid}' AS query_id, doc_id,
+               least(len(list_filter(toks, x -> x = '{term}')), 3)::BIGINT AS rel
+        FROM dt"""
+
+    o["eval_retrieval"] = f"""WITH {_TOK_CTE},
+    runs0 AS (SELECT * FROM ({_run_leg('q_merge', 'merge')})
+              UNION ALL SELECT * FROM ({_run_leg('q_part', 'part')})
+              UNION ALL SELECT * FROM ({_run_leg('q_vector', 'vector')})),
+    runs AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rank
+             FROM runs0),
+    dt AS (SELECT doc_id,
+                  list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+    qr AS ({_qrel_leg('q_merge', 'merge')} UNION ALL
+           {_qrel_leg('q_part', 'part')} UNION ALL
+           {_qrel_leg('q_vector', 'vector')}),
+    qrels AS (SELECT * FROM qr WHERE rel > 0),
+    jk AS (SELECT r.query_id, r.rank, coalesce(q.rel, 0) AS rel
+           FROM runs r LEFT JOIN qrels q USING (query_id, doc_id)
+           WHERE r.rank <= 10),
+    pr AS (SELECT query_id,
+                  sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg,
+                  min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                  sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hit_rel
+           FROM jk GROUP BY query_id),
+    id0 AS (SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc_id) AS rn
+            FROM qrels),
+    ideal AS (SELECT query_id,
+                     sum(CASE WHEN rn <= 10 THEN
+                         (pow(2.0, rel) - 1.0) / log2(rn + 1.0) END) AS idcg,
+                     count(*) AS n_rel
+              FROM id0 GROUP BY query_id)
+    SELECT i.query_id,
+           round(CASE WHEN i.idcg > 0 THEN coalesce(p.dcg, 0) / i.idcg
+                      ELSE 0 END, 6) AS ndcg_at_k,
+           round(coalesce(1.0 / p.first_rel, 0), 6) AS mrr,
+           round(coalesce(p.hit_rel, 0) * 1.0 / i.n_rel, 6) AS recall_at_k,
+           i.n_rel::BIGINT AS n_rel
+    FROM ideal i LEFT JOIN pr p USING (query_id) ORDER BY i.query_id"""
 
     # cross-corpus near-dedup: all cross pairs (new x ref), exact 3-gram
     # jaccard, round@6 before the >= and the argmax — identical split,
