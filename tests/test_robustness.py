@@ -222,3 +222,41 @@ def test_regexp_review_regressions():
         P.parse("/(/")
     with pytest.raises(QueryParseError):
         P.parse("/a{2,1}/")
+
+
+def test_msm_fuzz_engine_equals_pyoracle(spark):
+    """Randomized minimum-should-match queries: engine == pyoracle over
+    random clause mixes (+/-/plain, dup terms) and msm values — both
+    eval paths exercised via a module-shared engine."""
+    import itertools
+    import random
+
+    from tests.test_engine import build_engine
+    from xltsearch_spark.config import IndexConfig
+    from xltsearch_spark.oracle.pyoracle import OracleIndex
+    from xltsearch_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(64)
+    cfg = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    oracle = OracleIndex(corpus, cfg)
+    vocab = ["alpha", "beta", "graded", "common_token", "needle_17",
+             "zz_unseen"]
+    rng = random.Random(7)
+    for trial in range(12):
+        n = rng.randint(2, 4)
+        clauses = []
+        for _ in range(n):
+            occ = rng.choice(["", "", "", "+", "-"])
+            clauses.append(occ + rng.choice(vocab))
+        if all(c.startswith("-") for c in clauses):
+            clauses[0] = clauses[0][1:]
+        q = " ".join(clauses)
+        msm = rng.randint(0, 3)
+        exp = [(h["doc_id"], round(h["score"], 9))
+               for h in oracle.search(q, 200, msm=msm)]
+        got = [(int(r["doc_id"]), round(float(r["score"]), 9))
+               for r in engine.search_scores(q, 200, msm=msm).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], (trial, q, msm)
+        for g, e in zip(got, exp):
+            assert abs(g[1] - e[1]) < 1e-6 * max(1.0, abs(e[1])), (q, msm)
