@@ -439,6 +439,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_rel").orderBy("query_id")
     q["eval_retrieval"] = eval_retrieval
 
+    def ft_dismax(s, d):
+        """DisjunctionMaxQuery (Lucene API tier, like msm): best clause
+        plus tie_breaker=0.3 of the others, full hit set — one shared
+        pruned scan, one doc-keyed max+sum aggregate."""
+        engine = _get_engine(s, d)
+        out = engine.search_dismax(["merge", "vector"], 0.3, limit=1 << 30)
+        return (out.withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.col("src_doc_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_dismax"] = ft_dismax
+
     def ft_facets(s, d):
         """Facet value-counts over the FULL hit set of 'merge' on the
         stored (lang, repo) fields — the Lucene facets-module analog.
@@ -1394,7 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
-        "dedup_cross_corpus", "eval_retrieval",
+        "dedup_cross_corpus", "eval_retrieval", "ft_dismax",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2372,6 +2384,15 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'test' END AS split FROM h)
     SELECT split, lang, count(*) AS n_docs FROM s
     GROUP BY split, lang ORDER BY split, lang"""
+
+    # DisMax: same per-clause BM25 scores, max + tie*(sum - max)
+    o["ft_dismax"] = f"""WITH {_TOK_CTE},
+    e AS ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')})
+    SELECT doc_id, score FROM (
+        SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score FROM (
+            SELECT doc_id, max(score) AS mx, sum(score) AS sm
+            FROM e GROUP BY doc_id)
+        ORDER BY round(mx + 0.3 * (sm - mx), 4) DESC, doc_id)"""
 
     # retrieval eval: engine-exact runs (rounded-score rank) + tf-graded
     # qrels + the same DCG/IDCG/MRR/recall arithmetic

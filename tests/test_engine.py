@@ -788,3 +788,44 @@ def test_search_sorted_matches_oracle(bm25_setup):
     assert got == exp
     with pytest.raises(ValueError):
         engine.search_sorted("graded", [])
+
+
+def test_dismax_rank_identical(bm25_setup, spark, tiny_corpus):
+    """DisjunctionMaxQuery: engine == pyoracle under both similarities,
+    tie_breaker 0 and 0.3; single-clause dismax degrades to the clause."""
+    engine, oracle, _ = bm25_setup
+    cases = [(["alpha", "beta"], 0.0), (["alpha", "beta"], 0.3),
+             (["graded^2", "common_token AND graded"], 0.5),
+             (["needle_17"], 0.7)]
+    for queries, tie in cases:
+        exp = [(h["doc_id"], h["score"])
+               for h in oracle.search_dismax(queries, tie, 100)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_dismax(queries, tie, 100).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], (queries, tie)
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6), (queries, tie)
+    # a 1.0 tie_breaker equals the flat OR's score sum (bm25: no coord)
+    dm = {int(r["doc_id"]): float(r["score"]) for r in
+          engine.search_dismax(["alpha", "beta"], 1.0, 100).collect()}
+    orr = {int(r["doc_id"]): float(r["score"]) for r in
+           engine.search_scores("alpha OR beta", 100).collect()}
+    assert dm.keys() == orr.keys()
+    for d in dm:
+        assert dm[d] == pytest.approx(orr[d], rel=1e-9)
+    with pytest.raises(ValueError):
+        engine.search_dismax([], 0.0)
+    with pytest.raises(ValueError):
+        engine.search_dismax(["alpha"], 1.5)
+    # tfidf: queryNorm spans BOTH clauses (DisjunctionMaxWeight sums norms)
+    cfg = IndexConfig(scoring_model="default", doc_range_size=16,
+                      block_size=8, term_buckets=8)
+    eng_t, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle_t = OracleIndex(tiny_corpus, cfg)
+    exp = [(h["doc_id"], h["score"])
+           for h in oracle_t.search_dismax(["alpha", "beta graded"], 0.4, 100)]
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in eng_t.search_dismax(["alpha", "beta graded"], 0.4, 100).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)

@@ -40,7 +40,7 @@ from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf
 from xltsearch_spark.functions.varint import decode_deltas, decode_varint
 from xltsearch_spark.operators.build import BuildStats, term_bucket
 from xltsearch_spark.plans import scoring
-from xltsearch_spark.plans.parser import (BooleanQuery, MatchAllQuery, MUST,
+from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST,
                                           MUST_NOT, PhraseQuery, QueryParser,
                                           SHOULD, TermQuery, PrefixQuery,
                                           WildcardQuery, FuzzyQuery, RangeQuery,
@@ -715,6 +715,23 @@ class SearchEngine:
         return (hits.join(self.docs.select("doc_id", *by), "doc_id")
                 .orderBy(*cols, F.asc("doc_id")).limit(limit))
 
+    def search_dismax(self, queries: list[str], tie_breaker: float = 0.0,
+                      limit: int = 100) -> DataFrame:
+        """Lucene ``DisjunctionMaxQuery`` top-k (API-level, like msm): each
+        string parses through the classic QP as one clause; a doc scores
+        its best clause plus ``tie_breaker`` x the other matching
+        clauses — the multi-field shape (same text against title/content)
+        where a flat OR would double-count. All clauses share ONE pruned
+        postings scan; the combine is a single doc-keyed aggregate."""
+        if not queries:
+            raise ValueError("search_dismax() needs at least one query")
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError("tie_breaker must be in [0, 1]")
+        ast = DisMaxQuery(tuple(self._rewrite(self.parser.parse(q))
+                                for q in queries), float(tie_breaker))
+        scored = self._score_ast(ast)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
     def score_all(self, query: str, _idf_map: dict | None = None,
                   msm: int = 0) -> DataFrame:
         """(doc_id, score) for EVERY matching doc (no limit) — oracle checks.
@@ -824,7 +841,11 @@ class SearchEngine:
     # --------------------- multi-term expansion ----------------------------
     def _rewrite(self, ast):
         if isinstance(ast, BooleanQuery):
-            return BooleanQuery(tuple((o, self._rewrite(s)) for o, s in ast.clauses), ast.boost)
+            return BooleanQuery(tuple((o, self._rewrite(s)) for o, s in ast.clauses),
+                                ast.boost, ast.msm)
+        if isinstance(ast, DisMaxQuery):
+            return DisMaxQuery(tuple(self._rewrite(s) for s in ast.clauses),
+                               ast.tie_breaker, ast.boost)
         d = self.dictionary
         # prefix/wildcard/range: constant-score — push the predicate into the
         # postings scan instead of expanding terms on the driver
@@ -935,6 +956,9 @@ class SearchEngine:
         def walk(node):
             if isinstance(node, BooleanQuery):
                 for _, sub in node.clauses:
+                    walk(sub)
+            elif isinstance(node, DisMaxQuery):
+                for sub in node.clauses:
                     walk(sub)
             elif isinstance(node, TermQuery):
                 terms.append((node.field, node.term))
@@ -1177,7 +1201,28 @@ class SearchEngine:
             return self._eval_phrase(node, decoded, mult, idf_map, tfidf_qn)
         if isinstance(node, BooleanQuery):
             return self._eval_boolean(node, decoded, mult, idf_map, tfidf_qn)
+        if isinstance(node, DisMaxQuery):
+            return self._eval_dismax(node, decoded, mult, idf_map, tfidf_qn)
         raise TypeError(type(node).__name__)
+
+    def _eval_dismax(self, node: DisMaxQuery, decoded, mult, idf_map,
+                     tfidf_qn) -> DataFrame:
+        """DisjunctionMaxQuery: max(clause scores) + tie * sum(others) —
+        one union of the clause score frames + one doc-keyed aggregate
+        (max and sum in the same pass); clauses share the single decoded
+        scan like the boolean paths."""
+        m2 = mult * node.boost
+        tagged = [self._eval(sub, decoded, m2, idf_map, tfidf_qn)
+                  .select("doc_id", "score") for sub in node.clauses]
+        unioned = tagged[0]
+        for t in tagged[1:]:
+            unioned = unioned.unionByName(t)
+        agg = unioned.groupBy("doc_id").agg(F.max("score").alias("_mx"),
+                                            F.sum("score").alias("_sm"))
+        return agg.select(
+            "doc_id",
+            (F.col("_mx") + F.lit(float(node.tie_breaker))
+             * (F.col("_sm") - F.col("_mx"))).alias("score"))
 
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame(

@@ -37,8 +37,8 @@ from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf_norm
 from xltsearch_spark.functions.phrase import phrase_freq
 from xltsearch_spark.plans.parser import (
-    BooleanQuery, MatchAllQuery, MUST, MUST_NOT, PhraseQuery, QueryParser,
-    SHOULD, TermQuery,
+    BooleanQuery, DisMaxQuery, MatchAllQuery, MUST, MUST_NOT, PhraseQuery,
+    QueryParser, SHOULD, TermQuery,
 )
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.rewrite import ConstScoreTerms, rewrite
@@ -203,6 +203,8 @@ class OracleIndex:
             return {d: mult * node.boost for d in range(self.n_docs)}
         if isinstance(node, BooleanQuery):
             return self._eval_boolean(node, mult, self._eval_bm25, coord=False, qn=1.0)
+        if isinstance(node, DisMaxQuery):
+            return self._eval_dismax(node, mult, self._eval_bm25)
         raise TypeError(type(node).__name__)
 
     # ---------------------------- TF-IDF -----------------------------------
@@ -237,7 +239,40 @@ class OracleIndex:
         if isinstance(node, BooleanQuery):
             return self._eval_boolean(node, mult, lambda n, m: self._eval_tfidf(n, m, qn),
                                       coord=True, qn=qn)
+        if isinstance(node, DisMaxQuery):
+            return self._eval_dismax(node, mult,
+                                     lambda n, m: self._eval_tfidf(n, m, qn))
         raise TypeError(type(node).__name__)
+
+    def _eval_dismax(self, node: DisMaxQuery, mult: float, ev) -> dict[int, float]:
+        """max(clause) + tie * sum(other matching clauses); no coord
+        (DisjunctionMaxScorer has none)."""
+        maps = [ev(sub, mult * node.boost) for sub in node.clauses]
+        out: dict[int, float] = {}
+        for d in set().union(*[set(m) for m in maps]):
+            vals = [m[d] for m in maps if d in m]
+            mx = max(vals)
+            out[d] = mx + node.tie_breaker * (sum(vals) - mx)
+        return out
+
+    def search_dismax(self, queries: list[str], tie_breaker: float = 0.0,
+                      limit: int = 100,
+                      parser: QueryParser | None = None) -> list[dict]:
+        parser = parser or QueryParser(self.config.analyzer,
+                                       keyword_fields=KEYWORD_FIELDS)
+        node = DisMaxQuery(tuple(rewrite(parser.parse(q), self.vocab)
+                                 for q in queries), float(tie_breaker))
+        if self.config.scoring_model == "bm25":
+            scores = self._eval_bm25(node, 1.0)
+        else:
+            ssw = self._sum_sq_weights(node, 1.0)
+            qn = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
+            scores = self._eval_tfidf(node, 1.0, qn)
+        if self.deleted:
+            scores = {d: s for d, s in scores.items() if d not in self.deleted}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        return [{"rank": i, "doc_id": int(d), "score": float(s)}
+                for i, (d, s) in enumerate(ranked, 1)]
 
     # ---------------------------- boolean ----------------------------------
     def _eval_boolean(self, node: BooleanQuery, mult: float, ev, coord: bool,

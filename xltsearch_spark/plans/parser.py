@@ -118,6 +118,18 @@ class BooleanQuery:
     msm: int = 0
 
 
+@dataclass(frozen=True)
+class DisMaxQuery:
+    """Lucene ``DisjunctionMaxQuery`` (API-level, like msm — the classic
+    QP has no syntax for it): a doc matching any clause scores
+    ``max(clause scores) + tie_breaker * sum(other matching clauses)``.
+    The multi-field query shape (same user text against title/content
+    variants) where a plain OR would double-count."""
+    clauses: tuple[object, ...]
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+
 # ------------------------------- lexer -------------------------------------
 
 _TOKEN_RE = re.compile(

@@ -18,7 +18,7 @@ import re
 from dataclasses import dataclass
 
 from xltsearch_spark.plans.parser import (
-    BooleanQuery, FuzzyQuery, MatchAllQuery, PhraseQuery, PrefixQuery,
+    BooleanQuery, DisMaxQuery, FuzzyQuery, MatchAllQuery, PhraseQuery, PrefixQuery,
     RangeQuery, RegexpQuery, SHOULD, TermQuery, WildcardQuery,
 )
 
@@ -170,4 +170,6 @@ def needs_positions(ast) -> bool:
         return True
     if isinstance(ast, BooleanQuery):
         return any(needs_positions(sub) for _, sub in ast.clauses)
+    if isinstance(ast, DisMaxQuery):
+        return any(needs_positions(sub) for sub in ast.clauses)
     return False

@@ -11,7 +11,7 @@ import math
 
 import numpy as np
 
-from xltsearch_spark.plans.parser import (BooleanQuery, MatchAllQuery, MUST_NOT,
+from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST_NOT,
                                           PhraseQuery, TermQuery)
 from xltsearch_spark.plans.rewrite import ConstScoreTerms
 
@@ -48,6 +48,10 @@ def tfidf_sum_sq_weights(node, mult: float, idf_of) -> float:
     if isinstance(node, BooleanQuery):
         return sum(tfidf_sum_sq_weights(sub, mult * node.boost, idf_of)
                    for occ, sub in node.clauses if occ != MUST_NOT)
+    if isinstance(node, DisMaxQuery):
+        # DisjunctionMaxWeight.getValueForNormalization sums sub norms
+        return sum(tfidf_sum_sq_weights(sub, mult * node.boost, idf_of)
+                   for sub in node.clauses)
     raise TypeError(type(node).__name__)
 
 
