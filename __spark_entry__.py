@@ -451,6 +451,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
     q["ft_dismax"] = ft_dismax
 
+    def ft_span_first(s, d):
+        """SpanFirstQuery(merge, end=8): docs whose 'merge' occurs in the
+        first 8 positions; frequency = matching-span count (SpanScorer),
+        idf from the term's full stats. Full hit set, no top-k cut."""
+        engine = _get_engine(s, d)
+        return (engine.search_span_first("merge", 8, limit=1 << 30)
+                .withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.col("src_doc_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_span_first"] = ft_span_first
+
     def ft_facets(s, d):
         """Facet value-counts over the FULL hit set of 'merge' on the
         stored (lang, repo) fields — the Lucene facets-module analog.
@@ -1406,7 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain", "ft_facets", "ft_highlight", "bpe_encode",
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
-        "dedup_cross_corpus", "eval_retrieval", "ft_dismax",
+        "dedup_cross_corpus", "eval_retrieval", "ft_dismax", "ft_span_first",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2384,6 +2396,21 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'test' END AS split FROM h)
     SELECT split, lang, count(*) AS n_docs FROM s
     GROUP BY split, lang ORDER BY split, lang"""
+
+    # SpanFirst: sf = positions < 8 from the pre-stop ordinal stream,
+    # BM25 with sf as the frequency, idf from the term's full df
+    o["ft_span_first"] = f"""WITH {_TOK_CTE}
+    SELECT doc_id, score FROM (
+        SELECT t.doc_id,
+               round(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * 2.2 * t.sf
+                     / (t.sf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+                     4) AS score
+        FROM (SELECT doc_id, count(*) AS sf FROM tok_all
+              WHERE term = 'merge' AND pos < 8 GROUP BY doc_id) t
+        JOIN (SELECT count(DISTINCT doc_id) AS df FROM tok
+              WHERE term = 'merge') d ON true
+        JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+        ORDER BY score DESC, t.doc_id)"""
 
     # DisMax: same per-clause BM25 scores, max + tie*(sum - max)
     o["ft_dismax"] = f"""WITH {_TOK_CTE},

@@ -829,3 +829,41 @@ def test_dismax_rank_identical(bm25_setup, spark, tiny_corpus):
     assert [g[0] for g in got] == [e[0] for e in exp]
     for g, e in zip(got, exp):
         assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+
+def test_span_first_rank_identical(bm25_setup, spark, tiny_corpus):
+    """SpanFirstQuery: engine == pyoracle for several end cuts under both
+    similarities; end beyond every dl degrades to the plain term query."""
+    engine, oracle, _ = bm25_setup
+    for end in (1, 3, 8):
+        exp = [(h["doc_id"], h["score"])
+               for h in oracle.search_span_first("graded", end, limit=100)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_span_first("graded", end, limit=100).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], end
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6), end
+    # huge end == plain term scores
+    sf = {int(r["doc_id"]): float(r["score"]) for r in
+          engine.search_span_first("graded", 10 ** 6, limit=100).collect()}
+    tq = {int(r["doc_id"]): float(r["score"]) for r in
+          engine.search_scores("graded", 100).collect()}
+    assert sf.keys() == tq.keys()
+    for d in sf:
+        assert sf[d] == pytest.approx(tq[d], rel=1e-9)
+    with pytest.raises(ValueError):
+        engine.search_span_first("graded", 0)
+    with pytest.raises(ValueError):
+        engine.search_span_first("alpha beta", 5)
+    # tfidf model path
+    cfg = IndexConfig(scoring_model="default", doc_range_size=16,
+                      block_size=8, term_buckets=8)
+    eng_t, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle_t = OracleIndex(tiny_corpus, cfg)
+    exp = [(h["doc_id"], h["score"])
+           for h in oracle_t.search_span_first("graded", 4, limit=100)]
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in eng_t.search_span_first("graded", 4, limit=100).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)

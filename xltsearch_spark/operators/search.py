@@ -41,6 +41,7 @@ from xltsearch_spark.functions.varint import decode_deltas, decode_varint
 from xltsearch_spark.operators.build import BuildStats, term_bucket
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST,
+                                          SpanFirstQuery,
                                           MUST_NOT, PhraseQuery, QueryParser,
                                           SHOULD, TermQuery, PrefixQuery,
                                           WildcardQuery, FuzzyQuery, RangeQuery,
@@ -960,7 +961,7 @@ class SearchEngine:
             elif isinstance(node, DisMaxQuery):
                 for sub in node.clauses:
                     walk(sub)
-            elif isinstance(node, TermQuery):
+            elif isinstance(node, (TermQuery, SpanFirstQuery)):
                 terms.append((node.field, node.term))
             elif isinstance(node, PhraseQuery):
                 terms.extend((node.field, t) for t, _ in node.terms)
@@ -1203,7 +1204,86 @@ class SearchEngine:
             return self._eval_boolean(node, decoded, mult, idf_map, tfidf_qn)
         if isinstance(node, DisMaxQuery):
             return self._eval_dismax(node, decoded, mult, idf_map, tfidf_qn)
+        if isinstance(node, SpanFirstQuery):
+            return self._eval_span_first(node, decoded, mult, idf_map, tfidf_qn)
         raise TypeError(type(node).__name__)
+
+    def _eval_span_first(self, node: SpanFirstQuery, decoded, mult, idf_map,
+                         tfidf_qn) -> DataFrame:
+        """SpanFirstQuery: matching-span count (positions < end) replaces
+        tf in the similarity — SpanScorer semantics, distance-0 spans
+        weigh 1 each. One vectorized mapInPandas over the term's decoded
+        rows (concat-buffer + reduceat, no per-doc Python loop); idf uses
+        the term's FULL doc freq (SpanWeight uses the term statistics)."""
+        cand = (decoded.filter((F.col("field") == node.field) &
+                               (F.col("term") == node.term))
+                .select("doc_id", "positions", "dl"))
+        cfg = self.config
+        n_docs = self.stats.n_docs
+        avgdl = self.stats.avgdl.get(node.field, 1.0) or 1.0
+        df_t = idf_map.get((node.field, node.term), 0)
+        model, k1, b, quantize = (cfg.scoring_model, cfg.k1, cfg.b,
+                                  cfg.quantize_norms)
+        idf = (scoring.bm25_idf(n_docs, df_t) if model == "bm25"
+               else scoring.tfidf_idf(n_docs, df_t))
+        end = int(node.end)
+        final_mult = mult * node.boost * (tfidf_qn if tfidf_qn is not None
+                                          else 1.0)
+        out_schema = StructType([StructField("doc_id", LongType()),
+                                 StructField("score", DoubleType())])
+
+        def score_partition(it):
+            chunks = list(it)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf["positions"].notna()]
+            if pdf.empty:
+                return
+            bufs = pdf["positions"].tolist()
+            counts = np.fromiter((len(b_) // 8 for b_ in bufs),
+                                 dtype=np.int64, count=len(bufs))
+            allpos = np.frombuffer(b"".join(bufs), dtype="<i8")
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            sf = np.add.reduceat((allpos < end).astype(np.int64), offs)
+            keep = sf > 0
+            if not keep.any():
+                return
+            sfk = sf[keep].astype(np.float64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)[keep]
+            dlq = quantized_doc_length(dls) if quantize \
+                else dls.astype(np.float64)
+            if model == "bm25":
+                sc = idf * (k1 + 1) * scoring.bm25_tf_norm(sfk, dlq, avgdl,
+                                                           k1, b)
+            else:
+                nrm = (decoded_tf_idf_norm(dls) if quantize
+                       else np.where(dls > 0,
+                                     1.0 / np.sqrt(np.maximum(dls, 1)), 0.0))
+                sc = np.sqrt(sfk) * idf * idf * nrm
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[keep],
+                "score": sc * final_mult})
+
+        return cand.mapInPandas(score_partition, schema=out_schema)
+
+    def search_span_first(self, term: str, end: int, field: str | None = None,
+                          limit: int = 100) -> DataFrame:
+        """Lucene ``SpanFirstQuery(SpanTermQuery(term), end)`` top-k (API
+        tier, like msm/dismax): docs where ``term`` occurs within the
+        first ``end`` positions, frequency = matching-span count. The
+        query term analyzes through the index analyzer like a term
+        query."""
+        if end < 1:
+            raise ValueError("end must be >= 1")
+        field = field or self.parser.default_field
+        from xltsearch_spark.analyzers import analyze_text
+        toks = analyze_text(term, self.config.analyzer)
+        if len(toks) != 1:
+            raise ValueError("span_first takes a single analyzed term")
+        ast = SpanFirstQuery(field, toks[0][0], int(end))
+        scored = self._score_ast(ast)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     def _eval_dismax(self, node: DisMaxQuery, decoded, mult, idf_map,
                      tfidf_qn) -> DataFrame:

@@ -38,7 +38,7 @@ from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf
 from xltsearch_spark.functions.phrase import phrase_freq
 from xltsearch_spark.plans.parser import (
     BooleanQuery, DisMaxQuery, MatchAllQuery, MUST, MUST_NOT, PhraseQuery,
-    QueryParser, SHOULD, TermQuery,
+    QueryParser, SHOULD, SpanFirstQuery, TermQuery,
 )
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.rewrite import ConstScoreTerms, rewrite
@@ -205,6 +205,8 @@ class OracleIndex:
             return self._eval_boolean(node, mult, self._eval_bm25, coord=False, qn=1.0)
         if isinstance(node, DisMaxQuery):
             return self._eval_dismax(node, mult, self._eval_bm25)
+        if isinstance(node, SpanFirstQuery):
+            return self._span_first_scores(node, mult, tfidf_qn=None)
         raise TypeError(type(node).__name__)
 
     # ---------------------------- TF-IDF -----------------------------------
@@ -242,7 +244,56 @@ class OracleIndex:
         if isinstance(node, DisMaxQuery):
             return self._eval_dismax(node, mult,
                                      lambda n, m: self._eval_tfidf(n, m, qn))
+        if isinstance(node, SpanFirstQuery):
+            return self._span_first_scores(node, mult, tfidf_qn=qn)
         raise TypeError(type(node).__name__)
+
+    def _span_first_scores(self, node: SpanFirstQuery, mult: float,
+                           tfidf_qn: float | None) -> dict[int, float]:
+        """SpanFirstQuery: frequency = count of positions < end; idf from
+        the term's full doc freq (SpanWeight term statistics)."""
+        posting = self.postings.get((node.field, node.term), {})
+        if not posting:
+            return {}
+        out: dict[int, float] = {}
+        if tfidf_qn is None:
+            idf = self._bm25_idf(len(posting))
+            avgdl = self._avgdl(node.field)
+            k1, b = self.config.k1, self.config.b
+            qdl = self._qdl[node.field]
+            for d, pos in posting.items():
+                sf = float((pos < node.end).sum())
+                if sf > 0:
+                    out[d] = mult * node.boost * idf * (k1 + 1) * sf \
+                        / (sf + k1 * (1 - b + b * qdl[d] / avgdl))
+        else:
+            idf = self._tfidf_idf(len(posting))
+            norms = self._tfidf_norm[node.field]
+            for d, pos in posting.items():
+                sf = float((pos < node.end).sum())
+                if sf > 0:
+                    out[d] = math.sqrt(sf) * idf * idf * node.boost * mult \
+                        * tfidf_qn * norms[d]
+        return out
+
+    def search_span_first(self, term: str, end: int, field: str | None = None,
+                          limit: int = 100) -> list[dict]:
+        from xltsearch_spark.analyzers import analyze_text
+        toks = analyze_text(term, self.config.analyzer)
+        if len(toks) != 1:
+            raise ValueError("span_first takes a single analyzed term")
+        node = SpanFirstQuery(field or "content", toks[0][0], int(end))
+        if self.config.scoring_model == "bm25":
+            scores = self._eval_bm25(node, 1.0)
+        else:
+            ssw = self._sum_sq_weights(node, 1.0)
+            qn = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
+            scores = self._eval_tfidf(node, 1.0, qn)
+        if self.deleted:
+            scores = {d: s for d, s in scores.items() if d not in self.deleted}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        return [{"rank": i, "doc_id": int(d), "score": float(s)}
+                for i, (d, s) in enumerate(ranked, 1)]
 
     def _eval_dismax(self, node: DisMaxQuery, mult: float, ev) -> dict[int, float]:
         """max(clause) + tie * sum(other matching clauses); no coord

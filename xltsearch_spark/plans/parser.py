@@ -119,6 +119,18 @@ class BooleanQuery:
 
 
 @dataclass(frozen=True)
+class SpanFirstQuery:
+    """Lucene ``SpanFirstQuery(SpanTermQuery(term), end)`` (API-level):
+    matches docs where the term occurs with span end <= ``end`` — i.e. a
+    position < ``end`` — and scores with the matching-span count as the
+    frequency (SpanScorer semantics, distance-0 spans weigh 1 each)."""
+    field: str
+    term: str
+    end: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisMaxQuery:
     """Lucene ``DisjunctionMaxQuery`` (API-level, like msm — the classic
     QP has no syntax for it): a doc matching any clause scores

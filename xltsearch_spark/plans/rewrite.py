@@ -19,6 +19,7 @@ from dataclasses import dataclass
 
 from xltsearch_spark.plans.parser import (
     BooleanQuery, DisMaxQuery, FuzzyQuery, MatchAllQuery, PhraseQuery, PrefixQuery,
+    SpanFirstQuery,
     RangeQuery, RegexpQuery, SHOULD, TermQuery, WildcardQuery,
 )
 
@@ -110,7 +111,10 @@ def rewrite(ast, vocab):
     """
     if isinstance(ast, BooleanQuery):
         return BooleanQuery(tuple((occ, rewrite(sub, vocab)) for occ, sub in ast.clauses),
-                            ast.boost)
+                            ast.boost, ast.msm)
+    if isinstance(ast, DisMaxQuery):
+        return DisMaxQuery(tuple(rewrite(sub, vocab) for sub in ast.clauses),
+                           ast.tie_breaker, ast.boost)
     if isinstance(ast, PrefixQuery):
         terms = tuple(t for t in vocab.get(ast.field, ()) if t.startswith(ast.prefix))
         return ConstScoreTerms(ast.field, terms, ast.boost)
@@ -145,7 +149,8 @@ def rewrite(ast, vocab):
         if not clauses:
             return ConstScoreTerms(ast.field, (), ast.boost)
         return BooleanQuery(clauses) if len(clauses) > 1 else clauses[0][1]
-    if isinstance(ast, (TermQuery, PhraseQuery, MatchAllQuery, ConstScoreTerms)):
+    if isinstance(ast, (TermQuery, PhraseQuery, MatchAllQuery, ConstScoreTerms,
+                        SpanFirstQuery)):
         return ast
     raise TypeError(f"cannot rewrite {type(ast).__name__}")
 
@@ -156,7 +161,10 @@ def collect_terms(ast) -> list[tuple[str, str]]:
     if isinstance(ast, BooleanQuery):
         for _, sub in ast.clauses:
             out.extend(collect_terms(sub))
-    elif isinstance(ast, TermQuery):
+    elif isinstance(ast, DisMaxQuery):
+        for sub in ast.clauses:
+            out.extend(collect_terms(sub))
+    elif isinstance(ast, (TermQuery, SpanFirstQuery)):
         out.append((ast.field, ast.term))
     elif isinstance(ast, PhraseQuery):
         out.extend((ast.field, t) for t, _ in ast.terms)
@@ -166,7 +174,7 @@ def collect_terms(ast) -> list[tuple[str, str]]:
 
 
 def needs_positions(ast) -> bool:
-    if isinstance(ast, PhraseQuery):
+    if isinstance(ast, (PhraseQuery, SpanFirstQuery)):
         return True
     if isinstance(ast, BooleanQuery):
         return any(needs_positions(sub) for _, sub in ast.clauses)

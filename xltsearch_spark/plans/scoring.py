@@ -12,7 +12,7 @@ import math
 import numpy as np
 
 from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST_NOT,
-                                          PhraseQuery, TermQuery)
+                                          PhraseQuery, SpanFirstQuery, TermQuery)
 from xltsearch_spark.plans.rewrite import ConstScoreTerms
 
 
@@ -52,6 +52,9 @@ def tfidf_sum_sq_weights(node, mult: float, idf_of) -> float:
         # DisjunctionMaxWeight.getValueForNormalization sums sub norms
         return sum(tfidf_sum_sq_weights(sub, mult * node.boost, idf_of)
                    for sub in node.clauses)
+    if isinstance(node, SpanFirstQuery):
+        # SpanWeight normalizes on the wrapped term's statistics
+        return (idf_of(node.field, node.term) * node.boost * mult) ** 2
     raise TypeError(type(node).__name__)
 
 
