@@ -867,3 +867,42 @@ def test_span_first_rank_identical(bm25_setup, spark, tiny_corpus):
     assert [g[0] for g in got] == [e[0] for e in exp]
     for g, e in zip(got, exp):
         assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+
+def test_span_near_rank_identical(bm25_setup, spark, tiny_corpus):
+    """Ordered SpanNearQuery: engine == pyoracle across term pairs and
+    slops under both similarities; ordering constraint shows (a, b) vs
+    (b, a) genuinely differ on an asymmetric corpus."""
+    engine, oracle, _ = bm25_setup
+    for a, b, slop in (("quick", "dog", 0), ("quick", "dog", 1),
+                       ("quick", "dog", 3), ("dog", "quick", 3),
+                       ("alpha", "beta", 2), ("common_token", "int", 5)):
+        exp = [(h["doc_id"], h["score"])
+               for h in oracle.search_span_near(a, b, slop, limit=100)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_span_near(a, b, slop, limit=100).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], (a, b, slop)
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6), (a, b, slop)
+    # ordering matters: at least one direction differs on this corpus
+    fwd = {d for d, _ in ((h["doc_id"], 0) for h in
+                          oracle.search_span_near("quick", "dog", 1, limit=100))}
+    rev = {d for d, _ in ((h["doc_id"], 0) for h in
+                          oracle.search_span_near("dog", "quick", 1, limit=100))}
+    assert fwd != rev
+    with pytest.raises(ValueError):
+        engine.search_span_near("quick", "dog", -1)
+    with pytest.raises(ValueError):
+        engine.search_span_near("alpha beta", "dog", 2)
+    # tfidf model path
+    cfg = IndexConfig(scoring_model="default", doc_range_size=16,
+                      block_size=8, term_buckets=8)
+    eng_t, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle_t = OracleIndex(tiny_corpus, cfg)
+    exp = [(h["doc_id"], h["score"])
+           for h in oracle_t.search_span_near("quick", "dog", 2, limit=100)]
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in eng_t.search_span_near("quick", "dog", 2, limit=100).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)

@@ -41,7 +41,7 @@ from xltsearch_spark.functions.varint import decode_deltas, decode_varint
 from xltsearch_spark.operators.build import BuildStats, term_bucket
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST,
-                                          SpanFirstQuery,
+                                          SpanFirstQuery, SpanNearQuery,
                                           MUST_NOT, PhraseQuery, QueryParser,
                                           SHOULD, TermQuery, PrefixQuery,
                                           WildcardQuery, FuzzyQuery, RangeQuery,
@@ -963,6 +963,9 @@ class SearchEngine:
                     walk(sub)
             elif isinstance(node, (TermQuery, SpanFirstQuery)):
                 terms.append((node.field, node.term))
+            elif isinstance(node, SpanNearQuery):
+                terms.append((node.field, node.first))
+                terms.append((node.field, node.second))
             elif isinstance(node, PhraseQuery):
                 terms.extend((node.field, t) for t, _ in node.terms)
             elif isinstance(node, ConstScoreTerms):
@@ -1206,6 +1209,8 @@ class SearchEngine:
             return self._eval_dismax(node, decoded, mult, idf_map, tfidf_qn)
         if isinstance(node, SpanFirstQuery):
             return self._eval_span_first(node, decoded, mult, idf_map, tfidf_qn)
+        if isinstance(node, SpanNearQuery):
+            return self._eval_span_near(node, decoded, mult, idf_map, tfidf_qn)
         raise TypeError(type(node).__name__)
 
     def _eval_span_first(self, node: SpanFirstQuery, decoded, mult, idf_map,
@@ -1282,6 +1287,113 @@ class SearchEngine:
         if len(toks) != 1:
             raise ValueError("span_first takes a single analyzed term")
         ast = SpanFirstQuery(field, toks[0][0], int(end))
+        scored = self._score_ast(ast)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+    def _eval_span_near(self, node: SpanNearQuery, decoded, mult, idf_map,
+                        tfidf_qn) -> DataFrame:
+        """Ordered two-clause SpanNearQuery: each ``second`` occurrence
+        pairs with its closest preceding ``first`` occurrence; gap <= slop
+        matches and contributes sloppyFreq = 1/(1+gap). ONE join of the two
+        terms' decoded rows on doc_id (docs must contain both), then a
+        batch-vectorized mapInPandas: every doc in the Arrow batch shares a
+        single global searchsorted via per-row offset lifting (row_i * 2^32
+        added to both position streams) — no per-doc Python loop. Equal
+        positions (posIncr=0 subtokens) are NOT predecessors (strict <).
+        idf is the summed clause idf, like a phrase (SpanWeight builds its
+        SimWeight from all clause term statistics)."""
+        c1 = (decoded.filter((F.col("field") == node.field) &
+                             (F.col("term") == node.first))
+              .select("doc_id", F.col("positions").alias("pos_a")))
+        c2 = (decoded.filter((F.col("field") == node.field) &
+                             (F.col("term") == node.second))
+              .select("doc_id", F.col("positions").alias("pos_b"), "dl"))
+        cand = c1.join(c2, "doc_id")
+        cfg = self.config
+        n_docs = self.stats.n_docs
+        avgdl = self.stats.avgdl.get(node.field, 1.0) or 1.0
+        df1 = idf_map.get((node.field, node.first), 0)
+        df2 = idf_map.get((node.field, node.second), 0)
+        model, k1, b, quantize = (cfg.scoring_model, cfg.k1, cfg.b,
+                                  cfg.quantize_norms)
+        if model == "bm25":
+            idf = scoring.bm25_idf(n_docs, df1) + scoring.bm25_idf(n_docs, df2)
+        else:
+            idf = scoring.tfidf_idf(n_docs, df1) + scoring.tfidf_idf(n_docs, df2)
+        slop = int(node.slop)
+        final_mult = mult * node.boost * (tfidf_qn if tfidf_qn is not None
+                                          else 1.0)
+        out_schema = StructType([StructField("doc_id", LongType()),
+                                 StructField("score", DoubleType())])
+
+        def score_partition(it):
+            chunks = list(it)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf["pos_a"].notna() & pdf["pos_b"].notna()]
+            if pdf.empty:
+                return
+            bufs_a = pdf["pos_a"].tolist()
+            bufs_b = pdf["pos_b"].tolist()
+            cnt_a = np.fromiter((len(x) >> 3 for x in bufs_a),
+                                dtype=np.int64, count=len(bufs_a))
+            cnt_b = np.fromiter((len(x) >> 3 for x in bufs_b),
+                                dtype=np.int64, count=len(bufs_b))
+            pa = np.frombuffer(b"".join(bufs_a), dtype="<i8")
+            pb = np.frombuffer(b"".join(bufs_b), dtype="<i8")
+            n = len(pdf)
+            base = np.arange(n, dtype=np.int64) << 32  # positions < 2^32
+            pa_adj = pa + np.repeat(base, cnt_a)
+            pb_adj = pb + np.repeat(base, cnt_b)
+            starts_a = np.concatenate(([0], np.cumsum(cnt_a)[:-1]))
+            starts_b = np.concatenate(([0], np.cumsum(cnt_b)[:-1]))
+            row_of_b = np.repeat(np.arange(n, dtype=np.int64), cnt_b)
+            idx = np.searchsorted(pa_adj, pb_adj, side="left") - 1
+            valid = idx >= starts_a[row_of_b]  # predecessor in SAME doc
+            gap = np.where(valid, pb_adj - pa_adj[np.maximum(idx, 0)] - 1,
+                           np.int64(slop) + 1)
+            contrib = np.where(gap <= slop, 1.0 / (1.0 + gap), 0.0)
+            sf = np.add.reduceat(contrib, starts_b)
+            keep = sf > 0
+            if not keep.any():
+                return
+            sfk = sf[keep]
+            dls = pdf["dl"].to_numpy(dtype=np.int64)[keep]
+            dlq = quantized_doc_length(dls) if quantize \
+                else dls.astype(np.float64)
+            if model == "bm25":
+                sc = idf * (k1 + 1) * scoring.bm25_tf_norm(sfk, dlq, avgdl,
+                                                           k1, b)
+            else:
+                nrm = (decoded_tf_idf_norm(dls) if quantize
+                       else np.where(dls > 0,
+                                     1.0 / np.sqrt(np.maximum(dls, 1)), 0.0))
+                sc = np.sqrt(sfk) * idf * idf * nrm
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[keep],
+                "score": sc * final_mult})
+
+        return cand.mapInPandas(score_partition, schema=out_schema)
+
+    def search_span_near(self, first: str, second: str, slop: int,
+                         field: str | None = None,
+                         limit: int = 100) -> DataFrame:
+        """Lucene ``SpanNearQuery([first, second], slop, inOrder=True)``
+        top-k (API tier, like span_first/msm/dismax). Both query terms
+        analyze through the index analyzer like term queries."""
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
+        field = field or self.parser.default_field
+        from xltsearch_spark.analyzers import analyze_text
+        toks = []
+        for t in (first, second):
+            a = analyze_text(t, self.config.analyzer)
+            if len(a) != 1:
+                raise ValueError("span_near clauses must each analyze to a "
+                                 "single term")
+            toks.append(a[0][0])
+        ast = SpanNearQuery(field, toks[0], toks[1], int(slop))
         scored = self._score_ast(ast)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 

@@ -38,7 +38,7 @@ from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf
 from xltsearch_spark.functions.phrase import phrase_freq
 from xltsearch_spark.plans.parser import (
     BooleanQuery, DisMaxQuery, MatchAllQuery, MUST, MUST_NOT, PhraseQuery,
-    QueryParser, SHOULD, SpanFirstQuery, TermQuery,
+    QueryParser, SHOULD, SpanFirstQuery, SpanNearQuery, TermQuery,
 )
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.rewrite import ConstScoreTerms, rewrite
@@ -207,6 +207,8 @@ class OracleIndex:
             return self._eval_dismax(node, mult, self._eval_bm25)
         if isinstance(node, SpanFirstQuery):
             return self._span_first_scores(node, mult, tfidf_qn=None)
+        if isinstance(node, SpanNearQuery):
+            return self._span_near_scores(node, mult, tfidf_qn=None)
         raise TypeError(type(node).__name__)
 
     # ---------------------------- TF-IDF -----------------------------------
@@ -246,6 +248,8 @@ class OracleIndex:
                                      lambda n, m: self._eval_tfidf(n, m, qn))
         if isinstance(node, SpanFirstQuery):
             return self._span_first_scores(node, mult, tfidf_qn=qn)
+        if isinstance(node, SpanNearQuery):
+            return self._span_near_scores(node, mult, tfidf_qn=qn)
         raise TypeError(type(node).__name__)
 
     def _span_first_scores(self, node: SpanFirstQuery, mult: float,
@@ -283,6 +287,66 @@ class OracleIndex:
         if len(toks) != 1:
             raise ValueError("span_first takes a single analyzed term")
         node = SpanFirstQuery(field or "content", toks[0][0], int(end))
+        if self.config.scoring_model == "bm25":
+            scores = self._eval_bm25(node, 1.0)
+        else:
+            ssw = self._sum_sq_weights(node, 1.0)
+            qn = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
+            scores = self._eval_tfidf(node, 1.0, qn)
+        if self.deleted:
+            scores = {d: s for d, s in scores.items() if d not in self.deleted}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        return [{"rank": i, "doc_id": int(d), "score": float(s)}
+                for i, (d, s) in enumerate(ranked, 1)]
+
+    def _span_near_scores(self, node: SpanNearQuery, mult: float,
+                          tfidf_qn: float | None) -> dict[int, float]:
+        """Ordered two-clause SpanNear: each ``second`` occurrence pairs
+        with its closest strictly-preceding ``first`` occurrence; gap <=
+        slop contributes sloppyFreq = 1/(1+gap). idf = summed clause idf
+        (SpanWeight builds from all clause term statistics)."""
+        p1 = self.postings.get((node.field, node.first), {})
+        p2 = self.postings.get((node.field, node.second), {})
+        if not p1 or not p2:
+            return {}
+        sfs: dict[int, float] = {}
+        for d in sorted(p1.keys() & p2.keys()):
+            a, b2 = p1[d], p2[d]
+            idx = np.searchsorted(a, b2, side="left") - 1
+            ok = idx >= 0
+            gap = b2[ok] - a[idx[ok]] - 1
+            m = gap <= node.slop
+            if m.any():
+                sfs[d] = float((1.0 / (1.0 + gap[m])).sum())
+        out: dict[int, float] = {}
+        if tfidf_qn is None:
+            idf = self._bm25_idf(len(p1)) + self._bm25_idf(len(p2))
+            avgdl = self._avgdl(node.field)
+            k1, b = self.config.k1, self.config.b
+            qdl = self._qdl[node.field]
+            for d, sf in sfs.items():
+                out[d] = mult * node.boost * idf * (k1 + 1) * sf \
+                    / (sf + k1 * (1 - b + b * qdl[d] / avgdl))
+        else:
+            idf = self._tfidf_idf(len(p1)) + self._tfidf_idf(len(p2))
+            norms = self._tfidf_norm[node.field]
+            for d, sf in sfs.items():
+                out[d] = math.sqrt(sf) * idf * idf * node.boost * mult \
+                    * tfidf_qn * norms[d]
+        return out
+
+    def search_span_near(self, first: str, second: str, slop: int,
+                         field: str | None = None,
+                         limit: int = 100) -> list[dict]:
+        from xltsearch_spark.analyzers import analyze_text
+        toks = []
+        for t in (first, second):
+            a = analyze_text(t, self.config.analyzer)
+            if len(a) != 1:
+                raise ValueError("span_near clauses must each analyze to a "
+                                 "single term")
+            toks.append(a[0][0])
+        node = SpanNearQuery(field or "content", toks[0], toks[1], int(slop))
         if self.config.scoring_model == "bm25":
             scores = self._eval_bm25(node, 1.0)
         else:

@@ -131,6 +131,23 @@ class SpanFirstQuery:
 
 
 @dataclass(frozen=True)
+class SpanNearQuery:
+    """Lucene ``SpanNearQuery([SpanTermQuery(first), SpanTermQuery(second)],
+    slop, inOrder=True)`` (API-level, ordered two-clause form): each
+    occurrence of ``second`` pairs with its CLOSEST preceding ``first``
+    occurrence (the NearSpansOrdered greedy-shrink step); the pair matches
+    when the gap — positions strictly between the two terms — is <=
+    ``slop``, and contributes ``sloppyFreq = 1 / (1 + gap)`` to the doc's
+    frequency (DefaultSimilarity.sloppyFreq over the slack), which feeds
+    the similarity exactly like a phrase frequency with summed idf."""
+    field: str
+    first: str
+    second: str
+    slop: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisMaxQuery:
     """Lucene ``DisjunctionMaxQuery`` (API-level, like msm — the classic
     QP has no syntax for it): a doc matching any clause scores

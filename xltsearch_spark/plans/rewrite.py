@@ -19,7 +19,7 @@ from dataclasses import dataclass
 
 from xltsearch_spark.plans.parser import (
     BooleanQuery, DisMaxQuery, FuzzyQuery, MatchAllQuery, PhraseQuery, PrefixQuery,
-    SpanFirstQuery,
+    SpanFirstQuery, SpanNearQuery,
     RangeQuery, RegexpQuery, SHOULD, TermQuery, WildcardQuery,
 )
 
@@ -150,7 +150,7 @@ def rewrite(ast, vocab):
             return ConstScoreTerms(ast.field, (), ast.boost)
         return BooleanQuery(clauses) if len(clauses) > 1 else clauses[0][1]
     if isinstance(ast, (TermQuery, PhraseQuery, MatchAllQuery, ConstScoreTerms,
-                        SpanFirstQuery)):
+                        SpanFirstQuery, SpanNearQuery)):
         return ast
     raise TypeError(f"cannot rewrite {type(ast).__name__}")
 
@@ -166,6 +166,9 @@ def collect_terms(ast) -> list[tuple[str, str]]:
             out.extend(collect_terms(sub))
     elif isinstance(ast, (TermQuery, SpanFirstQuery)):
         out.append((ast.field, ast.term))
+    elif isinstance(ast, SpanNearQuery):
+        out.append((ast.field, ast.first))
+        out.append((ast.field, ast.second))
     elif isinstance(ast, PhraseQuery):
         out.extend((ast.field, t) for t, _ in ast.terms)
     elif isinstance(ast, ConstScoreTerms):
@@ -174,7 +177,7 @@ def collect_terms(ast) -> list[tuple[str, str]]:
 
 
 def needs_positions(ast) -> bool:
-    if isinstance(ast, (PhraseQuery, SpanFirstQuery)):
+    if isinstance(ast, (PhraseQuery, SpanFirstQuery, SpanNearQuery)):
         return True
     if isinstance(ast, BooleanQuery):
         return any(needs_positions(sub) for _, sub in ast.clauses)

@@ -12,7 +12,8 @@ import math
 import numpy as np
 
 from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST_NOT,
-                                          PhraseQuery, SpanFirstQuery, TermQuery)
+                                          PhraseQuery, SpanFirstQuery,
+                                          SpanNearQuery, TermQuery)
 from xltsearch_spark.plans.rewrite import ConstScoreTerms
 
 
@@ -55,6 +56,10 @@ def tfidf_sum_sq_weights(node, mult: float, idf_of) -> float:
     if isinstance(node, SpanFirstQuery):
         # SpanWeight normalizes on the wrapped term's statistics
         return (idf_of(node.field, node.term) * node.boost * mult) ** 2
+    if isinstance(node, SpanNearQuery):
+        # SpanWeight sums the clause terms' idfs (like a phrase)
+        idf = idf_of(node.field, node.first) + idf_of(node.field, node.second)
+        return (idf * node.boost * mult) ** 2
     raise TypeError(type(node).__name__)
 
 
