@@ -463,6 +463,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
     q["ft_span_first"] = ft_span_first
 
+    def ft_span_near(s, d):
+        """SpanNearQuery([merge, vector], slop=3, inOrder): each 'vector'
+        occurrence pairs with its closest preceding 'merge'; gap <= 3
+        matches with sloppyFreq 1/(1+gap); idf = summed clause idf. Full
+        hit set, no top-k cut."""
+        engine = _get_engine(s, d)
+        return (engine.search_span_near("merge", "vector", 3, limit=1 << 30)
+                .withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.col("src_doc_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_span_near"] = ft_span_near
+
     def ft_facets(s, d):
         """Facet value-counts over the FULL hit set of 'merge' on the
         stored (lang, repo) fields — the Lucene facets-module analog.
@@ -667,6 +680,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("group_size").cast("long").alias("group_size"))
                 .orderBy("doc_id"))
     q["dedup_groups"] = dedup_groups_entry
+
+    def dedup_canonical_entry(s, d):
+        """Quality-priority canonical selection (RefinedWeb/FineWeb
+        keep-best policy): same near-dup groups as dedup_groups, survivor
+        = argmax(token-count quality, tie -> min doc_id) per component;
+        the oracle reuses the recursive-CC CTE plus a row_number pick."""
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        return (dedup.canonical_docs(docs, n=3, threshold=0.8,
+                                     bands=32, rows_per_band=2)
+                .orderBy("doc_id"))
+    q["dedup_canonical"] = dedup_canonical_entry
 
     def dedup_substring_entry(s, d):
         """Span-level exact substring dedup (Lee et al. 2022): per-doc
@@ -1419,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
         "dedup_cross_corpus", "eval_retrieval", "ft_dismax", "ft_span_first",
+        "ft_span_near", "dedup_canonical",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2412,6 +2437,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
         ORDER BY score DESC, t.doc_id)"""
 
+    # SpanNear(ordered): each 'vector' position pairs with its closest
+    # strictly-preceding 'merge' position (max over p1 < p2); gap <= slop
+    # matches with sloppyFreq 1/(1+gap); idf = summed clause idf; positions
+    # from the pre-stop ordinal stream, df/dl post-stop (like phrase_slop)
+    o["ft_span_near"] = f"""WITH {_TOK_CTE},
+    pred AS (SELECT b.doc_id, b.pos AS pos2, max(a.pos) AS pos1
+             FROM tok_all b JOIN tok_all a
+               ON a.doc_id = b.doc_id AND a.term = 'merge' AND a.pos < b.pos
+             WHERE b.term = 'vector' GROUP BY b.doc_id, b.pos),
+    sf AS (SELECT doc_id, sum(1.0 / (1 + (pos2 - pos1 - 1))) AS sf
+           FROM pred WHERE pos2 - pos1 - 1 <= 3 GROUP BY doc_id),
+    idfs AS (SELECT ln(1 + (st.n - d1.df + 0.5) / (d1.df + 0.5))
+                  + ln(1 + (st.n - d2.df + 0.5) / (d2.df + 0.5)) AS idf
+             FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='merge') d1,
+                  (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='vector') d2,
+                  st)
+    SELECT sf.doc_id,
+           round(idfs.idf * 2.2 * sf.sf
+                 / (sf.sf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
+    FROM sf JOIN dl ON sf.doc_id = dl.doc_id CROSS JOIN idfs CROSS JOIN st
+    ORDER BY score DESC, sf.doc_id"""
+
     # DisMax: same per-clause BM25 scores, max + tie*(sum - max)
     o["ft_dismax"] = f"""WITH {_TOK_CTE},
     e AS ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')})
@@ -2715,6 +2762,31 @@ def oracle_sql() -> dict[str, str]:
     FROM comp c JOIN (SELECT component, count(*) AS group_size
                       FROM comp GROUP BY component) cnt USING (component)
     ORDER BY c.doc_id"""
+
+    # keep-best canonical selection: same recursive-CC components, survivor
+    # = argmax(token count, tie -> min doc_id) via row_number
+    o["dedup_canonical"] = f"""
+    WITH RECURSIVE p AS (SELECT a, b FROM ({_jaccard_pairs_sql(3, 0.8, None)})),
+    edges AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node),
+    qual AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                    AS quality FROM documents),
+    ranked AS (SELECT c.doc_id, c.component,
+                      row_number() OVER (PARTITION BY c.component
+                                         ORDER BY q.quality DESC,
+                                                  c.doc_id ASC) AS rn
+               FROM comp c JOIN qual q USING (doc_id)),
+    canon AS (SELECT component, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+    SELECT m.doc_id, m.component, canon.canonical_id,
+           CAST(CASE WHEN m.doc_id = canon.canonical_id THEN 1 ELSE 0 END
+                AS INTEGER) AS keep
+    FROM ranked m JOIN canon USING (component)
+    ORDER BY m.doc_id"""
 
     # span-level substring dedup: sliding-window formulation of Lee et al.
     # suffix-array dedup — maximal runs of 20-token windows occurring >= 2

@@ -164,6 +164,8 @@ def main() -> int:
             "common_token", ["lang", "repo"]).collect(),
         "q_explain": lambda: fixture_engine.explain(
             "alpha OR beta", limit=10).collect(),
+        "q_span_near": lambda: fixture_engine.search_span_near(
+            "alpha", "beta", 3, limit=100).collect(),
     }
     for name, fn in r5_ops.items():
         fn()  # warm

@@ -765,3 +765,24 @@ def test_cross_corpus_near_dups_matches_bruteforce(spark):
     assert got[0][0] == 1 and got[2][0] == 0  # sanity: dup found, clean kept
     # new docs never flagged against each other: doc 1's best is a REF id
     assert got[1][1] >= 10
+
+
+def test_canonical_docs_quality_priority(spark):
+    """Keep-best selection: the richest (longest) member survives even when
+    a lower id exists; exact-dup quality ties fall back to min doc_id."""
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank today")
+    rows = [
+        (10, " ".join(base.split()[:12])),  # truncated variant, lowest id
+        (11, base),                          # richest member, larger id
+        (12, base),                          # exact dup of 11 (quality tie)
+        (20, "completely different content about spark inverted index "
+             "engines here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["component"], r["canonical_id"], r["keep"])
+           for r in dedup.canonical_docs(df, threshold=0.6).collect()}
+    assert set(out) == {10, 11, 12}          # singleton 20 not returned
+    assert all(v[0] == 10 for v in out.values())  # component label = min id
+    assert all(v[1] == 11 for v in out.values())  # longest wins, tie -> min id
+    assert (out[10][2], out[11][2], out[12][2]) == (0, 1, 0)

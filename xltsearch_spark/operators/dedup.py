@@ -374,6 +374,46 @@ def dedup_groups(df: DataFrame, text_col: str = "text", n: int = 3,
             .select("doc_id", "component", "group_size"))
 
 
+def canonical_docs(df: DataFrame, text_col: str = "text", n: int = 3,
+                   threshold: float = 0.8, bands: int = 16,
+                   rows_per_band: int = 4,
+                   num_hashes: int = 64) -> DataFrame:
+    """Quality-priority canonical selection per near-dup group — the
+    keep-BEST policy of RefinedWeb/FineWeb-style curation (keep-min-id
+    keeps whichever crawl happened to come first; keeping the richest
+    member preserves more signal at identical dedup rate).
+
+    Groups come from :func:`dedup_groups`; the survivor of each group is
+    ``argmax(quality, tie -> min doc_id)`` where quality = analysis token
+    count (``[a-z0-9_]+`` runs of the lowercased text — deterministic,
+    map-only, and the longest member of a near-dup cluster dominates its
+    truncated variants). Docs outside any multi-doc group implicitly keep
+    themselves and are not returned.
+
+    Returns (doc_id, component, canonical_id, keep) for every multi-doc
+    group member. Scale shape: quality is a map-only projection; the
+    argmax is ONE ``max_by`` aggregate over components (map-side partial)
+    plus a component-keyed join back — group count is bounded by doc
+    count, skew delegated to AQE like the group-size join in
+    :func:`dedup_groups`."""
+    comp = dedup_groups(df, text_col=text_col, n=n, threshold=threshold,
+                        bands=bands, rows_per_band=rows_per_band,
+                        num_hashes=num_hashes)
+    quality = df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                    F.lit("[a-z0-9_]+"), 0)).alias("quality"))
+    members = comp.join(quality, "doc_id")
+    best = members.groupBy("component").agg(
+        F.max_by("doc_id", F.struct(F.col("quality"),
+                                    (-F.col("doc_id")).alias("neg_id")))
+        .alias("canonical_id"))
+    return (members.join(best, "component")
+            .select("doc_id", "component", "canonical_id",
+                    (F.col("doc_id") == F.col("canonical_id"))
+                    .cast("int").alias("keep")))
+
+
 def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                        n: int = 3) -> DataFrame:
     """Exact n-gram jaccard for GIVEN candidate pairs (a, b).
