@@ -969,6 +969,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id"))
     q["decontaminate"] = decontaminate
 
+    def decontaminate_fuzzy(s, d):
+        """Fuzzy decontamination: max word-5-gram Jaccard of every doc
+        against every 'benchmark' item (doc_id %% 50 == 0 slice), exact
+        via broadcast (benchmark is small by definition); contaminated =
+        max >= 0.5; ties pick the smallest benchmark id."""
+        from xltsearch_spark.operators.contamination import jaccard_contamination
+        docs = s.read.parquet(f"{d}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        out = jaccard_contamination(docs, bench, n=5, threshold=0.5)
+        return (out.select(
+            "doc_id", F.round("max_jaccard", 6).alias("max_jaccard"),
+            F.col("matched_benchmark").cast("long").alias("matched_benchmark"),
+            F.col("contaminated").cast("long").alias("contaminated"))
+            .orderBy("doc_id"))
+    q["decontaminate_fuzzy"] = decontaminate_fuzzy
+
     def pipeline_curate(s, d):
         """Composed curation verdict: quality gate -> lang filter -> exact
         dedup -> decontamination -> split, ONE declarative plan (one
@@ -1443,7 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
         "dedup_cross_corpus", "eval_retrieval", "ft_dismax", "ft_span_first",
-        "ft_span_near", "dedup_canonical",
+        "ft_span_near", "dedup_canonical", "decontaminate_fuzzy",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -3184,6 +3200,37 @@ def oracle_sql() -> dict[str, str]:
     SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_hit_shingles,
            (coalesce(h.n, 0) > 0)::BIGINT AS contaminated
     FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"""
+
+    # fuzzy decontamination: exact max Jaccard vs every benchmark item,
+    # same \w-class 5-gram sets; argmax ties -> min bench_id (row_number)
+    o["decontaminate_fuzzy"] = """
+    WITH bt AS (SELECT doc_id AS bench_id,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+                FROM documents WHERE doc_id % 50 = 0),
+    bg AS (SELECT DISTINCT bench_id, array_to_string(toks[i+1:i+5], ' ') AS sh
+           FROM bt, unnest(range(greatest(len(toks) - 4, 0))) AS t(i)),
+    bsz AS (SELECT bench_id, count(*) AS sz_b FROM bg GROUP BY bench_id),
+    dt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+           FROM documents),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS sh
+           FROM dt, unnest(range(greatest(len(toks) - 4, 0))) AS t(i)),
+    dsz AS (SELECT doc_id, count(*) AS sz_a FROM dg GROUP BY doc_id),
+    it AS (SELECT doc_id, bench_id, count(*) AS i
+           FROM dg JOIN bg USING (sh) GROUP BY doc_id, bench_id),
+    pair AS (SELECT it.doc_id, it.bench_id,
+                    CAST(it.i AS DOUBLE) / (dsz.sz_a + bsz.sz_b - it.i) AS j
+             FROM it JOIN bsz USING (bench_id) JOIN dsz USING (doc_id)),
+    ranked AS (SELECT doc_id, bench_id, j,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY j DESC, bench_id ASC) AS rn
+               FROM pair)
+    SELECT d.doc_id,
+           round(coalesce(r.j, 0.0), 6) AS max_jaccard,
+           r.bench_id AS matched_benchmark,
+           (coalesce(r.j, 0.0) >= 0.5)::BIGINT AS contaminated
+    FROM documents d LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      USING (doc_id)
+    ORDER BY d.doc_id"""
 
     # composed curation pipeline: every rule recomputed in SQL with the
     # same first-failing-rule precedence as operators/curation.py (quality

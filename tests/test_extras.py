@@ -786,3 +786,27 @@ def test_canonical_docs_quality_priority(spark):
     assert all(v[0] == 10 for v in out.values())  # component label = min id
     assert all(v[1] == 11 for v in out.values())  # longest wins, tie -> min id
     assert (out[10][2], out[11][2], out[12][2]) == (0, 1, 0)
+
+
+def test_jaccard_contamination_hand_computed(spark):
+    """Exact max-Jaccard decontamination: verbatim copy -> 1.0; partial
+    overlap -> hand-computed fraction; disjoint -> 0 with NULL match;
+    ties pick the smallest benchmark id."""
+    from xltsearch_spark.operators.contamination import jaccard_contamination
+    b0 = "what is the capital of france paris is the capital"
+    docs = spark.createDataFrame([
+        (0, b0),                                        # verbatim benchmark item
+        (1, b0 + " according to the atlas of europe"),  # superset: j = 8/14
+        (2, "completely unrelated words about spark engines and parquet files"),
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, b0), (101, b0)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           jaccard_contamination(docs, bench, n=3, threshold=0.5).collect()}
+    assert out[0]["max_jaccard"] == 1.0 and out[0]["contaminated"]
+    assert out[0]["matched_benchmark"] == 100      # tie -> min bench id
+    # doc 1: 16 tokens -> 13 DISTINCT 3-grams ('is the capital' repeats);
+    # bench has 7 distinct, all shared -> j = 7 / (13 + 7 - 7)
+    assert out[1]["max_jaccard"] == pytest.approx(7 / 13)
+    assert out[1]["contaminated"]
+    assert out[2]["max_jaccard"] == 0.0 and not out[2]["contaminated"]
+    assert out[2]["matched_benchmark"] is None

@@ -52,6 +52,52 @@ def benchmark_shingles(benchmark: DataFrame, n: int = 8,
             .distinct())
 
 
+def jaccard_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,
+                          threshold: float = 0.5, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          bench_id_col: str = "doc_id",
+                          bench_text_col: str = "text") -> DataFrame:
+    """(id, max_jaccard, matched_benchmark, contaminated): exact word
+    n-gram Jaccard of every corpus doc against EVERY benchmark item, max
+    over the benchmark — the FUZZY decontamination tier (public
+    methodology: GPT-3 / Llama reports describe near-duplicate overlap
+    flagging, not just single-shingle hits; a reworded or truncated eval
+    item scores high Jaccard while sharing few exact long grams).
+
+    Computed exactly (no LSH recall caveat) precisely because the
+    benchmark side is small by definition: benchmark grams AND sizes
+    broadcast; corpus grams are map-only and meet them in a broadcast
+    join, so corpus shingles never shuffle. The only aggregates are the
+    (doc, bench) intersection count and the per-doc ``max_by`` — both
+    with map-side partials. Ties on Jaccard pick the smallest benchmark
+    id (deterministic)."""
+    bench_g = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(_gram_array(F.col(bench_text_col), n)).alias("shingle"))
+    bench_sz = bench_g.groupBy("bench_id").agg(F.count("*").alias("sz_b"))
+    doc_g = docs.select(
+        F.col(id_col),
+        F.explode(_gram_array(F.col(text_col), n)).alias("shingle"))
+    doc_sz = doc_g.groupBy(id_col).agg(F.count("*").alias("sz_a"))
+    inter = (doc_g.join(F.broadcast(bench_g), "shingle")
+             .groupBy(id_col, "bench_id").agg(F.count("*").alias("inter")))
+    pair = (inter.join(F.broadcast(bench_sz), "bench_id")
+            .join(doc_sz, id_col)
+            .withColumn("jaccard", F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter"))))
+    best = pair.groupBy(id_col).agg(
+        F.max("jaccard").alias("max_jaccard"),
+        F.max_by("bench_id", F.struct(F.col("jaccard"),
+                                      (-F.col("bench_id")).alias("neg")))
+        .alias("matched_benchmark"))
+    return (docs.select(id_col).join(best, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+                    F.col("matched_benchmark"),
+                    (F.coalesce("max_jaccard", F.lit(0.0)) >= threshold)
+                    .alias("contaminated")))
+
+
 def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                         text_col: str = "text", id_col: str = "doc_id",
                         bench_text_col: str = "text") -> DataFrame:
