@@ -256,6 +256,18 @@ def main(out_path: str | None = None) -> int:
                      "join — no global Sort node, no full-corpus ordering.",
                      explain_str(eng.search_sorted("graded", ["lang", "repo"],
                                                    7), mode="simple")))
+    sections.append(("span_near('alpha', 'beta', slop=3, k=10): pruned "
+                     "scan + vectorized span kernel",
+                     "Expected (r5 spans family): the SAME (field, bucket) "
+                     "PartitionFilters + two-term IN-list PushedFilters as "
+                     "a boolean scan (a span clause IS a term for the "
+                     "pushdown), ONE doc_id join of the two clauses' "
+                     "decoded rows, the closest-predecessor pairing inside "
+                     "a single MapInPandas (batch-global searchsorted — no "
+                     "per-doc Python loop), top-k via "
+                     "TakeOrderedAndProject.",
+                     explain_str(eng.search_span_near("alpha", "beta", 3,
+                                                      limit=10))))
     from xltsearch_spark.operators.sampling import weighted_sample
     wdf = pdocs.select("doc_id", F.col("n_tokens").alias("w"))
     sections.append(("weighted_sample(k=50): map-only key + TakeOrdered",
