@@ -476,6 +476,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
     q["ft_span_near"] = ft_span_near
 
+    def ft_span_or(s, d):
+        """SpanOrQuery([merge, vector]): union spans — frequency = summed
+        clause tf, idf = summed clause idf. Full hit set."""
+        engine = _get_engine(s, d)
+        return (engine.search_span_or(["merge", "vector"], limit=1 << 30)
+                .withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.col("src_doc_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_span_or"] = ft_span_or
+
+    def ft_span_not(s, d):
+        """SpanNotQuery(merge, vector, pre=0, post=3): 'merge' occurrences
+        with no 'vector' within [p, p+3]; include-term stats only. Full
+        hit set."""
+        engine = _get_engine(s, d)
+        return (engine.search_span_not("merge", "vector", 0, 3,
+                                       limit=1 << 30)
+                .withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.col("src_doc_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_span_not"] = ft_span_not
+
     def ft_facets(s, d):
         """Facet value-counts over the FULL hit set of 'merge' on the
         stored (lang, repo) fields — the Lucene facets-module analog.
@@ -1459,7 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
         "dedup_cross_corpus", "eval_retrieval", "ft_dismax", "ft_span_first",
-        "ft_span_near", "dedup_canonical", "decontaminate_fuzzy",
+        "ft_span_near", "ft_span_or", "ft_span_not",
+        "dedup_canonical", "decontaminate_fuzzy",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
         "text_vocab_stats", "hybrid_rrf", "doc_chunks", "mmr_diversify",
@@ -2473,6 +2498,40 @@ def oracle_sql() -> dict[str, str]:
            round(idfs.idf * 2.2 * sf.sf
                  / (sf.sf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
     FROM sf JOIN dl ON sf.doc_id = dl.doc_id CROSS JOIN idfs CROSS JOIN st
+    ORDER BY score DESC, sf.doc_id"""
+
+    # SpanOr: frequency = summed clause tf (union of unit spans), summed
+    # clause idf, BM25 over the combined frequency
+    o["ft_span_or"] = f"""WITH {_TOK_CTE},
+    sf AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS sf FROM tok
+           WHERE term IN ('merge', 'vector') GROUP BY doc_id),
+    idfs AS (SELECT ln(1 + (st.n - d1.df + 0.5) / (d1.df + 0.5))
+                  + ln(1 + (st.n - d2.df + 0.5) / (d2.df + 0.5)) AS idf
+             FROM (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='merge') d1,
+                  (SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term='vector') d2,
+                  st)
+    SELECT sf.doc_id,
+           round(idfs.idf * 2.2 * sf.sf
+                 / (sf.sf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
+    FROM sf JOIN dl ON sf.doc_id = dl.doc_id CROSS JOIN idfs CROSS JOIN st
+    ORDER BY score DESC, sf.doc_id"""
+
+    # SpanNot: 'merge' occurrences (pre-stop ordinals) with no 'vector' in
+    # [p, p+3]; include-term idf only
+    o["ft_span_not"] = f"""WITH {_TOK_CTE},
+    inc AS (SELECT doc_id, pos FROM tok_all WHERE term = 'merge'),
+    exc AS (SELECT doc_id, pos FROM tok_all WHERE term = 'vector'),
+    sf AS (SELECT i.doc_id, CAST(count(*) AS DOUBLE) AS sf FROM inc i
+           WHERE NOT EXISTS (SELECT 1 FROM exc e WHERE e.doc_id = i.doc_id
+                             AND e.pos >= i.pos - 0 AND e.pos <= i.pos + 3)
+           GROUP BY i.doc_id),
+    idfm AS (SELECT ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) AS idf
+             FROM (SELECT count(DISTINCT doc_id) AS df FROM tok
+                   WHERE term = 'merge') d, st)
+    SELECT sf.doc_id,
+           round(idfm.idf * 2.2 * sf.sf
+                 / (sf.sf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
+    FROM sf JOIN dl ON sf.doc_id = dl.doc_id CROSS JOIN idfm CROSS JOIN st
     ORDER BY score DESC, sf.doc_id"""
 
     # DisMax: same per-clause BM25 scores, max + tie*(sum - max)

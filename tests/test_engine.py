@@ -906,3 +906,64 @@ def test_span_near_rank_identical(bm25_setup, spark, tiny_corpus):
     assert [g[0] for g in got] == [e[0] for e in exp]
     for g, e in zip(got, exp):
         assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+
+def test_span_or_rank_identical(bm25_setup, spark, tiny_corpus):
+    """SpanOrQuery: engine == pyoracle; two and three clauses, both
+    similarities."""
+    engine, oracle, _ = bm25_setup
+    for terms in (["quick", "dog"], ["alpha", "beta", "graded"]):
+        exp = [(h["doc_id"], h["score"])
+               for h in oracle.search_span_or(terms, limit=200)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_span_or(terms, limit=200).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], terms
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6), terms
+    with pytest.raises(ValueError):
+        engine.search_span_or([])
+    cfg = IndexConfig(scoring_model="default", doc_range_size=16,
+                      block_size=8, term_buckets=8)
+    eng_t, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle_t = OracleIndex(tiny_corpus, cfg)
+    exp = [(h["doc_id"], h["score"])
+           for h in oracle_t.search_span_or(["quick", "dog"], limit=200)]
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in eng_t.search_span_or(["quick", "dog"], limit=200).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)
+
+
+def test_span_not_rank_identical(bm25_setup):
+    """SpanNotQuery: engine == pyoracle across pre/post windows; the
+    (0, 0) window never excludes under the standard analyzer (positions
+    are distinct), so it must equal the plain term query."""
+    engine, oracle, _ = bm25_setup
+    for pre, post in ((0, 3), (2, 0), (1, 1), (0, 0)):
+        exp = [(h["doc_id"], h["score"])
+               for h in oracle.search_span_not("quick", "dog", pre, post,
+                                               limit=200)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in engine.search_span_not("quick", "dog", pre, post,
+                                               limit=200).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], (pre, post)
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6), (pre, post)
+    tq = {int(r["doc_id"]): float(r["score"])
+          for r in engine.search_scores("quick", 200).collect()}
+    sn = {int(r["doc_id"]): float(r["score"])
+          for r in engine.search_span_not("quick", "dog", 0, 0,
+                                          limit=200).collect()}
+    assert sn.keys() == tq.keys()
+    for d in sn:
+        assert sn[d] == pytest.approx(tq[d], rel=1e-9)
+    # a doc-covering window must empty every co-occurrence doc
+    wide = {int(r["doc_id"]) for r in
+            engine.search_span_not("quick", "dog", 1 << 20, 1 << 20,
+                                   limit=200).collect()}
+    both = {int(r["doc_id"]) for r in
+            engine.search_scores("quick AND dog", 200).collect()}
+    assert not (wide & both)
+    with pytest.raises(ValueError):
+        engine.search_span_not("quick", "dog", -1, 0)

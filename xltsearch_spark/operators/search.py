@@ -42,6 +42,7 @@ from xltsearch_spark.operators.build import BuildStats, term_bucket
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST,
                                           SpanFirstQuery, SpanNearQuery,
+                                          SpanNotQuery, SpanOrQuery,
                                           MUST_NOT, PhraseQuery, QueryParser,
                                           SHOULD, TermQuery, PrefixQuery,
                                           WildcardQuery, FuzzyQuery, RangeQuery,
@@ -966,6 +967,11 @@ class SearchEngine:
             elif isinstance(node, SpanNearQuery):
                 terms.append((node.field, node.first))
                 terms.append((node.field, node.second))
+            elif isinstance(node, SpanOrQuery):
+                terms.extend((node.field, t) for t in node.terms)
+            elif isinstance(node, SpanNotQuery):
+                terms.append((node.field, node.include))
+                terms.append((node.field, node.exclude))
             elif isinstance(node, PhraseQuery):
                 terms.extend((node.field, t) for t, _ in node.terms)
             elif isinstance(node, ConstScoreTerms):
@@ -1211,6 +1217,10 @@ class SearchEngine:
             return self._eval_span_first(node, decoded, mult, idf_map, tfidf_qn)
         if isinstance(node, SpanNearQuery):
             return self._eval_span_near(node, decoded, mult, idf_map, tfidf_qn)
+        if isinstance(node, SpanOrQuery):
+            return self._eval_span_or(node, decoded, mult, idf_map, tfidf_qn)
+        if isinstance(node, SpanNotQuery):
+            return self._eval_span_not(node, decoded, mult, idf_map, tfidf_qn)
         raise TypeError(type(node).__name__)
 
     def _eval_span_first(self, node: SpanFirstQuery, decoded, mult, idf_map,
@@ -1375,6 +1385,169 @@ class SearchEngine:
                 "score": sc * final_mult})
 
         return cand.mapInPandas(score_partition, schema=out_schema)
+
+    def _span_score_kernel(self, rows: DataFrame, field: str, idf: float,
+                           final_mult: float) -> DataFrame:
+        """Score (doc_id, sf, dl) rows with the active similarity — the
+        shared tail of every spans evaluator (frequency already computed).
+        Python touches only the per-doc aggregate rows, never postings."""
+        cfg = self.config
+        avgdl = self.stats.avgdl.get(field, 1.0) or 1.0
+        model, k1, b, quantize = (cfg.scoring_model, cfg.k1, cfg.b,
+                                  cfg.quantize_norms)
+        out_schema = StructType([StructField("doc_id", LongType()),
+                                 StructField("score", DoubleType())])
+
+        def score_partition(it):
+            chunks = list(it)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf["sf"] > 0]
+            if pdf.empty:
+                return
+            sfk = pdf["sf"].to_numpy(dtype=np.float64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            dlq = quantized_doc_length(dls) if quantize \
+                else dls.astype(np.float64)
+            if model == "bm25":
+                sc = idf * (k1 + 1) * scoring.bm25_tf_norm(sfk, dlq, avgdl,
+                                                           k1, b)
+            else:
+                nrm = (decoded_tf_idf_norm(dls) if quantize
+                       else np.where(dls > 0,
+                                     1.0 / np.sqrt(np.maximum(dls, 1)), 0.0))
+                sc = np.sqrt(sfk) * idf * idf * nrm
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "score": sc * final_mult})
+
+        return rows.mapInPandas(score_partition, schema=out_schema)
+
+    def _eval_span_or(self, node: SpanOrQuery, decoded, mult, idf_map,
+                      tfidf_qn) -> DataFrame:
+        """SpanOrQuery over term clauses: span frequency = summed clause
+        tf, idf = summed clause idf. The frequency is ONE JVM aggregate
+        over the shared decoded frame (map-side partials) — no positions
+        decode, no Python until the per-doc (sf, dl) rows."""
+        cfg = self.config
+        n_docs = self.stats.n_docs
+        if cfg.scoring_model == "bm25":
+            idf = sum(scoring.bm25_idf(n_docs, idf_map.get((node.field, t), 0))
+                      for t in node.terms)
+        else:
+            idf = sum(scoring.tfidf_idf(n_docs, idf_map.get((node.field, t), 0))
+                      for t in node.terms)
+        final_mult = mult * node.boost * (tfidf_qn if tfidf_qn is not None
+                                          else 1.0)
+        rows = (decoded.filter((F.col("field") == node.field) &
+                               F.col("term").isin(list(node.terms)))
+                .groupBy("doc_id")
+                .agg(F.sum("tf").cast("double").alias("sf"),
+                     F.max("dl").alias("dl")))
+        return self._span_score_kernel(rows, node.field, idf, final_mult)
+
+    def _eval_span_not(self, node: SpanNotQuery, decoded, mult, idf_map,
+                       tfidf_qn) -> DataFrame:
+        """SpanNotQuery: include occurrences with no exclude occurrence in
+        [p - pre, p + post]; frequency = surviving count; include-term
+        statistics only. LEFT join (docs without the exclude term keep
+        every span), then one batch-vectorized window count — the same
+        offset-lifted global searchsorted as span_near."""
+        inc = (decoded.filter((F.col("field") == node.field) &
+                              (F.col("term") == node.include))
+               .select("doc_id", F.col("positions").alias("pos_i"), "dl"))
+        exc = (decoded.filter((F.col("field") == node.field) &
+                              (F.col("term") == node.exclude))
+               .select("doc_id", F.col("positions").alias("pos_e")))
+        cand = inc.join(exc, "doc_id", "left")
+        cfg = self.config
+        n_docs = self.stats.n_docs
+        df_i = idf_map.get((node.field, node.include), 0)
+        idf = (scoring.bm25_idf(n_docs, df_i) if cfg.scoring_model == "bm25"
+               else scoring.tfidf_idf(n_docs, df_i))
+        pre, post = int(node.pre), int(node.post)
+        final_mult = mult * node.boost * (tfidf_qn if tfidf_qn is not None
+                                          else 1.0)
+        sf_schema = StructType([StructField("doc_id", LongType()),
+                                StructField("sf", DoubleType()),
+                                StructField("dl", LongType())])
+
+        def count_surviving(it):
+            chunks = list(it)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf["pos_i"].notna()]
+            if pdf.empty:
+                return
+            empty = b""
+            bufs_i = pdf["pos_i"].tolist()
+            bufs_e = [x if x is not None else empty
+                      for x in pdf["pos_e"].tolist()]
+            cnt_i = np.fromiter((len(x) >> 3 for x in bufs_i),
+                                dtype=np.int64, count=len(bufs_i))
+            cnt_e = np.fromiter((len(x) >> 3 for x in bufs_e),
+                                dtype=np.int64, count=len(bufs_e))
+            pi = np.frombuffer(b"".join(bufs_i), dtype="<i8")
+            pe = np.frombuffer(b"".join(bufs_e), dtype="<i8")
+            n = len(pdf)
+            base = np.arange(n, dtype=np.int64) << 32
+            pi_adj = pi + np.repeat(base, cnt_i)
+            pe_adj = pe + np.repeat(base, cnt_e)
+            # pre/post << 2^31 so the window never crosses a row's block
+            lo = np.searchsorted(pe_adj, pi_adj - pre, side="left")
+            hi = np.searchsorted(pe_adj, pi_adj + post, side="right")
+            survive = (hi == lo).astype(np.float64)
+            starts_i = np.concatenate(([0], np.cumsum(cnt_i)[:-1]))
+            sf = np.add.reduceat(survive, starts_i)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "sf": sf,
+                "dl": pdf["dl"].to_numpy(dtype=np.int64)})
+
+        rows = cand.mapInPandas(count_surviving, schema=sf_schema)
+        return self._span_score_kernel(rows, node.field, idf, final_mult)
+
+    def search_span_or(self, terms: list[str] | tuple[str, ...],
+                       field: str | None = None,
+                       limit: int = 100) -> DataFrame:
+        """Lucene ``SpanOrQuery(SpanTermQuery...)`` top-k (API tier)."""
+        if not terms:
+            raise ValueError("span_or needs at least one term")
+        field = field or self.parser.default_field
+        from xltsearch_spark.analyzers import analyze_text
+        toks = []
+        for t in terms:
+            a = analyze_text(t, self.config.analyzer)
+            if len(a) != 1:
+                raise ValueError("span_or clauses must each analyze to a "
+                                 "single term")
+            toks.append(a[0][0])
+        ast = SpanOrQuery(field, tuple(toks))
+        scored = self._score_ast(ast)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+    def search_span_not(self, include: str, exclude: str, pre: int = 0,
+                        post: int = 0, field: str | None = None,
+                        limit: int = 100) -> DataFrame:
+        """Lucene ``SpanNotQuery(include, exclude, pre, post)`` top-k (API
+        tier): include-term occurrences with no exclude occurrence within
+        [p - pre, p + post]."""
+        if pre < 0 or post < 0:
+            raise ValueError("pre and post must be >= 0")
+        field = field or self.parser.default_field
+        from xltsearch_spark.analyzers import analyze_text
+        toks = []
+        for t in (include, exclude):
+            a = analyze_text(t, self.config.analyzer)
+            if len(a) != 1:
+                raise ValueError("span_not clauses must each analyze to a "
+                                 "single term")
+            toks.append(a[0][0])
+        ast = SpanNotQuery(field, toks[0], toks[1], int(pre), int(post))
+        scored = self._score_ast(ast)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     def search_span_near(self, first: str, second: str, slop: int,
                          field: str | None = None,

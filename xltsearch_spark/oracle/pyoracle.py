@@ -38,7 +38,8 @@ from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf
 from xltsearch_spark.functions.phrase import phrase_freq
 from xltsearch_spark.plans.parser import (
     BooleanQuery, DisMaxQuery, MatchAllQuery, MUST, MUST_NOT, PhraseQuery,
-    QueryParser, SHOULD, SpanFirstQuery, SpanNearQuery, TermQuery,
+    QueryParser, SHOULD, SpanFirstQuery, SpanNearQuery, SpanNotQuery,
+    SpanOrQuery, TermQuery,
 )
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.rewrite import ConstScoreTerms, rewrite
@@ -209,6 +210,10 @@ class OracleIndex:
             return self._span_first_scores(node, mult, tfidf_qn=None)
         if isinstance(node, SpanNearQuery):
             return self._span_near_scores(node, mult, tfidf_qn=None)
+        if isinstance(node, SpanOrQuery):
+            return self._span_or_scores(node, mult, tfidf_qn=None)
+        if isinstance(node, SpanNotQuery):
+            return self._span_not_scores(node, mult, tfidf_qn=None)
         raise TypeError(type(node).__name__)
 
     # ---------------------------- TF-IDF -----------------------------------
@@ -250,6 +255,10 @@ class OracleIndex:
             return self._span_first_scores(node, mult, tfidf_qn=qn)
         if isinstance(node, SpanNearQuery):
             return self._span_near_scores(node, mult, tfidf_qn=qn)
+        if isinstance(node, SpanOrQuery):
+            return self._span_or_scores(node, mult, tfidf_qn=qn)
+        if isinstance(node, SpanNotQuery):
+            return self._span_not_scores(node, mult, tfidf_qn=qn)
         raise TypeError(type(node).__name__)
 
     def _span_first_scores(self, node: SpanFirstQuery, mult: float,
@@ -334,6 +343,107 @@ class OracleIndex:
                 out[d] = math.sqrt(sf) * idf * idf * node.boost * mult \
                     * tfidf_qn * norms[d]
         return out
+
+    def _span_sim(self, field: str, sfs: dict[int, float], idf: float,
+                  mult: float, boost: float,
+                  tfidf_qn: float | None) -> dict[int, float]:
+        """Shared similarity tail for the spans family (frequency given)."""
+        out: dict[int, float] = {}
+        if tfidf_qn is None:
+            avgdl = self._avgdl(field)
+            k1, b = self.config.k1, self.config.b
+            qdl = self._qdl[field]
+            for d, sf in sfs.items():
+                out[d] = mult * boost * idf * (k1 + 1) * sf \
+                    / (sf + k1 * (1 - b + b * qdl[d] / avgdl))
+        else:
+            norms = self._tfidf_norm[field]
+            for d, sf in sfs.items():
+                out[d] = math.sqrt(sf) * idf * idf * boost * mult \
+                    * tfidf_qn * norms[d]
+        return out
+
+    def _span_or_scores(self, node: SpanOrQuery, mult: float,
+                        tfidf_qn: float | None) -> dict[int, float]:
+        """SpanOr over term clauses: frequency = summed clause tf, idf =
+        summed clause idf."""
+        sfs: dict[int, float] = {}
+        idf = 0.0
+        for t in node.terms:
+            posting = self.postings.get((node.field, t), {})
+            idf += (self._bm25_idf(len(posting)) if tfidf_qn is None
+                    else self._tfidf_idf(len(posting)))
+            for d, pos in posting.items():
+                sfs[d] = sfs.get(d, 0.0) + float(len(pos))
+        return self._span_sim(node.field, sfs, idf, mult, node.boost,
+                              tfidf_qn)
+
+    def _span_not_scores(self, node: SpanNotQuery, mult: float,
+                         tfidf_qn: float | None) -> dict[int, float]:
+        """SpanNot: include occurrences with no exclude in [p-pre, p+post];
+        include-term statistics only."""
+        p_inc = self.postings.get((node.field, node.include), {})
+        if not p_inc:
+            return {}
+        p_exc = self.postings.get((node.field, node.exclude), {})
+        sfs: dict[int, float] = {}
+        for d, pos in p_inc.items():
+            exc = p_exc.get(d)
+            if exc is None or len(exc) == 0:
+                sf = float(len(pos))
+            else:
+                lo = np.searchsorted(exc, pos - node.pre, side="left")
+                hi = np.searchsorted(exc, pos + node.post, side="right")
+                sf = float((hi == lo).sum())
+            if sf > 0:
+                sfs[d] = sf
+        idf = (self._bm25_idf(len(p_inc)) if tfidf_qn is None
+               else self._tfidf_idf(len(p_inc)))
+        return self._span_sim(node.field, sfs, idf, mult, node.boost,
+                              tfidf_qn)
+
+    def _rank_node(self, node, limit: int) -> list[dict]:
+        """Score an API-tier AST node under the configured similarity and
+        return ranked hits (the shared tail of the search_span_* APIs)."""
+        if self.config.scoring_model == "bm25":
+            scores = self._eval_bm25(node, 1.0)
+        else:
+            ssw = self._sum_sq_weights(node, 1.0)
+            qn = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
+            scores = self._eval_tfidf(node, 1.0, qn)
+        if self.deleted:
+            scores = {d: s for d, s in scores.items() if d not in self.deleted}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        return [{"rank": i, "doc_id": int(d), "score": float(s)}
+                for i, (d, s) in enumerate(ranked, 1)]
+
+    def search_span_or(self, terms, field: str | None = None,
+                       limit: int = 100) -> list[dict]:
+        from xltsearch_spark.analyzers import analyze_text
+        toks = []
+        for t in terms:
+            a = analyze_text(t, self.config.analyzer)
+            if len(a) != 1:
+                raise ValueError("span_or clauses must each analyze to a "
+                                 "single term")
+            toks.append(a[0][0])
+        return self._rank_node(SpanOrQuery(field or "content", tuple(toks)),
+                               limit)
+
+    def search_span_not(self, include: str, exclude: str, pre: int = 0,
+                        post: int = 0, field: str | None = None,
+                        limit: int = 100) -> list[dict]:
+        from xltsearch_spark.analyzers import analyze_text
+        toks = []
+        for t in (include, exclude):
+            a = analyze_text(t, self.config.analyzer)
+            if len(a) != 1:
+                raise ValueError("span_not clauses must each analyze to a "
+                                 "single term")
+            toks.append(a[0][0])
+        return self._rank_node(
+            SpanNotQuery(field or "content", toks[0], toks[1], int(pre),
+                         int(post)), limit)
 
     def search_span_near(self, first: str, second: str, slop: int,
                          field: str | None = None,

@@ -148,6 +148,35 @@ class SpanNearQuery:
 
 
 @dataclass(frozen=True)
+class SpanOrQuery:
+    """Lucene ``SpanOrQuery(SpanTermQuery...)`` (API-level, term clauses):
+    matching spans are the union of the clause terms' positions, each
+    unit-length span weighing 1 (distance-0 sloppyFreq) — so the doc
+    frequency is the SUM of the clause tfs, scored with the summed clause
+    idf (SpanWeight builds its SimWeight from all clause terms). The
+    spans-module synonym/alternation primitive."""
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery:
+    """Lucene ``SpanNotQuery(include, exclude, pre, post)`` (API-level,
+    term clauses): an ``include`` occurrence at position p survives iff no
+    ``exclude`` occurrence lies in [p - pre, p + post]; frequency = count
+    of surviving occurrences (unit spans weigh 1). Scored with the INCLUDE
+    term's statistics only — the exclusion clause filters spans, it never
+    contributes weight."""
+    field: str
+    include: str
+    exclude: str
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisMaxQuery:
     """Lucene ``DisjunctionMaxQuery`` (API-level, like msm — the classic
     QP has no syntax for it): a doc matching any clause scores

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 
 from xltsearch_spark.plans.parser import (
     BooleanQuery, DisMaxQuery, FuzzyQuery, MatchAllQuery, PhraseQuery, PrefixQuery,
-    SpanFirstQuery, SpanNearQuery,
+    SpanFirstQuery, SpanNearQuery, SpanNotQuery, SpanOrQuery,
     RangeQuery, RegexpQuery, SHOULD, TermQuery, WildcardQuery,
 )
 
@@ -150,7 +150,8 @@ def rewrite(ast, vocab):
             return ConstScoreTerms(ast.field, (), ast.boost)
         return BooleanQuery(clauses) if len(clauses) > 1 else clauses[0][1]
     if isinstance(ast, (TermQuery, PhraseQuery, MatchAllQuery, ConstScoreTerms,
-                        SpanFirstQuery, SpanNearQuery)):
+                        SpanFirstQuery, SpanNearQuery, SpanOrQuery,
+                        SpanNotQuery)):
         return ast
     raise TypeError(f"cannot rewrite {type(ast).__name__}")
 
@@ -169,6 +170,11 @@ def collect_terms(ast) -> list[tuple[str, str]]:
     elif isinstance(ast, SpanNearQuery):
         out.append((ast.field, ast.first))
         out.append((ast.field, ast.second))
+    elif isinstance(ast, SpanOrQuery):
+        out.extend((ast.field, t) for t in ast.terms)
+    elif isinstance(ast, SpanNotQuery):
+        out.append((ast.field, ast.include))
+        out.append((ast.field, ast.exclude))
     elif isinstance(ast, PhraseQuery):
         out.extend((ast.field, t) for t, _ in ast.terms)
     elif isinstance(ast, ConstScoreTerms):
@@ -177,7 +183,8 @@ def collect_terms(ast) -> list[tuple[str, str]]:
 
 
 def needs_positions(ast) -> bool:
-    if isinstance(ast, (PhraseQuery, SpanFirstQuery, SpanNearQuery)):
+    if isinstance(ast, (PhraseQuery, SpanFirstQuery, SpanNearQuery,
+                        SpanNotQuery)):
         return True
     if isinstance(ast, BooleanQuery):
         return any(needs_positions(sub) for _, sub in ast.clauses)

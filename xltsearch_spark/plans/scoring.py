@@ -13,7 +13,8 @@ import numpy as np
 
 from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST_NOT,
                                           PhraseQuery, SpanFirstQuery,
-                                          SpanNearQuery, TermQuery)
+                                          SpanNearQuery, SpanNotQuery,
+                                          SpanOrQuery, TermQuery)
 from xltsearch_spark.plans.rewrite import ConstScoreTerms
 
 
@@ -60,6 +61,12 @@ def tfidf_sum_sq_weights(node, mult: float, idf_of) -> float:
         # SpanWeight sums the clause terms' idfs (like a phrase)
         idf = idf_of(node.field, node.first) + idf_of(node.field, node.second)
         return (idf * node.boost * mult) ** 2
+    if isinstance(node, SpanOrQuery):
+        idf = sum(idf_of(node.field, t) for t in node.terms)
+        return (idf * node.boost * mult) ** 2
+    if isinstance(node, SpanNotQuery):
+        # exclusion filters spans; only the include term carries weight
+        return (idf_of(node.field, node.include) * node.boost * mult) ** 2
     raise TypeError(type(node).__name__)
 
 
