@@ -933,6 +933,14 @@ def test_span_or_rank_identical(bm25_setup, spark, tiny_corpus):
     assert [g[0] for g in got] == [e[0] for e in exp]
     for g, e in zip(got, exp):
         assert g[1] == pytest.approx(e[1], rel=1e-6)
+    # span_not under tfidf on the same engine/oracle pair
+    exp = [(h["doc_id"], h["score"])
+           for h in oracle_t.search_span_not("quick", "dog", 1, 2, limit=200)]
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           eng_t.search_span_not("quick", "dog", 1, 2, limit=200).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)
 
 
 def test_span_not_rank_identical(bm25_setup):

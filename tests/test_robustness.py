@@ -260,3 +260,57 @@ def test_msm_fuzz_engine_equals_pyoracle(spark):
         assert [g[0] for g in got] == [e[0] for e in exp], (trial, q, msm)
         for g, e in zip(got, exp):
             assert abs(g[1] - e[1]) < 1e-6 * max(1.0, abs(e[1])), (q, msm)
+
+
+def test_spans_fuzz_engine_equals_pyoracle(spark):
+    """Randomized spans-family queries (first/near/or/not) over random
+    terms, ends, slops, and exclusion windows: engine == pyoracle on both
+    ranks and scores. Includes absent-vocabulary terms (empty results and
+    no-exclusion paths must agree too)."""
+    import random
+
+    from tests.test_engine import build_engine
+    from xltsearch_spark.config import IndexConfig
+    from xltsearch_spark.oracle.pyoracle import OracleIndex
+    from xltsearch_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(64)
+    cfg = IndexConfig(doc_range_size=16, block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, corpus, cfg)
+    oracle = OracleIndex(corpus, cfg)
+    vocab = ["alpha", "beta", "graded", "common_token", "quick", "dog",
+             "needle_17", "zz_unseen"]
+    rng = random.Random(11)
+
+    def compare(got_df, exp_rows, ctx):
+        exp = [(h["doc_id"], round(h["score"], 9)) for h in exp_rows]
+        got = [(int(r["doc_id"]), round(float(r["score"]), 9))
+               for r in got_df.collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], ctx
+        for g, e in zip(got, exp):
+            assert abs(g[1] - e[1]) < 1e-6 * max(1.0, abs(e[1])), ctx
+
+    for trial in range(10):
+        kind = rng.choice(["first", "near", "or", "not"])
+        if kind == "first":
+            t, end = rng.choice(vocab), rng.randint(1, 40)
+            compare(engine.search_span_first(t, end, limit=100),
+                    oracle.search_span_first(t, end, limit=100),
+                    (trial, kind, t, end))
+        elif kind == "near":
+            a, b = rng.choice(vocab), rng.choice(vocab)
+            slop = rng.randint(0, 8)
+            compare(engine.search_span_near(a, b, slop, limit=100),
+                    oracle.search_span_near(a, b, slop, limit=100),
+                    (trial, kind, a, b, slop))
+        elif kind == "or":
+            terms = rng.sample(vocab, rng.randint(1, 3))
+            compare(engine.search_span_or(terms, limit=100),
+                    oracle.search_span_or(terms, limit=100),
+                    (trial, kind, tuple(terms)))
+        else:
+            a, b = rng.choice(vocab), rng.choice(vocab)
+            pre, post = rng.randint(0, 5), rng.randint(0, 5)
+            compare(engine.search_span_not(a, b, pre, post, limit=100),
+                    oracle.search_span_not(a, b, pre, post, limit=100),
+                    (trial, kind, a, b, pre, post))
