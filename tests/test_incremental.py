@@ -375,3 +375,36 @@ def test_merge_and_search_survive_pre_block_min_segments(spark, corpora,
     got = {r["path"]: r["score"] for r in eng.search("merge", 1000).collect()}
     exp = {r["path"]: r["score"] for r in feng.search("merge", 1000).collect()}
     assert got == exp
+
+
+def test_span_queries_respect_tombstones(spark, corpora, tmp_path):
+    """The spans family flows through the same central tombstone filter as
+    every other query: after an incremental update, engine == pre-merge
+    segment oracle (deleted docs absent from results, but still counted in
+    the df/dl statistics) for span_first/near/or/not."""
+    v1, v2 = corpora
+    cat = IndexCatalog(spark, str(tmp_path / "wh_spans"), CFG)
+    cat.build(spark.createDataFrame(v1), fingerprint="v1")
+    cat.update(spark.createDataFrame(v2), fingerprint="v2")
+    history, deleted = segment_history(v1, v2)
+    oracle = OracleIndex(history, CFG, deleted=deleted)
+    engine = cat.engine()
+    assert engine.has_tombstones
+    cases = [
+        ("first", lambda o: o.search_span_first("graded", 8, limit=100),
+         lambda e: e.search_span_first("graded", 8, limit=100)),
+        ("near", lambda o: o.search_span_near("quick", "dog", 3, limit=100),
+         lambda e: e.search_span_near("quick", "dog", 3, limit=100)),
+        ("or", lambda o: o.search_span_or(["alpha", "beta"], limit=100),
+         lambda e: e.search_span_or(["alpha", "beta"], limit=100)),
+        ("not", lambda o: o.search_span_not("quick", "dog", 0, 2, limit=100),
+         lambda e: e.search_span_not("quick", "dog", 0, 2, limit=100)),
+    ]
+    for name, ofn, efn in cases:
+        exp = [(h["doc_id"], h["score"]) for h in ofn(oracle)]
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in efn(engine).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], name
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6), name
+        assert not ({d for d, _ in got} & deleted), name
