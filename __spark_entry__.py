@@ -500,6 +500,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
     q["ft_span_not"] = ft_span_not
 
+    def ft_collapse(s, d):
+        """Field-collapsed results (Lucene grouping module / TopGroups
+        analog): top-2 'merge' hits per lang, global top-50. Scores round
+        @4 BEFORE the rank cut and ties break on the ORIGINAL doc id on
+        both sides, so group boundaries are float-implementation-proof."""
+        from xltsearch_spark.operators.search import collapse_top_groups
+        engine = _get_engine(s, d)
+        hits = (engine.score_all("merge")
+                .withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.col("src_doc_id").alias("doc_id"), "score"))
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "lang")
+        return (collapse_top_groups(hits.join(docs, "doc_id"), "lang", 2, 50)
+                .select("doc_id", "lang", "score",
+                        F.col("grp_rank").cast("long").alias("grp_rank")))
+    q["ft_collapse"] = ft_collapse
+
     def ft_facets(s, d):
         """Facet value-counts over the FULL hit set of 'merge' on the
         stored (lang, repo) fields — the Lucene facets-module analog.
@@ -1483,7 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_min_should_match", "ft_explain_tfidf", "ft_index_stats",
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
         "dedup_cross_corpus", "eval_retrieval", "ft_dismax", "ft_span_first",
-        "ft_span_near", "ft_span_or", "ft_span_not",
+        "ft_span_near", "ft_span_or", "ft_span_not", "ft_collapse",
         "dedup_canonical", "decontaminate_fuzzy",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
@@ -1497,11 +1514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 25 front (the 10 r5-new entries + stream/lm/mixture + the r3-stale
-    # ann/events/multimodal) + the first 25 of the 28 ft_* = the 50-entry
-    # window. DELIBERATELY outside (all r4-green, rotate forward next
-    # round): ft_resume, ft_matchall_count, ft_hit_count, dedup_*,
-    # parse_*, text/sampling/packing. Invariant (pinned by
+    # 50 front (every r5-new entry incl. the spans family, dismax,
+    # collapse, canonical dedup, fuzzy decontamination, plus the r3-stale
+    # ann/events/multimodal) = exactly the 50-entry window.
+    # DELIBERATELY outside (all green in r4 or earlier this round, rotate
+    # forward next round): the remaining ft_* family, dedup_*, parse_*,
+    # text/sampling/packing. Invariant (pinned by
     # tests/test_entry_rotation.py): every entry without a prior driver
     # row sits inside the first 50.
     ordered = {k: q[k] for k in front}
@@ -2533,6 +2551,19 @@ def oracle_sql() -> dict[str, str]:
                  / (sf.sf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
     FROM sf JOIN dl ON sf.doc_id = dl.doc_id CROSS JOIN idfm CROSS JOIN st
     ORDER BY score DESC, sf.doc_id"""
+
+    # field collapsing: rounded score per doc, row_number per lang
+    # (score desc, doc_id asc), keep rank <= 2, global top-50 in the same
+    # rounded order
+    o["ft_collapse"] = f"""WITH {_TOK_CTE},
+    h AS (SELECT doc_id, round(score, 4) AS score FROM ({_bm25_sql('merge')})),
+    r AS (SELECT h.doc_id, d.lang, h.score,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY h.score DESC, h.doc_id ASC)
+                     AS grp_rank
+          FROM h JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, score, grp_rank FROM r WHERE grp_rank <= 2
+    ORDER BY score DESC, doc_id LIMIT 50"""
 
     # DisMax: same per-clause BM25 scores, max + tie*(sum - max)
     o["ft_dismax"] = f"""WITH {_TOK_CTE},

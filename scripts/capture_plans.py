@@ -268,6 +268,26 @@ def main(out_path: str | None = None) -> int:
                      "TakeOrderedAndProject.",
                      explain_str(eng.search_span_near("alpha", "beta", 3,
                                                       limit=10))))
+    sections.append(("span_not('alpha', 'beta', 2, 2, k=10): fused "
+                     "exclusion kernel",
+                     "Expected (r5): pruned two-term scan, LEFT join of "
+                     "exclude positions onto include docs, then ONE "
+                     "MapInPandas that counts surviving spans AND applies "
+                     "the similarity — no second Python stage, no "
+                     "intermediate Arrow round-trip between counting and "
+                     "scoring.",
+                     explain_str(eng.search_span_not("alpha", "beta", 2, 2,
+                                                     limit=10))))
+    sections.append(("search_collapsed('graded', lang, 2, k=10): "
+                     "WindowGroupLimit field collapsing",
+                     "Expected (r5 grouping module): the per-group rank cut "
+                     "plans as WindowGroupLimit (per-group bounded heaps "
+                     "BEFORE the window sort — the full hit set is never "
+                     "globally ranked), hit-docs join stays distributed, "
+                     "final cut TakeOrderedAndProject.",
+                     explain_str(eng.search_collapsed("graded", "lang", 2,
+                                                      limit=10),
+                                 mode="simple")))
     from xltsearch_spark.operators.sampling import weighted_sample
     wdf = pdocs.select("doc_id", F.col("n_tokens").alias("w"))
     sections.append(("weighted_sample(k=50): map-only key + TakeOrdered",

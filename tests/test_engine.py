@@ -920,6 +920,15 @@ def test_span_or_rank_identical(bm25_setup, spark, tiny_corpus):
         assert [g[0] for g in got] == [e[0] for e in exp], terms
         for g, e in zip(got, exp):
             assert g[1] == pytest.approx(e[1], rel=1e-6), terms
+    # duplicate clauses each contribute their spans (SpanOr unions clause
+    # span streams): sf doubles AND idf doubles vs the single-term query
+    exp = [(h["doc_id"], h["score"])
+           for h in oracle.search_span_or(["quick", "quick"], limit=200)]
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           engine.search_span_or(["quick", "quick"], limit=200).collect()]
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)
     with pytest.raises(ValueError):
         engine.search_span_or([])
     cfg = IndexConfig(scoring_model="default", doc_range_size=16,
@@ -975,3 +984,24 @@ def test_span_not_rank_identical(bm25_setup):
     assert not (wide & both)
     with pytest.raises(ValueError):
         engine.search_span_not("quick", "dog", -1, 0)
+
+
+def test_search_collapsed_matches_oracle(bm25_setup):
+    """Field collapsing: engine == pyoracle for several (group_limit,
+    limit) shapes; grp_rank values and group membership agree; rank never
+    exceeds group_limit and each group appears <= group_limit times."""
+    engine, oracle, _ = bm25_setup
+    for gl, lim in ((1, 10), (2, 20), (3, 100)):
+        exp = [(h["doc_id"], h["lang"], h["score"], h["grp_rank"])
+               for h in oracle.search_collapsed("common_token", "lang",
+                                                gl, lim)]
+        got = [(int(r["doc_id"]), r["lang"], float(r["score"]),
+                int(r["grp_rank"]))
+               for r in engine.search_collapsed("common_token", "lang",
+                                                gl, lim).collect()]
+        assert got == exp, (gl, lim)
+        from collections import Counter as C
+        assert all(r[3] <= gl for r in got)
+        assert all(c <= gl for c in C(r[1] for r in got).values())
+    with pytest.raises(ValueError):
+        engine.search_collapsed("common_token", "lang", 0)

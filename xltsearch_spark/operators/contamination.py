@@ -78,7 +78,11 @@ def jaccard_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 5,
     doc_g = docs.select(
         F.col(id_col),
         F.explode(_gram_array(F.col(text_col), n)).alias("shingle"))
-    doc_sz = doc_g.groupBy(id_col).agg(F.count("*").alias("sz_a"))
+    # |A| is the distinct-gram array's size — map-only, no second explode
+    # or doc_id shuffle (the corpus-never-shuffles-its-shingles invariant)
+    doc_sz = docs.select(
+        F.col(id_col),
+        F.size(_gram_array(F.col(text_col), n)).alias("sz_a"))
     inter = (doc_g.join(F.broadcast(bench_g), "shingle")
              .groupBy(id_col, "bench_id").agg(F.count("*").alias("inter")))
     pair = (inter.join(F.broadcast(bench_sz), "bench_id")

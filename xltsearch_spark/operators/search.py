@@ -27,6 +27,7 @@ rewrite semantics of ``plans/rewrite.py``.
 
 from __future__ import annotations
 
+from collections import Counter
 from dataclasses import dataclass, replace as dc_replace
 
 import numpy as np
@@ -99,6 +100,27 @@ class ConstScorePred:
         if hi is not None:
             c = c & ((t <= hi) if ihi else (t < hi))
         return c
+
+
+def collapse_top_groups(hits: DataFrame, group_col: str, group_limit: int,
+                        limit: int, score_col: str = "score",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Field collapsing over a scored hit frame (Lucene grouping module /
+    TopGroups semantics): rank within each ``group_col`` value by
+    (``score_col`` desc, ``id_col`` asc), keep rank <= ``group_limit``,
+    then the global top ``limit`` in the same order, with the per-group
+    rank exposed as ``grp_rank``.
+
+    Callers cut on ROUNDED scores (round @4 before calling) so the rank is
+    stable across float implementations. The rank-filter window is planned
+    as WindowGroupLimit (per-group bounded heaps) — no global sort of the
+    hit set; the final cut is TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col),
+                                              F.asc(id_col))
+    return (hits.withColumn("grp_rank", F.row_number().over(w))
+            .filter(F.col("grp_rank") <= group_limit)
+            .orderBy(F.desc(score_col), F.asc(id_col)).limit(limit))
 
 
 class SearchEngine:
@@ -1386,6 +1408,27 @@ class SearchEngine:
 
         return cand.mapInPandas(score_partition, schema=out_schema)
 
+    def search_collapsed(self, query: str, group_field: str,
+                         group_limit: int = 1,
+                         limit: int = 100) -> DataFrame:
+        """Lucene grouping-module field collapsing (TopGroups analog): keep
+        the top ``group_limit`` hits per distinct stored ``group_field``
+        value, then the global top ``limit``. Scores are rounded @4 BEFORE
+        the rank cut (the _ft determinism contract — a last-ulp difference
+        must never decide who holds a group's k-th slot); ties break on
+        doc_id asc.
+
+        Scale shape: the per-group cut is a rank-filtered window Spark
+        plans as WindowGroupLimit (bounded per-group heaps — the full hit
+        set is never globally sorted); the hit-docs join stays distributed
+        exactly like facets()."""
+        if group_limit < 1:
+            raise ValueError("group_limit must be >= 1")
+        hits = self.score_all(query).withColumn("score",
+                                                F.round("score", 4))
+        joined = hits.join(self.docs.select("doc_id", group_field), "doc_id")
+        return collapse_top_groups(joined, group_field, group_limit, limit)
+
     def _span_score_kernel(self, rows: DataFrame, field: str, idf: float,
                            final_mult: float) -> DataFrame:
         """Score (doc_id, sf, dl) rows with the active similarity — the
@@ -1440,10 +1483,16 @@ class SearchEngine:
                       for t in node.terms)
         final_mult = mult * node.boost * (tfidf_qn if tfidf_qn is not None
                                           else 1.0)
+        # duplicate clauses each contribute their spans (SpanOr unions
+        # clause span streams): weight tf by clause multiplicity
+        counts = Counter(node.terms)
+        w = F.lit(None).cast("double")
+        for t, c in counts.items():
+            w = F.when(F.col("term") == t, F.lit(float(c))).otherwise(w)
         rows = (decoded.filter((F.col("field") == node.field) &
-                               F.col("term").isin(list(node.terms)))
+                               F.col("term").isin(list(counts)))
                 .groupBy("doc_id")
-                .agg(F.sum("tf").cast("double").alias("sf"),
+                .agg(F.sum(F.col("tf") * w).cast("double").alias("sf"),
                      F.max("dl").alias("dl")))
         return self._span_score_kernel(rows, node.field, idf, final_mult)
 
@@ -1469,11 +1518,15 @@ class SearchEngine:
         pre, post = int(node.pre), int(node.post)
         final_mult = mult * node.boost * (tfidf_qn if tfidf_qn is not None
                                           else 1.0)
-        sf_schema = StructType([StructField("doc_id", LongType()),
-                                StructField("sf", DoubleType()),
-                                StructField("dl", LongType())])
+        avgdl = self.stats.avgdl.get(node.field, 1.0) or 1.0
+        model, k1, b, quantize = (cfg.scoring_model, cfg.k1, cfg.b,
+                                  cfg.quantize_norms)
+        out_schema = StructType([StructField("doc_id", LongType()),
+                                 StructField("score", DoubleType())])
 
-        def count_surviving(it):
+        def score_surviving(it):
+            # count + similarity in ONE kernel (like span_near) — no
+            # intermediate Arrow round-trip through a second Python stage
             chunks = list(it)
             if not chunks:
                 return
@@ -1495,19 +1548,33 @@ class SearchEngine:
             base = np.arange(n, dtype=np.int64) << 32
             pi_adj = pi + np.repeat(base, cnt_i)
             pe_adj = pe + np.repeat(base, cnt_e)
-            # pre/post << 2^31 so the window never crosses a row's block
+            # pre/post < 2^31 (validated in search_span_not) so the
+            # window never crosses a row's block
             lo = np.searchsorted(pe_adj, pi_adj - pre, side="left")
             hi = np.searchsorted(pe_adj, pi_adj + post, side="right")
             survive = (hi == lo).astype(np.float64)
             starts_i = np.concatenate(([0], np.cumsum(cnt_i)[:-1]))
             sf = np.add.reduceat(survive, starts_i)
+            keep = sf > 0
+            if not keep.any():
+                return
+            sfk = sf[keep]
+            dls = pdf["dl"].to_numpy(dtype=np.int64)[keep]
+            dlq = quantized_doc_length(dls) if quantize \
+                else dls.astype(np.float64)
+            if model == "bm25":
+                sc = idf * (k1 + 1) * scoring.bm25_tf_norm(sfk, dlq, avgdl,
+                                                           k1, b)
+            else:
+                nrm = (decoded_tf_idf_norm(dls) if quantize
+                       else np.where(dls > 0,
+                                     1.0 / np.sqrt(np.maximum(dls, 1)), 0.0))
+                sc = np.sqrt(sfk) * idf * idf * nrm
             yield pd.DataFrame({
-                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
-                "sf": sf,
-                "dl": pdf["dl"].to_numpy(dtype=np.int64)})
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[keep],
+                "score": sc * final_mult})
 
-        rows = cand.mapInPandas(count_surviving, schema=sf_schema)
-        return self._span_score_kernel(rows, node.field, idf, final_mult)
+        return cand.mapInPandas(score_surviving, schema=out_schema)
 
     def search_span_or(self, terms: list[str] | tuple[str, ...],
                        field: str | None = None,
@@ -1536,6 +1603,11 @@ class SearchEngine:
         [p - pre, p + post]."""
         if pre < 0 or post < 0:
             raise ValueError("pre and post must be >= 0")
+        if pre >= (1 << 31) or post >= (1 << 31):
+            # the batch-vectorized kernel lifts each row's positions by
+            # row_index << 32; a window this wide would cross into a
+            # neighboring row's block and corrupt the exclusion count
+            raise ValueError("pre and post must be < 2^31")
         field = field or self.parser.default_field
         from xltsearch_spark.analyzers import analyze_text
         toks = []

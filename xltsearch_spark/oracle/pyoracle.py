@@ -268,26 +268,12 @@ class OracleIndex:
         posting = self.postings.get((node.field, node.term), {})
         if not posting:
             return {}
-        out: dict[int, float] = {}
-        if tfidf_qn is None:
-            idf = self._bm25_idf(len(posting))
-            avgdl = self._avgdl(node.field)
-            k1, b = self.config.k1, self.config.b
-            qdl = self._qdl[node.field]
-            for d, pos in posting.items():
-                sf = float((pos < node.end).sum())
-                if sf > 0:
-                    out[d] = mult * node.boost * idf * (k1 + 1) * sf \
-                        / (sf + k1 * (1 - b + b * qdl[d] / avgdl))
-        else:
-            idf = self._tfidf_idf(len(posting))
-            norms = self._tfidf_norm[node.field]
-            for d, pos in posting.items():
-                sf = float((pos < node.end).sum())
-                if sf > 0:
-                    out[d] = math.sqrt(sf) * idf * idf * node.boost * mult \
-                        * tfidf_qn * norms[d]
-        return out
+        sfs = {d: float((pos < node.end).sum()) for d, pos in posting.items()
+               if (pos < node.end).any()}
+        idf = (self._bm25_idf(len(posting)) if tfidf_qn is None
+               else self._tfidf_idf(len(posting)))
+        return self._span_sim(node.field, sfs, idf, mult, node.boost,
+                              tfidf_qn)
 
     def search_span_first(self, term: str, end: int, field: str | None = None,
                           limit: int = 100) -> list[dict]:
@@ -295,18 +281,8 @@ class OracleIndex:
         toks = analyze_text(term, self.config.analyzer)
         if len(toks) != 1:
             raise ValueError("span_first takes a single analyzed term")
-        node = SpanFirstQuery(field or "content", toks[0][0], int(end))
-        if self.config.scoring_model == "bm25":
-            scores = self._eval_bm25(node, 1.0)
-        else:
-            ssw = self._sum_sq_weights(node, 1.0)
-            qn = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
-            scores = self._eval_tfidf(node, 1.0, qn)
-        if self.deleted:
-            scores = {d: s for d, s in scores.items() if d not in self.deleted}
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
-        return [{"rank": i, "doc_id": int(d), "score": float(s)}
-                for i, (d, s) in enumerate(ranked, 1)]
+        return self._rank_node(
+            SpanFirstQuery(field or "content", toks[0][0], int(end)), limit)
 
     def _span_near_scores(self, node: SpanNearQuery, mult: float,
                           tfidf_qn: float | None) -> dict[int, float]:
@@ -327,22 +303,11 @@ class OracleIndex:
             m = gap <= node.slop
             if m.any():
                 sfs[d] = float((1.0 / (1.0 + gap[m])).sum())
-        out: dict[int, float] = {}
-        if tfidf_qn is None:
-            idf = self._bm25_idf(len(p1)) + self._bm25_idf(len(p2))
-            avgdl = self._avgdl(node.field)
-            k1, b = self.config.k1, self.config.b
-            qdl = self._qdl[node.field]
-            for d, sf in sfs.items():
-                out[d] = mult * node.boost * idf * (k1 + 1) * sf \
-                    / (sf + k1 * (1 - b + b * qdl[d] / avgdl))
-        else:
-            idf = self._tfidf_idf(len(p1)) + self._tfidf_idf(len(p2))
-            norms = self._tfidf_norm[node.field]
-            for d, sf in sfs.items():
-                out[d] = math.sqrt(sf) * idf * idf * node.boost * mult \
-                    * tfidf_qn * norms[d]
-        return out
+        idf = (self._bm25_idf(len(p1)) + self._bm25_idf(len(p2))
+               if tfidf_qn is None
+               else self._tfidf_idf(len(p1)) + self._tfidf_idf(len(p2)))
+        return self._span_sim(node.field, sfs, idf, mult, node.boost,
+                              tfidf_qn)
 
     def _span_sim(self, field: str, sfs: dict[int, float], idf: float,
                   mult: float, boost: float,
@@ -417,6 +382,29 @@ class OracleIndex:
         return [{"rank": i, "doc_id": int(d), "score": float(s)}
                 for i, (d, s) in enumerate(ranked, 1)]
 
+    def search_collapsed(self, query: str, group_field: str,
+                         group_limit: int = 1,
+                         limit: int = 100) -> list[dict]:
+        """Field collapsing: top group_limit hits per group_field value
+        (score rounded @4 desc, doc_id asc), then the global top limit."""
+        if group_limit < 1:
+            raise ValueError("group_limit must be >= 1")
+        hits = self.search(query, limit=1 << 30)
+        vals = self.docs[group_field].fillna("")
+        ranked: list[tuple] = []
+        per_group: dict = {}
+        rows = sorted(((round(h["score"], 4), h["doc_id"]) for h in hits),
+                      key=lambda t: (-t[0], t[1]))
+        for sc, d in rows:
+            g = vals.iloc[d]
+            r = per_group.get(g, 0) + 1
+            per_group[g] = r
+            if r <= group_limit:
+                ranked.append((d, g, sc, r))
+        return [{"doc_id": int(d), group_field: g, "score": float(sc),
+                 "grp_rank": int(r)}
+                for d, g, sc, r in ranked[:limit]]
+
     def search_span_or(self, terms, field: str | None = None,
                        limit: int = 100) -> list[dict]:
         from xltsearch_spark.analyzers import analyze_text
@@ -456,18 +444,9 @@ class OracleIndex:
                 raise ValueError("span_near clauses must each analyze to a "
                                  "single term")
             toks.append(a[0][0])
-        node = SpanNearQuery(field or "content", toks[0], toks[1], int(slop))
-        if self.config.scoring_model == "bm25":
-            scores = self._eval_bm25(node, 1.0)
-        else:
-            ssw = self._sum_sq_weights(node, 1.0)
-            qn = 1.0 / math.sqrt(ssw) if ssw > 0 else 1.0
-            scores = self._eval_tfidf(node, 1.0, qn)
-        if self.deleted:
-            scores = {d: s for d, s in scores.items() if d not in self.deleted}
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
-        return [{"rank": i, "doc_id": int(d), "score": float(s)}
-                for i, (d, s) in enumerate(ranked, 1)]
+        return self._rank_node(
+            SpanNearQuery(field or "content", toks[0], toks[1], int(slop)),
+            limit)
 
     def _eval_dismax(self, node: DisMaxQuery, mult: float, ev) -> dict[int, float]:
         """max(clause) + tie * sum(other matching clauses); no coord
