@@ -463,6 +463,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
     q["ft_span_first"] = ft_span_first
 
+    def ft_phrase_prefix(s, d):
+        """MultiPhraseQuery phrase-prefix 'merge s*' (the autocomplete
+        shape): exact slot 'merge' + a slot matched by every index term
+        starting with 's' (6 expansions at this sf). phraseFreq counts
+        anchors where both slots match; idf sums 'merge' plus EVERY
+        expansion's idf (MultiPhraseWeight allTermStats). Full hit set."""
+        engine = _get_engine(s, d)
+        return (engine.search_phrase_prefix("merge s", limit=1 << 30)
+                .withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.col("src_doc_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_phrase_prefix"] = ft_phrase_prefix
+
     def ft_span_near(s, d):
         """SpanNearQuery([merge, vector], slop=3, inOrder): each 'vector'
         occurrence pairs with its closest preceding 'merge'; gap <= 3
@@ -1501,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
         "dedup_cross_corpus", "eval_retrieval", "ft_dismax", "ft_span_first",
         "ft_span_near", "ft_span_or", "ft_span_not", "ft_collapse",
+        "ft_phrase_prefix",
         "dedup_canonical", "decontaminate_fuzzy",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
@@ -1514,13 +1529,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 50 front (every r5-new entry incl. the spans family, dismax,
-    # collapse, canonical dedup, fuzzy decontamination, plus the r3-stale
-    # ann/events/multimodal) = exactly the 50-entry window.
-    # DELIBERATELY outside (all green in r4 or earlier this round, rotate
-    # forward next round): the remaining ft_* family, dedup_*, parse_*,
-    # text/sampling/packing. Invariant (pinned by
-    # tests/test_entry_rotation.py): every entry without a prior driver
+    # 51 front (every r5-new entry incl. the spans family, dismax,
+    # collapse, phrase-prefix, canonical dedup, fuzzy decontamination,
+    # plus the r3-stale ann/events/multimodal); the LAST front entry
+    # (ann_cosine_lsh, green in r2 AND r3) deliberately spills to index 50
+    # — one slot short, and a stale-but-verified row is the cheapest
+    # sacrifice. DELIBERATELY outside (all green in r4 or earlier this
+    # round, rotate forward next round): the remaining ft_* family,
+    # dedup_*, parse_*, text/sampling/packing. Invariant (pinned by
+    # tests/test_entry_rotation.py): every entry without ANY prior driver
     # row sits inside the first 50.
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2517,6 +2534,30 @@ def oracle_sql() -> dict[str, str]:
                  / (sf.sf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
     FROM sf JOIN dl ON sf.doc_id = dl.doc_id CROSS JOIN idfs CROSS JOIN st
     ORDER BY score DESC, sf.doc_id"""
+
+    # MultiPhraseQuery phrase-prefix: anchors where 'merge' is followed by
+    # ANY term starting with 's' (DISTINCT anchor — duplicate expansion hits
+    # at one position collapse); idf = idf(merge) + sum over every
+    # expansion's idf (allTermStats); positions pre-stop, df/dl post-stop
+    o["ft_phrase_prefix"] = f"""WITH {_TOK_CTE},
+    pf AS (SELECT a.doc_id, count(DISTINCT a.pos) AS pf
+           FROM tok_all a JOIN tok_all b
+             ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE a.term = 'merge'
+             AND b.term IN (SELECT DISTINCT term FROM tok WHERE term LIKE 's%')
+           GROUP BY a.doc_id),
+    idfs AS (SELECT
+        (SELECT ln(1 + (st.n - d1.df + 0.5) / (d1.df + 0.5))
+         FROM (SELECT count(DISTINCT doc_id) AS df FROM tok
+               WHERE term = 'merge') d1 CROSS JOIN st)
+      + (SELECT coalesce(sum(ln(1 + (st.n - e.df + 0.5) / (e.df + 0.5))), 0)
+         FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE term LIKE 's%' GROUP BY term) e CROSS JOIN st) AS idf)
+    SELECT pf.doc_id,
+           round(idfs.idf * 2.2 * pf.pf
+                 / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
+    FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN idfs CROSS JOIN st
+    ORDER BY score DESC, pf.doc_id"""
 
     # SpanOr: frequency = summed clause tf (union of unit spans), summed
     # clause idf, BM25 over the combined frequency

@@ -166,6 +166,12 @@ def main() -> int:
             "alpha OR beta", limit=10).collect(),
         "q_span_near": lambda: fixture_engine.search_span_near(
             "alpha", "beta", 3, limit=100).collect(),
+        "q_span_not": lambda: fixture_engine.search_span_not(
+            "alpha", "beta", 2, 2, limit=100).collect(),
+        "q_collapse": lambda: fixture_engine.search_collapsed(
+            "common_token", "lang", 2, 100).collect(),
+        "q_phrase_prefix": lambda: fixture_engine.search_phrase_prefix(
+            "alpha bet", limit=100).collect(),
     }
     for name, fn in r5_ops.items():
         fn()  # warm

@@ -278,6 +278,17 @@ def main(out_path: str | None = None) -> int:
                      "scoring.",
                      explain_str(eng.search_span_not("alpha", "beta", 2, 2,
                                                      limit=10))))
+    sections.append(("search_phrase_prefix('alpha bet', k=10): expanded "
+                     "IN-list pushdown",
+                     "Expected (r5 MultiPhraseQuery): the dictionary "
+                     "expansion resolves driver-side (<= max_expansions "
+                     "rows), then the postings scan carries the exact slot "
+                     "PLUS every expansion in ONE pushed term IN-list — "
+                     "blocks of non-matching terms are never read; one "
+                     "repartition(doc_id) + one vectorized kernel, top-k "
+                     "TakeOrderedAndProject.",
+                     explain_str(eng.search_phrase_prefix("alpha bet",
+                                                          limit=10))))
     sections.append(("search_collapsed('graded', lang, 2, k=10): "
                      "WindowGroupLimit field collapsing",
                      "Expected (r5 grouping module): the per-group rank cut "

@@ -1005,3 +1005,54 @@ def test_search_collapsed_matches_oracle(bm25_setup):
         assert all(c <= gl for c in C(r[1] for r in got).values())
     with pytest.raises(ValueError):
         engine.search_collapsed("common_token", "lang", 0)
+
+
+def test_phrase_prefix_rank_identical(bm25_setup, spark, tiny_corpus):
+    """MultiPhraseQuery phrase-prefix: engine == pyoracle ranks and scores
+    for multi-expansion, single-expansion, and no-hit prefixes; empty
+    expansion sets return no hits; error contracts match Lucene's
+    (TooManyClauses analog, <2 analyzed tokens)."""
+    engine, oracle, _ = bm25_setup
+    for phrase in ("lazy dr", "flush fl", "dog w", "dog zzzznope"):
+        exp = [(h["doc_id"], h["score"])
+               for h in oracle.search_phrase_prefix(phrase, limit=200)]
+        got = [(int(r["doc_id"]), float(r["score"])) for r in
+               engine.search_phrase_prefix(phrase, limit=200).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], phrase
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6), phrase
+    with pytest.raises(ValueError):
+        engine.search_phrase_prefix("lazy")  # needs exact slot + prefix
+    with pytest.raises(ValueError):
+        # TooManyClauses analog: every term is an expansion at cap 1
+        engine.search_phrase_prefix("lazy d", max_expansions=1)
+
+
+def test_phrase_prefix_tfidf_and_exact_degeneration(spark, tiny_corpus):
+    """Under DefaultSimilarity the ranks still match the oracle; a prefix
+    equal to a full unique term scores EXACTLY like the plain phrase when
+    the expansion set is that single term (MultiPhrase degenerates to
+    PhraseQuery up to identical stats)."""
+    cfg = IndexConfig(scoring_model="default", doc_range_size=16,
+                      block_size=8, term_buckets=8)
+    engine, _ = build_engine(spark, tiny_corpus, cfg)
+    oracle = OracleIndex(tiny_corpus, cfg)
+    for phrase in ("lazy dr", "flush fl"):
+        exp = [(h["doc_id"], h["score"])
+               for h in oracle.search_phrase_prefix(phrase, limit=200)]
+        got = [(int(r["doc_id"]), float(r["score"])) for r in
+               engine.search_phrase_prefix(phrase, limit=200).collect()]
+        assert [g[0] for g in got] == [e[0] for e in exp], phrase
+        for g, e in zip(got, exp):
+            assert g[1] == pytest.approx(e[1], rel=1e-6), phrase
+    # degeneration: expansions == {'driver'} -> same hits as "lazy driver"
+    exp_terms = [t for t in oracle.vocab.get("content", ())
+                 if t.startswith("driver")]
+    if len(exp_terms) == 1:
+        pp = {int(r["doc_id"]): float(r["score"]) for r in
+              engine.search_phrase_prefix("lazy driver", limit=200).collect()}
+        ph = {h["doc_id"]: h["score"]
+              for h in oracle.search('"lazy driver"', limit=200)}
+        assert set(pp) == set(ph)
+        for d, sc in pp.items():
+            assert sc == pytest.approx(ph[d], rel=1e-6)

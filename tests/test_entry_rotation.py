@@ -17,11 +17,20 @@ DRIVER_WINDOW = 50
 
 
 def _latest_correctness() -> dict:
+    """Latest driver row per entry, merged across EVERY round artifact.
+
+    "Prior driver row" means any round — an entry green in r3 but outside
+    r4's 50-entry window is stale, not unverified (the VERDICT invariant
+    distinguishes the two); only never-rowed entries are pinned inside
+    the window."""
     rounds = sorted(f for f in os.listdir(REPO)
                     if f.startswith("CORRECTNESS_r") and f.endswith(".json"))
     assert rounds, "driver correctness artifacts missing"
-    with open(os.path.join(REPO, rounds[-1])) as fh:
-        return json.load(fh)
+    merged: dict = {}
+    for r in rounds:  # ascending -> later rounds overwrite
+        with open(os.path.join(REPO, r)) as fh:
+            merged.update(json.load(fh))
+    return merged
 
 
 def test_every_entry_has_an_oracle():

@@ -42,6 +42,7 @@ from xltsearch_spark.functions.varint import decode_deltas, decode_varint
 from xltsearch_spark.operators.build import BuildStats, term_bucket
 from xltsearch_spark.plans import scoring
 from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST,
+                                          MultiPhraseQuery,
                                           SpanFirstQuery, SpanNearQuery,
                                           SpanNotQuery, SpanOrQuery,
                                           MUST_NOT, PhraseQuery, QueryParser,
@@ -996,6 +997,9 @@ class SearchEngine:
                 terms.append((node.field, node.exclude))
             elif isinstance(node, PhraseQuery):
                 terms.extend((node.field, t) for t, _ in node.terms)
+            elif isinstance(node, MultiPhraseQuery):
+                terms.extend((node.field, t) for t, _ in node.terms)
+                terms.extend((node.field, t) for t in node.expansions)
             elif isinstance(node, ConstScoreTerms):
                 terms.extend((node.field, t) for t in node.terms)
             elif isinstance(node, ConstScorePred):
@@ -1231,6 +1235,9 @@ class SearchEngine:
                 "score", F.lit(mult * node.boost * qn))
         if isinstance(node, PhraseQuery):
             return self._eval_phrase(node, decoded, mult, idf_map, tfidf_qn)
+        if isinstance(node, MultiPhraseQuery):
+            return self._eval_multi_phrase(node, decoded, mult, idf_map,
+                                           tfidf_qn)
         if isinstance(node, BooleanQuery):
             return self._eval_boolean(node, decoded, mult, idf_map, tfidf_qn)
         if isinstance(node, DisMaxQuery):
@@ -1786,6 +1793,159 @@ class SearchEngine:
         n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
         return (cand.repartition(n_parts, "doc_id")
                 .mapInPandas(score_partition, schema=out_schema))
+
+    def _eval_multi_phrase(self, node: MultiPhraseQuery, decoded, mult,
+                           idf_map, tfidf_qn):
+        """MultiPhraseQuery (phrase-prefix form): exact slots from
+        ``node.terms`` plus one slot at ``node.prefix_offset`` matched by
+        ANY expansion term. phraseFreq = count of anchor positions where
+        every slot matches; duplicate expansion hits at one (doc, anchor)
+        collapse to ONE slot entry (ExactPhraseScorer over the union
+        postings enum counts each position once). idf sums every slot
+        term's idf (MultiPhraseWeight allTermStats).
+
+        Same distributed shape as ``_eval_phrase``: ONE
+        repartition(doc_id) of the involved terms' decoded rows, then a
+        batch-vectorized kernel — (doc, slot, anchor) triples are deduped
+        and group-counted with numpy lexsort, no per-doc Python loop."""
+        if not node.expansions:
+            return self._empty_scores()
+        slots: list[tuple[frozenset, int]] = (
+            [(frozenset((t,)), o) for t, o in node.terms]
+            + [(frozenset(node.expansions), node.prefix_offset)])
+        n_slots = len(slots)
+        all_terms = sorted({t for ts, _ in slots for t in ts})
+        cand = (decoded.filter((F.col("field") == node.field) &
+                               F.col("term").isin(all_terms))
+                .select("doc_id", "term", "positions", "dl"))
+        cfg = self.config
+        n_docs = self.stats.n_docs
+        avgdl = self.stats.avgdl.get(node.field, 1.0) or 1.0
+        if cfg.scoring_model == "bm25":
+            idf = sum(scoring.bm25_idf(n_docs, idf_map.get((node.field, t), 0))
+                      for t, _ in node.terms)
+            idf += sum(scoring.bm25_idf(n_docs, idf_map.get((node.field, t), 0))
+                       for t in node.expansions)
+        else:
+            idf = sum(scoring.tfidf_idf(n_docs, idf_map.get((node.field, t), 0))
+                      for t, _ in node.terms)
+            idf += sum(scoring.tfidf_idf(n_docs, idf_map.get((node.field, t), 0))
+                       for t in node.expansions)
+        k1, b, quantize, model = cfg.k1, cfg.b, cfg.quantize_norms, cfg.scoring_model
+        final_mult = mult * node.boost * (tfidf_qn if tfidf_qn is not None
+                                          else 1.0)
+        slot_of: dict[str, list[tuple[int, int]]] = {}
+        for si, (ts, off) in enumerate(slots):
+            for t in ts:
+                slot_of.setdefault(t, []).append((si, off))
+        out_schema = StructType([StructField("doc_id", LongType()),
+                                 StructField("score", DoubleType())])
+
+        def score_partition(it):
+            chunks = list(it)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf[pdf["positions"].notna()]
+            if pdf.empty:
+                return
+            dcode, duniq = pd.factorize(pdf["doc_id"].to_numpy())
+            ndocs = len(duniq)
+            dl_all = np.zeros(ndocs, dtype=np.int64)
+            dl_all[dcode] = pdf["dl"].to_numpy(dtype=np.int64)
+            term_arr = pdf["term"].to_numpy()
+            blob_arr = pdf["positions"].to_numpy()
+            d_parts, s_parts, a_parts = [], [], []
+            for t, assignments in slot_of.items():
+                sub = np.flatnonzero(term_arr == t)
+                if sub.size == 0:
+                    continue
+                blobs = blob_arr[sub]
+                cnts = np.fromiter((len(bb) >> 3 for bb in blobs),
+                                   dtype=np.int64, count=len(blobs))
+                pos = np.frombuffer(b"".join(blobs), dtype=np.int64)
+                docs_rep = np.repeat(dcode[sub], cnts)
+                for si, off in assignments:
+                    d_parts.append(docs_rep)
+                    s_parts.append(np.full(pos.size, si, dtype=np.int64))
+                    a_parts.append(pos - off)
+            if not d_parts:
+                return
+            gd = np.concatenate(d_parts)
+            gs = np.concatenate(s_parts)
+            ga = np.concatenate(a_parts)
+            order = np.lexsort((gs, ga, gd))
+            gd, gs, ga = gd[order], gs[order], ga[order]
+            # dedupe exact (doc, anchor, slot) triples: two expansion terms
+            # at one position are ONE slot match
+            fresh = np.concatenate(([True], (gd[1:] != gd[:-1])
+                                    | (ga[1:] != ga[:-1])
+                                    | (gs[1:] != gs[:-1])))
+            gd, gs, ga = gd[fresh], gs[fresh], ga[fresh]
+            bnd = np.flatnonzero(np.concatenate((
+                [True], (gd[1:] != gd[:-1]) | (ga[1:] != ga[:-1]))))
+            sizes = np.diff(np.concatenate((bnd, [gd.size])))
+            full = sizes == n_slots  # deduped: <=1 entry per slot
+            pf_per_doc = np.bincount(gd[bnd[full]],
+                                     minlength=ndocs).astype(np.float64)
+            hit = pf_per_doc > 0
+            if not hit.any():
+                return
+            pf_arr = pf_per_doc[hit]
+            dl_arr = dl_all[hit]
+            dlq = quantized_doc_length(dl_arr) if quantize \
+                else dl_arr.astype(np.float64)
+            if model == "bm25":
+                sc = final_mult * idf * (k1 + 1) * pf_arr / (
+                    pf_arr + k1 * (1 - b + b * dlq / avgdl))
+            else:
+                nrm = (decoded_tf_idf_norm(dl_arr) if quantize
+                       else np.where(dl_arr > 0,
+                                     1.0 / np.sqrt(np.maximum(dl_arr, 1)),
+                                     0.0))
+                sc = final_mult * np.sqrt(pf_arr) * idf * idf * nrm
+            yield pd.DataFrame({"doc_id": duniq[hit].astype(np.int64),
+                                "score": sc})
+
+        n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
+        return (cand.repartition(n_parts, "doc_id")
+                .mapInPandas(score_partition, schema=out_schema))
+
+    def search_phrase_prefix(self, phrase: str, field: str | None = None,
+                             limit: int = 100,
+                             max_expansions: int = 1024) -> DataFrame:
+        """Lucene ``MultiPhraseQuery`` phrase-prefix top-k (API tier, like
+        the spans family): the ``"new yor*"`` autocomplete shape — every
+        analyzed token of ``phrase`` is an exact slot except the LAST,
+        which matches any index term starting with it. Raises like
+        BooleanQuery.TooManyClauses when the prefix expands past
+        ``max_expansions`` dictionary terms.
+
+        Scale shape: the expansion is ONE pushed-prefix dictionary scan
+        collecting <= max_expansions + 1 rows driver-side (the audited
+        bounded-collect pattern shared with fuzzy); scoring reuses the
+        phrase pipeline — pruned postings scan over the expanded term set,
+        one repartition(doc_id), one vectorized kernel."""
+        field = field or self.parser.default_field
+        from xltsearch_spark.analyzers import analyze_text
+        toks = analyze_text(phrase, self.config.analyzer)
+        if len(toks) < 2:
+            raise ValueError("phrase prefix needs at least two analyzed "
+                             "tokens (exact slots + the prefix)")
+        lead, (pref, poff) = toks[:-1], toks[-1]
+        rows = (self.dictionary
+                .filter((F.col("field") == field)
+                        & F.col("term").startswith(pref))
+                .select("term").distinct().sort("term")
+                .limit(max_expansions + 1).collect())
+        if len(rows) > max_expansions:
+            raise ValueError(
+                f"prefix '{pref}*' expands past max_expansions="
+                f"{max_expansions} (BooleanQuery.TooManyClauses analog)")
+        ast = MultiPhraseQuery(field, tuple(lead), pref, int(poff),
+                               tuple(r["term"] for r in rows))
+        scored = self._score_ast(ast)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     def _eval_boolean_flat(self, node: BooleanQuery, decoded, mult, tfidf_qn):
         """Fast path for booleans whose clauses are all simple leaves

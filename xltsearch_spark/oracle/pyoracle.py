@@ -37,7 +37,8 @@ from xltsearch_spark.config import IndexConfig
 from xltsearch_spark.functions.norms import quantized_doc_length, decoded_tf_idf_norm
 from xltsearch_spark.functions.phrase import phrase_freq
 from xltsearch_spark.plans.parser import (
-    BooleanQuery, DisMaxQuery, MatchAllQuery, MUST, MUST_NOT, PhraseQuery,
+    BooleanQuery, DisMaxQuery, MatchAllQuery, MultiPhraseQuery, MUST,
+    MUST_NOT, PhraseQuery,
     QueryParser, SHOULD, SpanFirstQuery, SpanNearQuery, SpanNotQuery,
     SpanOrQuery, TermQuery,
 )
@@ -214,6 +215,8 @@ class OracleIndex:
             return self._span_or_scores(node, mult, tfidf_qn=None)
         if isinstance(node, SpanNotQuery):
             return self._span_not_scores(node, mult, tfidf_qn=None)
+        if isinstance(node, MultiPhraseQuery):
+            return self._multi_phrase_scores(node, mult, tfidf_qn=None)
         raise TypeError(type(node).__name__)
 
     # ---------------------------- TF-IDF -----------------------------------
@@ -259,6 +262,8 @@ class OracleIndex:
             return self._span_or_scores(node, mult, tfidf_qn=qn)
         if isinstance(node, SpanNotQuery):
             return self._span_not_scores(node, mult, tfidf_qn=qn)
+        if isinstance(node, MultiPhraseQuery):
+            return self._multi_phrase_scores(node, mult, tfidf_qn=qn)
         raise TypeError(type(node).__name__)
 
     def _span_first_scores(self, node: SpanFirstQuery, mult: float,
@@ -366,6 +371,65 @@ class OracleIndex:
                else self._tfidf_idf(len(p_inc)))
         return self._span_sim(node.field, sfs, idf, mult, node.boost,
                               tfidf_qn)
+
+    def _multi_phrase_scores(self, node: MultiPhraseQuery, mult: float,
+                             tfidf_qn: float | None) -> dict[int, float]:
+        """MultiPhraseQuery phrase-prefix: exact slots plus one expanded
+        slot; phraseFreq counts anchors where every slot matches, duplicate
+        expansion hits at one position collapse; idf sums every slot
+        term's idf (MultiPhraseWeight allTermStats)."""
+        slots = ([({t}, o) for t, o in node.terms]
+                 + [(set(node.expansions), node.prefix_offset)])
+        if not node.expansions:
+            return {}
+        idf = 0.0
+        idf_of = self._bm25_idf if tfidf_qn is None else self._tfidf_idf
+        for t, _ in node.terms:
+            idf += idf_of(len(self.postings.get((node.field, t), {})))
+        for t in node.expansions:
+            idf += idf_of(len(self.postings.get((node.field, t), {})))
+        # per-slot doc -> deduped anchor set
+        slot_anchors: list[dict[int, np.ndarray]] = []
+        for ts, off in slots:
+            merged: dict[int, list] = {}
+            for t in ts:
+                for d, pos in self.postings.get((node.field, t), {}).items():
+                    merged.setdefault(d, []).append(pos.astype(np.int64) - off)
+            slot_anchors.append({d: (np.unique(np.concatenate(a))
+                                     if len(a) > 1 else np.unique(a[0]))
+                                 for d, a in merged.items()})
+        docs = set(slot_anchors[0])
+        for sa in slot_anchors[1:]:
+            docs &= set(sa)
+        sfs: dict[int, float] = {}
+        for d in docs:
+            base = slot_anchors[0][d]
+            for sa in slot_anchors[1:]:
+                base = np.intersect1d(base, sa[d], assume_unique=True)
+                if base.size == 0:
+                    break
+            if base.size:
+                sfs[d] = float(base.size)
+        return self._span_sim(node.field, sfs, idf, mult, node.boost,
+                              tfidf_qn)
+
+    def search_phrase_prefix(self, phrase: str, field: str | None = None,
+                             limit: int = 100,
+                             max_expansions: int = 1024) -> list[dict]:
+        """MultiPhraseQuery phrase-prefix: last analyzed token expands
+        against the vocabulary, the rest are exact slots."""
+        from xltsearch_spark.analyzers import analyze_text
+        toks = analyze_text(phrase, self.config.analyzer)
+        if len(toks) < 2:
+            raise ValueError("phrase prefix needs at least two analyzed "
+                             "tokens (exact slots + the prefix)")
+        f = field or "content"
+        lead, (pref, poff) = toks[:-1], toks[-1]
+        exp = tuple(t for t in self.vocab.get(f, ()) if t.startswith(pref))
+        if len(exp) > max_expansions:
+            raise ValueError("too many expansions")
+        return self._rank_node(
+            MultiPhraseQuery(f, tuple(lead), pref, int(poff), exp), limit)
 
     def _rank_node(self, node, limit: int) -> list[dict]:
         """Score an API-tier AST node under the configured similarity and

@@ -177,6 +177,27 @@ class SpanNotQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Lucene ``MultiPhraseQuery`` (API-level, phrase-prefix form — the
+    ``"new yor*"`` autocomplete shape): exact-phrase slots from ``terms``
+    (analyzed (term, offset) pairs, stop gaps honored) plus ONE expanded
+    slot at ``prefix_offset`` matched by ANY of ``expansions`` (the
+    dictionary terms starting with the queried prefix, resolved at rewrite
+    time like FuzzyQuery's expansion). phraseFreq counts anchor positions
+    where every slot matches — duplicate expansion hits at one position
+    collapse to one match, exactly like ExactPhraseScorer over Lucene's
+    UnionDocsAndPositionsEnum. idf sums over ALL terms in ALL slots
+    (MultiPhraseWeight builds its SimWeight from allTermStats), so wide
+    expansions weigh more, matching Lucene."""
+    field: str
+    terms: tuple[tuple[str, int], ...]   # exact slots: (term, offset)
+    prefix: str
+    prefix_offset: int
+    expansions: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisMaxQuery:
     """Lucene ``DisjunctionMaxQuery`` (API-level, like msm — the classic
     QP has no syntax for it): a doc matching any clause scores

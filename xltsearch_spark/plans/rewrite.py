@@ -18,7 +18,8 @@ import re
 from dataclasses import dataclass
 
 from xltsearch_spark.plans.parser import (
-    BooleanQuery, DisMaxQuery, FuzzyQuery, MatchAllQuery, PhraseQuery, PrefixQuery,
+    BooleanQuery, DisMaxQuery, FuzzyQuery, MatchAllQuery, MultiPhraseQuery,
+    PhraseQuery, PrefixQuery,
     SpanFirstQuery, SpanNearQuery, SpanNotQuery, SpanOrQuery,
     RangeQuery, RegexpQuery, SHOULD, TermQuery, WildcardQuery,
 )
@@ -183,8 +184,8 @@ def collect_terms(ast) -> list[tuple[str, str]]:
 
 
 def needs_positions(ast) -> bool:
-    if isinstance(ast, (PhraseQuery, SpanFirstQuery, SpanNearQuery,
-                        SpanNotQuery)):
+    if isinstance(ast, (PhraseQuery, MultiPhraseQuery, SpanFirstQuery,
+                        SpanNearQuery, SpanNotQuery)):
         return True
     if isinstance(ast, BooleanQuery):
         return any(needs_positions(sub) for _, sub in ast.clauses)

@@ -12,6 +12,7 @@ import math
 import numpy as np
 
 from xltsearch_spark.plans.parser import (BooleanQuery, DisMaxQuery, MatchAllQuery, MUST_NOT,
+                                          MultiPhraseQuery,
                                           PhraseQuery, SpanFirstQuery,
                                           SpanNearQuery, SpanNotQuery,
                                           SpanOrQuery, TermQuery)
@@ -44,6 +45,12 @@ def tfidf_sum_sq_weights(node, mult: float, idf_of) -> float:
         return (idf_of(node.field, node.term) * node.boost * mult) ** 2
     if isinstance(node, PhraseQuery):
         idf = sum(idf_of(node.field, t) for t, _ in node.terms)
+        return (idf * node.boost * mult) ** 2
+    if isinstance(node, MultiPhraseQuery):
+        # MultiPhraseWeight: SimWeight over allTermStats — every exact-slot
+        # term plus every expanded term contributes its idf
+        idf = (sum(idf_of(node.field, t) for t, _ in node.terms)
+               + sum(idf_of(node.field, t) for t in node.expansions))
         return (idf * node.boost * mult) ** 2
     if isinstance(node, (ConstScoreTerms, MatchAllQuery)):
         return (node.boost * mult) ** 2
