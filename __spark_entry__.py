@@ -477,6 +477,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("score"), F.asc("doc_id")))
     q["ft_phrase_prefix"] = ft_phrase_prefix
 
+    def ft_search_after(s, d):
+        """IndexSearcher.searchAfter deep pagination: page 2 (ranks 21-40)
+        of 'merge OR vector'. The cursor is page 1's rank-20 row — scores
+        round @4 and map to src ids BEFORE any cut, so the cursor position
+        is float-implementation-proof; the page cut is a map-only cursor
+        filter + TakeOrderedAndProject (never a 2k collector). The
+        cursor fetch is a bounded 20-row driver collect."""
+        from xltsearch_spark.operators.search import paginate_after
+        engine = _get_engine(s, d)
+        hits = (engine.score_all("merge OR vector")
+                .withColumn("score", F.round("score", 4))
+                .join(_orig_ids(engine), "doc_id")
+                .select(F.col("src_doc_id").alias("doc_id"), "score"))
+        cursor = (hits.orderBy(F.desc("score"), F.asc("doc_id"))
+                  .limit(20).collect())[-1]
+        return (paginate_after(hits, float(cursor["score"]),
+                               int(cursor["doc_id"]), 20)
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+    q["ft_search_after"] = ft_search_after
+
     def ft_span_near(s, d):
         """SpanNearQuery([merge, vector], slop=3, inOrder): each 'vector'
         occurrence pairs with its closest preceding 'merge'; gap <= 3
@@ -1515,7 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_by_field", "sample_weighted", "text_bigram_lm",
         "dedup_cross_corpus", "eval_retrieval", "ft_dismax", "ft_span_first",
         "ft_span_near", "ft_span_or", "ft_span_not", "ft_collapse",
-        "ft_phrase_prefix",
+        "ft_phrase_prefix", "ft_search_after",
         "dedup_canonical", "decontaminate_fuzzy",
         "dsir_weights", "curate_domains", "text_ppl_buckets", "bpe_merges",
         "dedup_semantic", "text_gopher_quality", "ft_merge", "ft_regexp",
@@ -1529,12 +1549,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk", "dedup_embedding_cosine",
         "ann_cosine_ivf", "ann_cosine_lsh",
     ]
-    # 51 front (every r5-new entry incl. the spans family, dismax,
-    # collapse, phrase-prefix, canonical dedup, fuzzy decontamination,
-    # plus the r3-stale ann/events/multimodal); the LAST front entry
-    # (ann_cosine_lsh, green in r2 AND r3) deliberately spills to index 50
-    # — one slot short, and a stale-but-verified row is the cheapest
-    # sacrifice. DELIBERATELY outside (all green in r4 or earlier this
+    # 52 front (every r5-new entry incl. the spans family, dismax,
+    # collapse, phrase-prefix, searchAfter, canonical dedup, fuzzy
+    # decontamination, plus the r3-stale ann/events/multimodal); the last
+    # two front entries (ann_cosine_ivf, ann_cosine_lsh — both green in
+    # r2 AND r3) deliberately spill past index 49: two slots short, and
+    # stale-but-verified rows are the cheapest sacrifice. DELIBERATELY outside (all green in r4 or earlier this
     # round, rotate forward next round): the remaining ft_* family,
     # dedup_*, parse_*, text/sampling/packing. Invariant (pinned by
     # tests/test_entry_rotation.py): every entry without ANY prior driver
@@ -2558,6 +2578,18 @@ def oracle_sql() -> dict[str, str]:
                  / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS score
     FROM pf JOIN dl ON pf.doc_id = dl.doc_id CROSS JOIN idfs CROSS JOIN st
     ORDER BY score DESC, pf.doc_id"""
+
+    # searchAfter: page 2 = ranks 21-40 of the rounded (score desc,
+    # doc_id asc) total order — exact because doc_id makes the order total
+    o["ft_search_after"] = f"""WITH {_TOK_CTE},
+    h AS (SELECT doc_id, round(sum(score), 4) AS score
+          FROM ({_bm25_sql('merge')} UNION ALL {_bm25_sql('vector')})
+          GROUP BY doc_id),
+    r AS (SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+          FROM h)
+    SELECT doc_id, score FROM r WHERE rk > 20 AND rk <= 40
+    ORDER BY score DESC, doc_id"""
 
     # SpanOr: frequency = summed clause tf (union of unit spans), summed
     # clause idf, BM25 over the combined frequency

@@ -289,6 +289,15 @@ def main(out_path: str | None = None) -> int:
                      "TakeOrderedAndProject.",
                      explain_str(eng.search_phrase_prefix("alpha bet",
                                                           limit=10))))
+    sections.append(("search_after('alpha OR beta', cursor, k=10): "
+                     "cursor-filter pagination",
+                     "Expected (r5 searchAfter): the cursor predicate is a "
+                     "map-only Filter fused into the scoring plan — no "
+                     "page_number*k collector, no global sort; the cut "
+                     "stays TakeOrderedAndProject at every page depth.",
+                     explain_str(eng.search_after("alpha OR beta", 0.5, 3,
+                                                  limit=10),
+                                 mode="simple")))
     sections.append(("search_collapsed('graded', lang, 2, k=10): "
                      "WindowGroupLimit field collapsing",
                      "Expected (r5 grouping module): the per-group rank cut "

@@ -1056,3 +1056,26 @@ def test_phrase_prefix_tfidf_and_exact_degeneration(spark, tiny_corpus):
         assert set(pp) == set(ph)
         for d, sc in pp.items():
             assert sc == pytest.approx(ph[d], rel=1e-6)
+
+
+def test_search_after_pagination(bm25_setup):
+    """IndexSearcher.searchAfter: engine page 2 == pyoracle page 2; pages
+    are disjoint and page1+page2 == top-2k; an off-ranking cursor (score
+    below every hit) yields an empty page."""
+    engine, oracle, _ = bm25_setup
+    k = 15
+    top2k = [(h["doc_id"], h["score"])
+             for h in oracle.search("common_token OR graded", limit=2 * k)]
+    page1 = top2k[:k]
+    cur_s, cur_d = page1[-1][1], page1[-1][0]
+    exp2 = [(h["doc_id"], h["score"]) for h in
+            oracle.search_after("common_token OR graded", cur_s, cur_d, k)]
+    got2 = [(int(r["doc_id"]), float(r["score"])) for r in
+            engine.search_after("common_token OR graded", cur_s, cur_d,
+                                k).collect()]
+    assert [g[0] for g in got2] == [e[0] for e in exp2]
+    for g, e in zip(got2, exp2):
+        assert g[1] == pytest.approx(e[1], rel=1e-6)
+    assert not ({d for d, _ in page1} & {d for d, _ in got2})
+    assert [g[0] for g in got2] == [d for d, _ in top2k[k:]]
+    assert engine.search_after("common_token", -1.0, 0, 5).count() == 0

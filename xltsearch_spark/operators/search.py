@@ -124,6 +124,24 @@ def collapse_top_groups(hits: DataFrame, group_col: str, group_limit: int,
             .orderBy(F.desc(score_col), F.asc(id_col)).limit(limit))
 
 
+def paginate_after(hits: DataFrame, after_score: float, after_doc_id: int,
+                   limit: int, score_col: str = "score",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Lucene ``IndexSearcher.searchAfter(ScoreDoc after, ...)`` cursor
+    cut over a scored hit frame: the next ``limit`` hits STRICTLY after
+    the (``score_col`` desc, ``id_col`` asc) position of the cursor —
+    deep pagination without a page_number*k collector.
+
+    Scale shape: the cursor predicate is a map-only filter fused into the
+    scoring plan (paging to page 10^6 of a 10^9-hit set still ships only
+    ``limit`` rows per partition), the cut is TakeOrderedAndProject."""
+    cond = ((F.col(score_col) < F.lit(float(after_score)))
+            | ((F.col(score_col) == F.lit(float(after_score)))
+               & (F.col(id_col) > F.lit(int(after_doc_id)))))
+    return (hits.filter(cond)
+            .orderBy(F.desc(score_col), F.asc(id_col)).limit(limit))
+
+
 class SearchEngine:
     def __init__(self, spark: SparkSession, postings: DataFrame, docs: DataFrame,
                  dictionary: DataFrame, stats: BuildStats,
@@ -1435,6 +1453,16 @@ class SearchEngine:
                                                 F.round("score", 4))
         joined = hits.join(self.docs.select("doc_id", group_field), "doc_id")
         return collapse_top_groups(joined, group_field, group_limit, limit)
+
+    def search_after(self, query: str, after_score: float,
+                     after_doc_id: int, limit: int = 100) -> DataFrame:
+        """Lucene ``IndexSearcher.searchAfter`` (4.6 API): the next
+        ``limit`` (doc_id, score) hits strictly after the cursor in
+        (score desc, doc_id asc) order — the raw-score semantics; pass
+        the cursor back exactly as returned, like a ScoreDoc. Tombstoned
+        docs are excluded like every scoring path."""
+        scored = self.score_all(query)
+        return paginate_after(scored, after_score, after_doc_id, limit)
 
     def _span_score_kernel(self, rows: DataFrame, field: str, idf: float,
                            final_mult: float) -> DataFrame:

@@ -431,6 +431,16 @@ class OracleIndex:
         return self._rank_node(
             MultiPhraseQuery(f, tuple(lead), pref, int(poff), exp), limit)
 
+    def search_after(self, query: str, after_score: float,
+                     after_doc_id: int, limit: int = 100) -> list[dict]:
+        """IndexSearcher.searchAfter: next ``limit`` hits strictly after
+        the cursor in (score desc, doc_id asc) order."""
+        hits = self.search(query, limit=1 << 30)
+        out = [h for h in hits
+               if h["score"] < after_score
+               or (h["score"] == after_score and h["doc_id"] > after_doc_id)]
+        return out[:limit]
+
     def _rank_node(self, node, limit: int) -> list[dict]:
         """Score an API-tier AST node under the configured similarity and
         return ranked hits (the shared tail of the search_span_* APIs)."""
