@@ -172,6 +172,8 @@ def main() -> int:
             "common_token", "lang", 2, 100).collect(),
         "q_phrase_prefix": lambda: fixture_engine.search_phrase_prefix(
             "alpha bet", limit=100).collect(),
+        "q_search_after": lambda: fixture_engine.search_after(
+            "alpha OR beta", 0.5, 3, limit=100).collect(),
     }
     for name, fn in r5_ops.items():
         fn()  # warm
