@@ -89,14 +89,18 @@ def main(out_path: str | None = None) -> int:
                      "(before any levenshtein evaluation), final top-50 is "
                      "TakeOrderedAndProject.", explain_str(exp)))
 
-    # 2) search_many: per-query TakeOrdered branches, no global window sort
-    #    over the full match set
+    # 2) search_many: flat queries share ONE doc-keyed aggregate + struct
+    #    explode; the rank filter is WindowGroupLimit (bounded per-group
+    #    heaps), never a full sort of the match set
     many = eng.search_many({"q1": "graded", "q2": "alpha OR beta"}, limit=10,
                            materialize=False)
-    sections.append(("search_many (2 queries, k=10): per-query TakeOrdered union",
-                     "Expected: one TakeOrderedAndProject PER QUERY branch "
-                     "feeding a Union; the only Window/Sort operates on the "
-                     "<= Q*k unioned rows, never the raw match set.",
+    sections.append(("search_many (2 flat queries, k=10): single-pass agg + "
+                     "WindowGroupLimit",
+                     "Expected: ONE HashAggregate(doc_id) with shared "
+                     "per-clause conditional sums feeding a Generate "
+                     "(explode of per-query structs); the rank cut is "
+                     "WindowGroupLimit — the raw match set is never "
+                     "globally sorted.",
                      explain_str(many, mode="simple")))
 
     # 2b) WAND with exact stats: the block skip is a PUSHED parquet filter;

@@ -43,7 +43,6 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
                                StringType, StructField, StructType)
@@ -124,9 +123,21 @@ def assign_doc_ids(df: DataFrame, key_cols=("repo", "path"), id_base: int = 0,
     """Deterministic dense doc_id in key sort order, without a global window.
 
     Range-partition + sort, persist (pins the sampled range bounds), count
-    per partition (tiny collect), then add the per-partition offset inside a
-    mapInPandas — the scalable equivalent of sort + zipWithIndex. A single
-    ``row_number()`` window would serialize on one task at 10^12 rows.
+    per partition (tiny collect), then doc_id = per-partition offset +
+    within-partition row number — the scalable equivalent of sort +
+    zipWithIndex. A single ``row_number()`` window would serialize on one
+    task at 10^12 rows.
+
+    The id arithmetic is PURE JVM: ``monotonically_increasing_id`` packs
+    the within-partition record number in its low 33 bits (documented
+    layout), and the per-partition offsets ride a literal array indexed by
+    ``spark_partition_id`` (O(1) ``element_at``; n_parts longs in the
+    plan). The previous implementation did the same arithmetic inside a
+    ``mapInPandas``, which round-tripped the ENTIRE corpus — content
+    columns included — through Arrow to a Python worker and back just to
+    add one int64 column; at 100 TB that is the whole input crossing the
+    JVM/Python boundary twice for no computation (guide §4: eliminate the
+    boundary when built-ins exist).
 
     The input is persisted across the two jobs range partitioning implies
     (boundary sampling + the shuffle): without it the child plan — at this
@@ -152,25 +163,21 @@ def assign_doc_ids(df: DataFrame, key_cols=("repo", "path"), id_base: int = 0,
         # release a cache THIS function created — a caller's own persist
         # must survive the call
         df.unpersist()
-    offsets = {}
+    offsets = []
     acc = id_base
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for pid in range(max(counts, default=-1) + 1):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
     if out_count is not None:
         out_count.append(acc - id_base)  # total rows: saves a later count job
-    out_schema = StructType(sorted_df.schema.fields + [StructField("doc_id", LongType())])
-
-    def add_ids(it):
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
-            base += len(pdf)
-            yield pdf
-
-    return sorted_df.mapInPandas(add_ids, schema=out_schema)
+    if not offsets:
+        offsets = [id_base]
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    row_in_part = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1))
+    doc_id = (F.element_at(off_arr, F.spark_partition_id() + 1)
+              + row_in_part).cast("long")
+    return sorted_df.withColumn("doc_id", doc_id)
 
 
 @dataclass

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
+from xltsearch_spark.operators._parallel import ensure_min_parallelism
+
 # deterministic 64-bit mixing constants (splitmix64, public domain algorithm)
 _MERSENNE = (1 << 61) - 1
 
@@ -163,7 +165,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
                 sigs.append(vals.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "sig": sigs})
 
-    return df.select("doc_id", text_col).mapInPandas(compute, schema=schema)
+    inp = ensure_min_parallelism(df.select("doc_id", text_col), "doc_id")
+    return inp.mapInPandas(compute, schema=schema)
 
 
 def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
@@ -438,8 +441,12 @@ def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 
     ids = (pairs.select(F.col("a").alias("doc_id"))
            .unionByName(pairs.select(F.col("b").alias("doc_id"))).distinct())
-    ex = (df.join(ids, "doc_id", "left_semi")
-          .select("doc_id", text_col).mapInPandas(shingles, schema=schema))
+    # the semi-join is usually a broadcast (ids side is small), which keeps
+    # the scan's partitioning — floor the parallelism before the Python
+    # shingle pass like the other emitters
+    ex = (ensure_min_parallelism(df.join(ids, "doc_id", "left_semi")
+                                 .select("doc_id", text_col), "doc_id")
+          .mapInPandas(shingles, schema=schema))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ex_a = ex.select(F.col("doc_id").alias("a"), "shingle")
     ex_b = ex.select(F.col("doc_id").alias("b"), "shingle")
@@ -492,7 +499,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
                                 "simhash": sh})
 
-    return df.select("doc_id", text_col).mapInPandas(compute, schema=schema)
+    inp = ensure_min_parallelism(df.select("doc_id", text_col), "doc_id")
+    return inp.mapInPandas(compute, schema=schema)
 
 
 def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3, bands: int | None = None,
@@ -579,7 +587,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                 np.zeros(0, np.int64)
             yield pd.DataFrame({"doc_id": ids, "shingle": vals})
 
-    ex = df.select("doc_id", text_col).mapInPandas(shingles, schema=schema)
+    ex = ensure_min_parallelism(df.select("doc_id", text_col), "doc_id") \
+        .mapInPandas(shingles, schema=schema)
     if max_shingle_df is not None:
         keep = (ex.groupBy("shingle").agg(F.count("*").alias("sdf"))
                 .filter(F.col("sdf") <= max_shingle_df).drop("sdf"))

@@ -227,6 +227,19 @@ class SearchEngine:
         self.fuzzy_driver_cap = 10_000
         self._last_fuzzy_distributed = False   # introspection for tests
         self._last_wand_tau_source: str | None = None
+        # scan-task coalescing for exact-term queries: when the postings
+        # frame is the builder's (field, bucket)-hash layout (partition
+        # count <= term_buckets), ALL rows for a query's terms live in at
+        # most |touched (field, bucket) pairs| partitions — the remaining
+        # tasks of the decode stage are empty Python round-trips (~10 ms
+        # each of pure protocol overhead). Coalescing the filtered scan to
+        # the touched-pair count drops those empty tasks without losing
+        # any real parallelism. Parquet-backed frames with more splits
+        # than buckets (a big segment) skip this automatically — there a
+        # hot bucket spans many row-groups and coalescing would serialize
+        # its decode.
+        self.scan_coalesce_enabled = True
+        self._postings_nparts: int | None = None
         from xltsearch_spark.operators.build import KEYWORD_FIELDS
         self.parser = QueryParser(self.config.analyzer, keyword_fields=KEYWORD_FIELDS)
 
@@ -436,8 +449,9 @@ class SearchEngine:
                     (F.col("block_max_score") == m)
                 probe_cond = c if probe_cond is None else (probe_cond | c)
             probe_scores = self._wand_score(
-                self.postings.filter(cond).filter(probe_cond), idf_map,
-                boost, limit, qn=qn, n_scoring=n_scoring)
+                self._scan_coalesce(
+                    self.postings.filter(cond).filter(probe_cond), terms, []),
+                idf_map, boost, limit, qn=qn, n_scoring=n_scoring)
             rows = probe_scores.orderBy(F.desc("score"), F.asc("doc_id")) \
                                .limit(limit).collect()
             if len(rows) == limit:
@@ -486,7 +500,8 @@ class SearchEngine:
                 prune = c if prune is None else (prune | c)
             scan = scan.filter(prune)
         self._last_wand_scan = scan
-        out = self._wand_score(scan, idf_map, boost, limit, qn=qn,
+        out = self._wand_score(self._scan_coalesce(scan, terms, []),
+                               idf_map, boost, limit, qn=qn,
                                n_scoring=n_scoring)
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit), idf_map
 
@@ -499,6 +514,18 @@ class SearchEngine:
         equals distinct matched terms (a doc sits in exactly one block per
         term), computed in the SAME aggregate."""
         decoded = self._decode_blocks(blocks, idf_map, with_positions=False)
+        if len(boost) == 1:
+            # single term: every doc contributes exactly ONE decoded row, so
+            # the per-doc aggregate is the identity — skip the groupBy
+            # exchange entirely (one less shuffle + one less job per query).
+            # DefaultSimilarity folds qn and coord = 1/n_scoring statically.
+            w = next(iter(boost.values()))
+            if self.config.scoring_model == "bm25":
+                mult = w
+            else:
+                mult = w * qn / float(n_scoring or 1)
+            return decoded.select(
+                "doc_id", (F.col("score") * F.lit(mult)).alias("score"))
         if len(set(boost.values())) == 1:
             w = next(iter(boost.values()))
             weighted = decoded.withColumn("score", F.col("score") * F.lit(w))
@@ -524,26 +551,31 @@ class SearchEngine:
         """Evaluate MANY queries against ONE shared postings scan.
 
         Returns (query_id, doc_id, score, rank<=limit). All queries' terms
-        are collected into a single pruned scan + decode; each query's plan
-        then filters the shared decoded frame, so the expensive part
-        (IO + varint decode + scoring kernels) is paid once per batch
-        instead of once per query. This is the amortized path for query
-        workloads — per-query driver latency in local mode is dominated by
-        job scheduling, which this collapses to one job.
+        are collected into a single pruned scan + decode. Queries whose AST
+        is a term / flat boolean of simple leaves — the overwhelming batch
+        workload — are then scored in ONE pass: a single doc-keyed
+        aggregate computes every distinct clause's conditional sum/match
+        flag (the exact expressions ``_eval_boolean_flat`` uses, shared
+        across queries that touch the same term), one projection explodes
+        per-query (score, gate) structs, and ONE window ranks everything.
+        The whole flat batch is 2 shuffles + 1 Python decode stage instead
+        of a job per query.
 
-        Top-k shape: each query's branch is its own ``orderBy().limit()``
-        (Spark's TakeOrderedAndProject — a distributed bounded heap), NOT a
-        global window over the full match set: a hot term matching 10^8 docs
-        stays O(k) per query instead of a full per-partition sort+shuffle.
-        The rank column is computed afterwards over the <= |queries| * k
-        surviving rows. The union is materialized eagerly (localCheckpoint)
-        so the shared decoded cache can be released before returning.
+        Top-k shape: the rank filter plans as WindowGroupLimit (per-group
+        bounded heaps) — a hot term matching 10^8 docs stays O(k) per query
+        in every partition, never a full sort of the match set.
 
-        CACHE CONTRACT for ``materialize=False`` (lazy plan for tests/plan
-        audits): the shared decoded frame stays persisted — the caller must
-        either trigger an action and then release it via
-        ``spark.catalog.clearCache()``, or accept the pinned cache for the
-        session; repeated lazy calls accumulate pinned data."""
+        Queries the flat path cannot express (phrase, spans, dismax,
+        match-all, nested booleans) fall back to the per-query branch path
+        over the SAME shared decoded frame (persisted only in that case;
+        with ``materialize=True`` those branches are checkpointed so the
+        cache releases before returning).
+
+        CACHE CONTRACT for ``materialize=False`` with non-flat queries
+        (lazy plan for tests/plan audits): the shared decoded frame stays
+        persisted — the caller must either trigger an action and then
+        release it via ``spark.catalog.clearCache()``, or accept the
+        pinned cache for the session."""
         from pyspark.sql.window import Window
         parsed = {qid: self._rewrite(self.parser.parse(q)) for qid, q in queries.items()}
         all_terms, all_preds = set(), []
@@ -554,32 +586,151 @@ class SearchEngine:
         terms = sorted(all_terms)
         idf_map = self._doc_freqs(terms)
         any_pos = any(needs_positions(a) for a in parsed.values())
-        decoded = self._decode_postings(terms, all_preds, idf_map, any_pos).persist()
-        if materialize:
-            # fill the cache with ONE dedicated job before the per-query
-            # branches reference it: concurrent top-k stages racing an
-            # unmaterialized cache can each recompute the shared scan+decode
-            decoded.count()
-        out = None
-        for qid, ast in parsed.items():
+
+        def qn_of(ast):
             if self.config.scoring_model == "bm25":
-                scored = self._eval(ast, decoded, 1.0, idf_map, tfidf_qn=None)
-            else:
-                ssw = scoring.tfidf_sum_sq_weights(
-                    ast, 1.0, lambda f, t: scoring.tfidf_idf(
-                        self.stats.n_docs, idf_map.get((f, t), 0)))
-                scored = self._eval(ast, decoded, 1.0, idf_map,
-                                    tfidf_qn=scoring.query_norm(ssw))
+                return None
+            ssw = scoring.tfidf_sum_sq_weights(
+                ast, 1.0, lambda f, t: scoring.tfidf_idf(
+                    self.stats.n_docs, idf_map.get((f, t), 0)))
+            return scoring.query_norm(ssw)
+
+        flat = {qid: ast for qid, ast in parsed.items()
+                if self._flat_query_clauses(ast) is not None}
+        general = {qid: ast for qid, ast in parsed.items() if qid not in flat}
+        decoded = self._decode_postings(terms, all_preds, idf_map, any_pos)
+        if general:
+            decoded = decoded.persist()
+            if materialize:
+                # fill the cache with ONE dedicated job before the branches
+                # reference it: concurrent top-k stages racing an
+                # unmaterialized cache can each recompute the scan+decode
+                decoded.count()
+        out = None
+        if flat:
+            out = self._filter_tombstones(
+                self._eval_many_flat(flat, decoded, qn_of))
+        gen_out = None
+        for qid, ast in general.items():
+            scored = self._eval(ast, decoded, 1.0, idf_map,
+                                tfidf_qn=qn_of(ast))
             scored = self._filter_tombstones(scored)
             topk = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
                     .select(F.lit(qid).alias("query_id"), "doc_id", "score"))
-            out = topk if out is None else out.unionByName(topk)
-        if materialize:  # False = return the lazy plan (tests/plan audits)
-            out = out.localCheckpoint(eager=True)  # one job; <= Q*k rows pinned
-            decoded.unpersist()
+            gen_out = topk if gen_out is None else gen_out.unionByName(topk)
+        if gen_out is not None:
+            if materialize:  # False = lazy plan (tests/plan audits)
+                gen_out = gen_out.localCheckpoint(eager=True)  # <= Q*k rows
+                decoded.unpersist()
+            out = gen_out if out is None else out.unionByName(gen_out)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (out.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= limit))
+
+    def _flat_query_clauses(self, ast):
+        """[(occ, leaf)] when ``ast`` is a term / simple leaf / flat boolean
+        of simple leaves (the single-pass batch shape); None otherwise."""
+        if isinstance(ast, (TermQuery, ConstScoreTerms, ConstScorePred)):
+            return [(SHOULD, ast)]
+        if isinstance(ast, BooleanQuery) and all(
+                isinstance(sub, (TermQuery, ConstScoreTerms, ConstScorePred))
+                for _, sub in ast.clauses):
+            return list(ast.clauses)
+        return None
+
+    def _eval_many_flat(self, flat: dict, decoded: DataFrame,
+                        qn_of) -> DataFrame:
+        """Single-pass scorer for a batch of flat queries: one shared
+        doc-keyed aggregate (distinct clause conditions become shared agg
+        columns — float-identical to ``_eval_boolean_flat``'s per-clause
+        conditional sums), then a per-query (score, gate) struct explode.
+        Returns (query_id, doc_id, score) FULL hit sets; the caller's
+        WindowGroupLimit rank filter does the k-cut."""
+        # shared agg columns keyed by the leaf's scan condition
+        agg_keys: dict = {}   # key -> (s_alias | None, m_alias)
+        aggs = []
+
+        def col_key(sub):
+            if isinstance(sub, TermQuery):
+                return ("t", sub.field, sub.term)
+            if isinstance(sub, ConstScoreTerms):
+                return ("ct", sub.field, tuple(sub.terms))
+            return ("cp", sub.field, sub.kind, sub.payload)
+
+        def cond_of(sub):
+            if isinstance(sub, TermQuery):
+                return (F.col("field") == sub.field) & \
+                    (F.col("term") == sub.term)
+            if isinstance(sub, ConstScoreTerms):
+                return ((F.col("field") == sub.field) &
+                        F.col("term").isin(list(sub.terms))) \
+                    if sub.terms else F.lit(False)
+            return (F.col("field") == sub.field) & sub.term_cond()
+
+        for ast in flat.values():
+            for _, sub in self._flat_query_clauses(ast):
+                k = col_key(sub)
+                if k in agg_keys:
+                    continue
+                i = len(agg_keys)
+                cond = cond_of(sub)
+                s_alias = None
+                if isinstance(sub, TermQuery):
+                    s_alias = f"s{i}"
+                    aggs.append(F.sum(F.when(cond, F.col("score"))
+                                      .otherwise(0.0)).alias(s_alias))
+                m_alias = f"m{i}"
+                aggs.append(F.max(F.when(cond, 1).otherwise(0)).alias(m_alias))
+                agg_keys[k] = (s_alias, m_alias)
+
+        agg = decoded.groupBy("doc_id").agg(*aggs)
+        structs = []
+        for qid, ast in flat.items():
+            clauses = self._flat_query_clauses(ast)
+            bq_boost = ast.boost if isinstance(ast, BooleanQuery) else 1.0
+            msm = ast.msm if isinstance(ast, BooleanQuery) else 0
+            qn = qn_of(ast) or 1.0
+            score = F.lit(0.0)
+            gate = F.lit(True)
+            n_must = 0
+            scoring_m, should_m = [], []
+            for occ, sub in clauses:
+                s_alias, m_alias = agg_keys[col_key(sub)]
+                hit = F.col(m_alias) == 1
+                if occ == MUST_NOT:
+                    gate &= ~hit
+                    continue
+                w = bq_boost * sub.boost * qn if isinstance(ast, BooleanQuery) \
+                    else sub.boost * qn
+                if occ == MUST:
+                    n_must += 1
+                    gate &= hit
+                scoring_m.append(m_alias)
+                if occ == SHOULD:
+                    should_m.append(m_alias)
+                contrib = (F.col(s_alias) * F.lit(w)) if s_alias is not None \
+                    else F.when(hit, F.lit(w)).otherwise(0.0)
+                score = score + contrib
+            if not scoring_m or (msm > 0 and msm > len(should_m)):
+                continue  # Lucene: no scoring clause / msm > optionals -> no hits
+            if msm > 0:
+                gate &= sum(F.col(m) for m in should_m) >= msm
+            if n_must == 0:
+                gate &= sum(F.col(m) for m in scoring_m) >= 1
+            if self.config.scoring_model != "bm25":
+                overlap = sum(F.col(m) for m in scoring_m)
+                score = score * overlap / F.lit(float(len(scoring_m)))
+            structs.append(F.struct(F.lit(qid).alias("query_id"),
+                                    score.alias("score"),
+                                    gate.alias("gate")))
+        if not structs:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double")
+        ex = agg.select("doc_id",
+                        F.explode(F.array(*structs)).alias("_q"))
+        return (ex.filter(F.col("_q.gate"))
+                .select(F.col("_q.query_id").alias("query_id"), "doc_id",
+                        F.col("_q.score").alias("score")))
 
     def hit_count(self, query: str, limit: int | None = None) -> tuple[int, str]:
         """(total matching docs, status message).
@@ -670,7 +821,16 @@ class SearchEngine:
             qn = scoring.query_norm(
                 scoring.tfidf_sum_sq_weights(ast, 1.0, idf_of))
 
-        scored = self._score_ast(ast, idf_map)
+        # ONE decode serves both the scorer and the per-clause join: the
+        # query's decoded rows are small (bounded by the terms' postings),
+        # so an eager localCheckpoint materializes them once instead of
+        # running the scan + Python decode stage twice (halves the Python
+        # stages and jobs of every explain() call)
+        decoded = self._decode_postings(terms, [], idf_map, False) \
+            .localCheckpoint(eager=True)
+        scored = self._filter_tombstones(self._eval(
+            ast, decoded, 1.0, idf_map,
+            tfidf_qn=None if model == "bm25" else qn))
         if doc_ids is not None:
             hits = scored.filter(F.col("doc_id").isin([int(i) for i in
                                                        doc_ids]))
@@ -684,7 +844,6 @@ class SearchEngine:
         meta_df = self.spark.createDataFrame(
             meta, "field string, term string, df long, idf double, "
                   "weight double")
-        decoded = self._decode_postings(terms, [], idf_map, False)
         j = (decoded.join(F.broadcast(hits.withColumnRenamed("score", "_total")),
                           "doc_id")
              .join(F.broadcast(meta_df), ["field", "term"]))
@@ -1173,6 +1332,27 @@ class SearchEngine:
             cond = c if cond is None else (cond | c)
         return cond if cond is not None else F.lit(False)
 
+    def _scan_coalesce(self, scan: DataFrame, terms, preds) -> DataFrame:
+        """Coalesce an exact-term pruned scan to the touched-bucket count
+        (see __init__: only when the frame is the (field, bucket)-hash
+        layout; predicate scans keep full parallelism — their match volume
+        is unknown and may span every bucket)."""
+        if not self.scan_coalesce_enabled or preds or not terms:
+            return scan
+        if self._postings_nparts is None:
+            try:
+                self._postings_nparts = self.postings.rdd.getNumPartitions()
+            except Exception:
+                self._postings_nparts = -1
+        nparts = self._postings_nparts
+        if nparts < 1 or nparts > self.config.term_buckets:
+            return scan
+        touched = {(f, int(term_bucket(np.array([t], dtype=object),
+                                       self.config.term_buckets)[0]))
+                   for f, t in terms}
+        k = min(nparts, max(1, len(touched)))
+        return scan.coalesce(k) if k < nparts else scan
+
     def _decode_postings(self, terms, preds, idf_map, with_positions: bool,
                          extra_cond=None) -> DataFrame:
         """One scan + mapInPandas decode of all query-term blocks.
@@ -1184,6 +1364,7 @@ class SearchEngine:
         if extra_cond is not None:
             scan = scan.filter(extra_cond)
         self._last_scan = scan  # plan-audit hook
+        scan = self._scan_coalesce(scan, terms, preds)
         return self._decode_blocks(scan, idf_map, with_positions)
 
     def _decode_blocks(self, scan: DataFrame, idf_map, with_positions: bool) -> DataFrame:

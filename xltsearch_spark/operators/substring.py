@@ -45,6 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from xltsearch_spark.operators._parallel import ensure_min_parallelism
+
 # ASCII unit separator: joins window tokens so token-boundary ambiguity
 # ("a b"+"c" vs "a"+"b c") cannot collide two different windows
 _SEP = "\x1f"
@@ -60,7 +62,7 @@ def _window_hits(docs: DataFrame, min_len: int, text_col: str,
     grams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - n + 1),
         lambda i: F.array_join(F.slice("toks", i, n), _SEP))
-    out = (docs
+    out = (ensure_min_parallelism(docs, id_col)
            .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
            .filter(F.size("toks") >= n)
            .select("doc_id", F.posexplode(grams).alias("pos", "w")))
