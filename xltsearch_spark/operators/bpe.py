@@ -118,19 +118,114 @@ def bpe_merges_df(df: DataFrame, n_merges: int,
         rows, "merge_rank long, left string, right string, pair_count long")
 
 
+def _encode_word(word: str, sym_merges: dict, cache: dict) -> list[str]:
+    """Encode ONE word by applying merges in rank order (greedy leftmost
+    non-overlapping per merge) — semantics identical to chaining
+    ``_merge_expr`` per rank, but only merges that can actually fire are
+    visited: candidates enter a rank-ordered heap when both their sides
+    exist in the word's current symbol set. A candidate popped with rank
+    below the last applied rank is skipped (sequentially it was a no-op at
+    its own turn), and pop-time membership re-checks reproduce the exact
+    sequential state. O(applied + candidates) instead of O(n_merges) per
+    word."""
+    import heapq
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    present = set(syms)
+    heap: list = []
+    pushed = set()
+
+    def add_candidates(sym):
+        for item in sym_merges.get(sym, ()):
+            rank, l, r = item
+            if rank not in pushed and l in present and r in present:
+                pushed.add(rank)
+                heapq.heappush(heap, item)
+
+    for s in set(syms):
+        add_candidates(s)
+    max_rank = -1
+    while heap:
+        rank, l, r = heapq.heappop(heap)
+        if rank < max_rank or l not in present or r not in present:
+            continue  # stale: was a no-op at its sequential turn
+        max_rank = rank
+        fused = l + r
+        out = []
+        i, n, applied = 0, len(syms), False
+        while i < n:
+            if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(fused)
+                i += 2
+                applied = True
+            else:
+                out.append(syms[i])
+                i += 1
+        if applied:
+            syms = out
+            present = set(syms)
+            add_candidates(fused)
+    cache[word] = syms
+    return syms
+
+
 def apply_merges(df: DataFrame, merges: list[tuple[int, str, str, int]],
-                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 expr_max_merges: int = 64) -> DataFrame:
     """Segment documents with a learned merge list: (doc_id, pieces).
 
-    Applies merges in rank order — the deploy-side BPE encoder. The whole
-    chain is ONE map-only composed expression (no shuffle, no Python):
-    tokenization at 100 TB is embarrassingly parallel once the merge
-    table (a driver-side list, <= vocab-budget entries) is compiled in."""
+    Applies merges in rank order — the deploy-side BPE encoder. Up to
+    ``expr_max_merges`` merges the whole chain is ONE map-only composed
+    expression (no shuffle, no Python). Past that the nested folds would
+    blow analyzer/codegen limits long before data size matters (one
+    ``F.aggregate`` per merge, nested ``n_merges`` deep — a production
+    30k-merge vocabulary is thousands of times over the limit), so the
+    encoder switches to the same merges as a driver-side list riding the
+    task closure into an Arrow-batched encoder: per batch, distinct words
+    are encoded ONCE through a rank-heap that visits only merges whose
+    sides exist in the word (exactly the sequential rank-order semantics
+    — see ``_encode_word``), then mapped back. Still map-only, no
+    shuffle; plan size is O(1) in the merge count."""
     toks = tokens_expr(F.col(text_col))
-    def encode(word):
-        syms = F.split(word, "")
-        for _, l, r, _ in sorted(merges):
-            syms = _merge_expr(syms, l, r)
-        return syms
-    return df.select(F.col(id_col).alias("doc_id"),
-                     F.flatten(F.transform(toks, encode)).alias("pieces"))
+    ordered = [(rank, l, r) for rank, l, r, _ in sorted(merges)]
+    if len(ordered) <= expr_max_merges:
+        def encode(word):
+            syms = F.split(word, "")
+            for _, l, r in ordered:
+                syms = _merge_expr(syms, l, r)
+            return syms
+        return df.select(F.col(id_col).alias("doc_id"),
+                         F.flatten(F.transform(toks, encode)).alias("pieces"))
+
+    import re
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+    # tokenizer parity with tokens_expr: Java \w is ASCII — re.ASCII matches
+    tok_re = re.compile(r"[^\w']+", re.ASCII)
+    sym_merges: dict[str, list] = {}
+    for rank, l, r in ordered:
+        sym_merges.setdefault(l, []).append((rank, l, r))
+        if r != l:
+            sym_merges.setdefault(r, []).append((rank, l, r))
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("pieces", ArrayType(StringType()))])
+
+    def encode_batches(it):
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            texts = pdf[text_col].fillna("").str.lower()
+            pieces = []
+            for t in texts:
+                words = [w for w in tok_re.split(t) if w]
+                row: list[str] = []
+                for w in words:
+                    row.extend(_encode_word(w, sym_merges, cache))
+                pieces.append(row)
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"),
+                                "pieces": pieces})
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches,
+                                                   schema=schema)

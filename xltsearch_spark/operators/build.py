@@ -699,7 +699,10 @@ class IndexBuilder:
         return docs.mapInPandas(udf, schema=RUN_SCHEMA)
 
     def dictionary_stage(self, runs: DataFrame) -> DataFrame:
-        return (runs.filter(F.col("term").isNotNull())
+        # explicit projection before the exchange (guide §2.3): the binary
+        # posting payloads must never ride the dictionary shuffle
+        return (runs.select("field", "term", "bucket", "n_docs", "sum_tf")
+                .filter(F.col("term").isNotNull())
                 .groupBy("field", "term")
                 .agg(F.first("bucket").alias("bucket"),
                      F.sum("n_docs").cast("long").alias("doc_freq"),

@@ -153,17 +153,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", num_hashes: int = 
                          StructField("sig", ArrayType(LongType()))])
 
     def compute(it):
+        M = np.uint64(_MERSENNE)
         for pdf in it:
             shingles = _shingle_hashes(pdf[text_col], shingle_n)
-            sigs = []
-            for sh in shingles:
-                if sh.size == 0:
-                    sigs.append(np.full(num_hashes, _MERSENNE, dtype=np.int64).tolist())
-                    continue
-                # (H, S) permutation values mod mersenne prime, min over shingles
-                vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "sig": sigs})
+            nrows = len(shingles)
+            lens = np.fromiter((s.size for s in shingles), dtype=np.int64,
+                               count=nrows)
+            sig_mat = np.full((nrows, num_hashes), _MERSENNE, dtype=np.int64)
+            nz = lens > 0
+            if nz.any():
+                # batch-vectorized: ONE flat array of every doc's shingles,
+                # then per hash function a whole-array permute + segmented
+                # min (reduceat at doc offsets) — no per-doc Python loop.
+                # uint64 multiply wraps mod 2^64 exactly like the old
+                # per-doc expression, so signatures are bit-identical.
+                flat = np.concatenate([s for s in shingles if s.size])
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens[nz])[:-1]))
+                for h in range(num_hashes):
+                    vals = (a[h] * flat + b[h]) % M
+                    sig_mat[nz, h] = np.minimum.reduceat(vals, starts) \
+                        .astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"),
+                                "sig": sig_mat.tolist()})
 
     inp = ensure_min_parallelism(df.select("doc_id", text_col), "doc_id")
     return inp.mapInPandas(compute, schema=schema)

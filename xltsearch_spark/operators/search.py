@@ -1999,8 +1999,12 @@ class SearchEngine:
                 sc = final_mult * np.sqrt(pf_arr) * idf * idf * nrm
             yield pd.DataFrame({"doc_id": duniq[hit].astype(np.int64), "score": sc})
 
-        n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
-        return (cand.repartition(n_parts, "doc_id")
+        # keyed repartition WITHOUT an explicit partition count: an explicit
+        # N is exempt from AQE coalescing, so a small candidate set would
+        # pay N mostly-empty Python tasks; letting AQE size it collapses
+        # tiny phrase shuffles to one task and leaves big ones at
+        # spark.sql.shuffle.partitions
+        return (cand.repartition("doc_id")
                 .mapInPandas(score_partition, schema=out_schema))
 
     def _eval_multi_phrase(self, node: MultiPhraseQuery, decoded, mult,
@@ -2116,8 +2120,8 @@ class SearchEngine:
             yield pd.DataFrame({"doc_id": duniq[hit].astype(np.int64),
                                 "score": sc})
 
-        n_parts = max(self.spark.sparkContext.defaultParallelism, 8)
-        return (cand.repartition(n_parts, "doc_id")
+        # AQE-coalescible keyed repartition — same rationale as _eval_phrase
+        return (cand.repartition("doc_id")
                 .mapInPandas(score_partition, schema=out_schema))
 
     def search_phrase_prefix(self, phrase: str, field: str | None = None,
