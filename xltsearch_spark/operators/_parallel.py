@@ -21,20 +21,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# break-even for spreading map-side text work: the Python passes cost
+# roughly 0.5 s per MB of text per core (measured: shingle+minhash over the
+# 0.6 MB sf0.1 documents table ~0.3 s), while the repartition costs one
+# small shuffle plus wider Python task dispatch (~0.3-0.5 s of fixed
+# overhead per downstream stage). Below a few MB per partition the shuffle
+# never pays for itself — keep the input's own layout.
+MIN_BYTES_PER_PARTITION = 4 << 20
+
+_UNKNOWN_STATS = 1 << 60  # Catalyst returns defaultSizeInBytes when unknown
+
+
 def ensure_min_parallelism(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Repartition ``df`` up to ``sparkContext.defaultParallelism`` when its
-    plan yields fewer partitions. Hash-partitions on ``key_col`` when given
-    (deterministic), round-robin otherwise. No-op for streaming frames and
-    for inputs that are already parallel enough."""
+    plan yields fewer partitions AND each partition carries enough bytes
+    for the spread to beat the shuffle (MIN_BYTES_PER_PARTITION).
+    Hash-partitions on ``key_col`` when given (deterministic), round-robin
+    otherwise. No-op for streaming frames, for inputs that are already
+    parallel enough, and for small inputs where per-stage overhead
+    dominates."""
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
         cur = df.rdd.getNumPartitions()
+        if cur >= target:
+            return df
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
     except Exception:  # pragma: no cover - defensive (exotic plans)
         return df
-    if cur >= target:
+    if size >= _UNKNOWN_STATS or size // max(cur, 1) < MIN_BYTES_PER_PARTITION:
         return df
     if key_col is not None and key_col in df.columns:
         return df.repartition(target, key_col)

@@ -456,9 +456,14 @@ def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     # the semi-join is usually a broadcast (ids side is small), which keeps
     # the scan's partitioning — floor the parallelism before the Python
     # shingle pass like the other emitters
+    # explicit repartition on the shingle key: the two join probes AND the
+    # size aggregate all consume the SAME exchange (ReusedExchange), so the
+    # Python shingle emitter runs ONCE instead of once per consumer (the
+    # substring operator's measured pattern)
     ex = (ensure_min_parallelism(df.join(ids, "doc_id", "left_semi")
                                  .select("doc_id", text_col), "doc_id")
-          .mapInPandas(shingles, schema=schema))
+          .mapInPandas(shingles, schema=schema)
+          .repartition("shingle"))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ex_a = ex.select(F.col("doc_id").alias("a"), "shingle")
     ex_b = ex.select(F.col("doc_id").alias("b"), "shingle")
@@ -599,8 +604,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                 np.zeros(0, np.int64)
             yield pd.DataFrame({"doc_id": ids, "shingle": vals})
 
+    # one exchange on the shingle key feeds the df-cap filter, both join
+    # probes and the size aggregate — the emitter runs once (see
+    # pair_exact_jaccard / substring for the measured pattern)
     ex = ensure_min_parallelism(df.select("doc_id", text_col), "doc_id") \
-        .mapInPandas(shingles, schema=schema)
+        .mapInPandas(shingles, schema=schema).repartition("shingle")
     if max_shingle_df is not None:
         keep = (ex.groupBy("shingle").agg(F.count("*").alias("sdf"))
                 .filter(F.col("sdf") <= max_shingle_df).drop("sdf"))

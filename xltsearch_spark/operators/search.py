@@ -1540,13 +1540,23 @@ class SearchEngine:
         positions (posIncr=0 subtokens) are NOT predecessors (strict <).
         idf is the summed clause idf, like a phrase (SpanWeight builds its
         SimWeight from all clause term statistics)."""
-        c1 = (decoded.filter((F.col("field") == node.field) &
-                             (F.col("term") == node.first))
-              .select("doc_id", F.col("positions").alias("pos_a")))
-        c2 = (decoded.filter((F.col("field") == node.field) &
-                             (F.col("term") == node.second))
-              .select("doc_id", F.col("positions").alias("pos_b"), "dl"))
-        cand = c1.join(c2, "doc_id")
+        # ONE conditional aggregate instead of a self-join of two filtered
+        # branches: the branches would each recompute the shared
+        # scan+decode subtree (two Python stages) and pay two join
+        # exchanges; a doc has exactly one decoded row per term, so
+        # max(when(term == t, positions)) reconstructs the join's row with
+        # a single decode pass + a single exchange. Inner-join semantics =
+        # both sides non-null.
+        agg = (decoded.filter((F.col("field") == node.field) &
+                              F.col("term").isin([node.first, node.second]))
+               .groupBy("doc_id")
+               .agg(F.max(F.when(F.col("term") == node.first,
+                                 F.col("positions"))).alias("pos_a"),
+                    F.max(F.when(F.col("term") == node.second,
+                                 F.col("positions"))).alias("pos_b"),
+                    F.max("dl").alias("dl")))
+        cand = agg.filter(F.col("pos_a").isNotNull()
+                          & F.col("pos_b").isNotNull())
         cfg = self.config
         n_docs = self.stats.n_docs
         avgdl = self.stats.avgdl.get(node.field, 1.0) or 1.0
@@ -1719,13 +1729,20 @@ class SearchEngine:
         statistics only. LEFT join (docs without the exclude term keep
         every span), then one batch-vectorized window count — the same
         offset-lifted global searchsorted as span_near."""
-        inc = (decoded.filter((F.col("field") == node.field) &
-                              (F.col("term") == node.include))
-               .select("doc_id", F.col("positions").alias("pos_i"), "dl"))
-        exc = (decoded.filter((F.col("field") == node.field) &
-                              (F.col("term") == node.exclude))
-               .select("doc_id", F.col("positions").alias("pos_e")))
-        cand = inc.join(exc, "doc_id", "left")
+        # single conditional aggregate replaces the LEFT join of two
+        # filtered branches (same rationale as _eval_span_near: one decode
+        # pass, one exchange); left-join semantics = include side non-null,
+        # exclude side may stay NULL
+        agg = (decoded.filter((F.col("field") == node.field) &
+                              F.col("term").isin([node.include, node.exclude]))
+               .groupBy("doc_id")
+               .agg(F.max(F.when(F.col("term") == node.include,
+                                 F.col("positions"))).alias("pos_i"),
+                    F.max(F.when(F.col("term") == node.exclude,
+                                 F.col("positions"))).alias("pos_e"),
+                    F.max(F.when(F.col("term") == node.include,
+                                 F.col("dl"))).alias("dl")))
+        cand = agg.filter(F.col("pos_i").isNotNull())
         cfg = self.config
         n_docs = self.stats.n_docs
         df_i = idf_map.get((node.field, node.include), 0)
