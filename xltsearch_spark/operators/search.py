@@ -225,6 +225,9 @@ class SearchEngine:
         # — but a short query term over a 10^8-term dictionary can defeat
         # the prefilter, so the collect is hard-capped here.
         self.fuzzy_driver_cap = 10_000
+        # prefix -> expansion terms, immutable per index generation (same
+        # contract as _df_cache/_meta_cache; cleared by clear_stats_cache)
+        self._prefix_cache: dict[tuple[str, str, int], list[str]] = {}
         self._last_fuzzy_distributed = False   # introspection for tests
         self._last_wand_tau_source: str | None = None
         # scan-task coalescing for exact-term queries: when the postings
@@ -1189,6 +1192,7 @@ class SearchEngine:
         self._df_cache.clear()
         self._meta_cache.clear()
         self._range_cache.clear()
+        self._prefix_cache.clear()
 
     # ---------------- conjunction (rarest-first) block pruning -------------
     def _block_ranges(self, field: str, term: str,
@@ -2163,17 +2167,22 @@ class SearchEngine:
             raise ValueError("phrase prefix needs at least two analyzed "
                              "tokens (exact slots + the prefix)")
         lead, (pref, poff) = toks[:-1], toks[-1]
-        rows = (self.dictionary
-                .filter((F.col("field") == field)
-                        & F.col("term").startswith(pref))
-                .select("term").distinct().sort("term")
-                .limit(max_expansions + 1).collect())
-        if len(rows) > max_expansions:
+        ck = (field, pref, max_expansions)
+        expansions = self._prefix_cache.get(ck)
+        if expansions is None:
+            rows = (self.dictionary
+                    .filter((F.col("field") == field)
+                            & F.col("term").startswith(pref))
+                    .select("term").distinct().sort("term")
+                    .limit(max_expansions + 1).collect())
+            expansions = [r["term"] for r in rows]
+            self._prefix_cache[ck] = expansions
+        if len(expansions) > max_expansions:
             raise ValueError(
                 f"prefix '{pref}*' expands past max_expansions="
                 f"{max_expansions} (BooleanQuery.TooManyClauses analog)")
         ast = MultiPhraseQuery(field, tuple(lead), pref, int(poff),
-                               tuple(r["term"] for r in rows))
+                               tuple(expansions))
         scored = self._score_ast(ast)
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
