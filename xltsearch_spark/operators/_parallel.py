@@ -21,27 +21,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-# break-even for spreading map-side text work: the Python passes cost
-# roughly 0.5 s per MB of text per core (measured: shingle+minhash over the
-# 0.6 MB sf0.1 documents table ~0.3 s), while the repartition costs one
-# small shuffle plus wider Python task dispatch (~0.3-0.5 s of fixed
-# overhead per downstream stage). Below a few MB per partition the shuffle
-# never pays for itself — keep the input's own layout.
-MIN_BYTES_PER_PARTITION = 4 << 20
+# break-even for spreading map-side text work, by downstream cost class:
+# the Python passes (shingle hashing, signatures, 20-token window
+# emission) cost roughly 0.5 s per MB of text per core (measured:
+# shingle+minhash over the 0.6 MB sf0.1 documents table ~0.3 s), while the
+# repartition costs one small shuffle plus wider task dispatch
+# (~0.3-0.5 s of fixed overhead per downstream stage) — break-even a few
+# MB per partition. Codegen'd JVM projections (quality/language/gopher
+# regex structs) run ~20x cheaper per byte (measured: 15 MB single-task
+# in ~0.3 s), so their break-even is an order of magnitude higher.
+MIN_BYTES_PER_PARTITION = 4 << 20        # Python-rate map work
+JVM_MIN_BYTES_PER_PARTITION = 64 << 20   # codegen'd JVM map work
 
 _UNKNOWN_STATS = 1 << 60  # Catalyst returns defaultSizeInBytes when unknown
 
 
-def ensure_min_parallelism(df: DataFrame, key_col: str | None = None) -> DataFrame:
+def ensure_min_parallelism(df: DataFrame, key_col: str | None = None,
+                           min_bytes: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``sparkContext.defaultParallelism`` when its
     plan yields fewer partitions AND each partition carries enough bytes
-    for the spread to beat the shuffle (MIN_BYTES_PER_PARTITION).
-    Hash-partitions on ``key_col`` when given (deterministic), round-robin
-    otherwise. No-op for streaming frames, for inputs that are already
-    parallel enough, and for small inputs where per-stage overhead
-    dominates."""
+    for the spread to beat the shuffle (``min_bytes``, default
+    MIN_BYTES_PER_PARTITION — pass JVM_MIN_BYTES_PER_PARTITION for
+    codegen'd map work). Hash-partitions on ``key_col`` when given
+    (deterministic), round-robin otherwise. No-op for streaming frames,
+    for inputs that are already parallel enough, and for small inputs
+    where per-stage overhead dominates."""
     if df.isStreaming:
         return df
+    if min_bytes is None:
+        min_bytes = MIN_BYTES_PER_PARTITION
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -52,7 +60,7 @@ def ensure_min_parallelism(df: DataFrame, key_col: str | None = None) -> DataFra
                    .stats().sizeInBytes())
     except Exception:  # pragma: no cover - defensive (exotic plans)
         return df
-    if size >= _UNKNOWN_STATS or size // max(cur, 1) < MIN_BYTES_PER_PARTITION:
+    if size >= _UNKNOWN_STATS or size // max(cur, 1) < min_bytes:
         return df
     if key_col is not None and key_col in df.columns:
         return df.repartition(target, key_col)

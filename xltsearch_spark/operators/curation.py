@@ -69,8 +69,11 @@ def pre_verdict(docs: DataFrame, benchmark: DataFrame | None = None, *,
     watermarked event-time column alive this way).
     """
     weights = split_weights or {"train": 0.8, "val": 0.1, "test": 0.1}
-    from xltsearch_spark.operators._parallel import ensure_min_parallelism
-    docs = ensure_min_parallelism(docs, id_col)  # no-op on streams
+    from xltsearch_spark.operators._parallel import (
+        JVM_MIN_BYTES_PER_PARTITION, ensure_min_parallelism)
+    # no-op on streams; JVM threshold — the verdict struct is codegen'd
+    docs = ensure_min_parallelism(docs, id_col,
+                                  min_bytes=JVM_MIN_BYTES_PER_PARTITION)
     text, did = F.col(text_col), F.col(id_col)
     base = docs.select(did.alias("doc_id"), text.alias("_text"),
                        quality_struct(text).alias("_q"),

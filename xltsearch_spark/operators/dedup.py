@@ -459,9 +459,13 @@ def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     # explicit repartition on the shingle key: the two join probes AND the
     # size aggregate all consume the SAME exchange (ReusedExchange), so the
     # Python shingle emitter runs ONCE instead of once per consumer (the
-    # substring operator's measured pattern)
+    # substring operator's measured pattern). The parallelism floor uses a
+    # HIGH threshold here: the emitter already feeds a repartition, and
+    # measured small-input walls double when an extra upstream shuffle is
+    # added — only spread genuinely large single-split inputs.
     ex = (ensure_min_parallelism(df.join(ids, "doc_id", "left_semi")
-                                 .select("doc_id", text_col), "doc_id")
+                                 .select("doc_id", text_col), "doc_id",
+                                 min_bytes=8 << 20)
           .mapInPandas(shingles, schema=schema)
           .repartition("shingle"))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -606,8 +610,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
     # one exchange on the shingle key feeds the df-cap filter, both join
     # probes and the size aggregate — the emitter runs once (see
-    # pair_exact_jaccard / substring for the measured pattern)
-    ex = ensure_min_parallelism(df.select("doc_id", text_col), "doc_id") \
+    # pair_exact_jaccard / substring for the measured pattern). High floor
+    # threshold for the same reason as pair_exact_jaccard: the shingle
+    # repartition already spreads downstream work; an extra upstream
+    # shuffle measurably doubles small-input walls (2.0 s vs 0.97 s at
+    # sf0.1) and only pays on large single-split inputs.
+    ex = ensure_min_parallelism(df.select("doc_id", text_col), "doc_id",
+                                min_bytes=8 << 20) \
         .mapInPandas(shingles, schema=schema).repartition("shingle")
     if max_shingle_df is not None:
         keep = (ex.groupBy("shingle").agg(F.count("*").alias("sdf"))

@@ -47,6 +47,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from xltsearch_spark.operators._parallel import ensure_min_parallelism
 
+# window emission is the heaviest JVM map work in the repo (~n tokens
+# joined into a string PER POSITION): measured 2.2x from spreading a
+# 5.7 MB / 2-partition input (5.5-6.9 s -> 2.6-2.8 s), neutral at 0.6 MB —
+# so the floor engages from ~1 MB per partition
+_WINDOW_MIN_BYTES = 1 << 20
+
 # ASCII unit separator: joins window tokens so token-boundary ambiguity
 # ("a b"+"c" vs "a"+"b c") cannot collide two different windows
 _SEP = "\x1f"
@@ -62,7 +68,7 @@ def _window_hits(docs: DataFrame, min_len: int, text_col: str,
     grams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - n + 1),
         lambda i: F.array_join(F.slice("toks", i, n), _SEP))
-    out = (ensure_min_parallelism(docs, id_col)
+    out = (ensure_min_parallelism(docs, id_col, min_bytes=_WINDOW_MIN_BYTES)
            .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
            .filter(F.size("toks") >= n)
            .select("doc_id", F.posexplode(grams).alias("pos", "w")))

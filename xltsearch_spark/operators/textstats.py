@@ -13,7 +13,8 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 from xltsearch_spark.analyzers import ENGLISH_STOP_WORDS
-from xltsearch_spark.operators._parallel import ensure_min_parallelism
+from xltsearch_spark.operators._parallel import (
+    JVM_MIN_BYTES_PER_PARTITION, ensure_min_parallelism)
 
 # tiny per-language marker lexicons (deterministic heuristic language-ID;
 # real models would be a broadcast lookup or an Arrow UDF over a fastText
@@ -79,7 +80,8 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     doc length, mean word length, stopword ratio, punctuation density,
     alpha ratio, repetition (distinct/total tokens)."""
     q = quality_struct(F.col(text_col))
-    return ensure_min_parallelism(df, "doc_id").select(
+    return ensure_min_parallelism(df, "doc_id",
+                           min_bytes=JVM_MIN_BYTES_PER_PARTITION).select(
         "doc_id",
         *[q[f].alias(f) for f in
           ("n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio",
@@ -106,7 +108,8 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, lang_score): argmax of marker-word hit ratios.
     Deterministic tie-break on language code."""
     lg = lang_struct(F.col(text_col))
-    return ensure_min_parallelism(df, "doc_id").select(
+    return ensure_min_parallelism(df, "doc_id",
+                           min_bytes=JVM_MIN_BYTES_PER_PARTITION).select(
         "doc_id", lg["pred_lang"].alias("pred_lang"),
         lg["lang_score"].alias("lang_score"))
 
@@ -340,7 +343,8 @@ def gopher_struct(text_col: Column) -> Column:
 
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, <gopher signals + flags>) — unpacked `gopher_struct`."""
-    return (ensure_min_parallelism(df, "doc_id")
+    return (ensure_min_parallelism(df, "doc_id",
+                           min_bytes=JVM_MIN_BYTES_PER_PARTITION)
             .withColumn("_g", gopher_struct(F.col(text_col)))
             .select("doc_id", "_g.*"))
 
