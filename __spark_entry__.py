@@ -548,7 +548,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "lang")
         return (collapse_top_groups(hits.join(docs, "doc_id"), "lang", 2, 50)
                 .select("doc_id", "lang", "score",
-                        F.col("grp_rank").cast("long").alias("grp_rank")))
+                        F.col("grp_rank").cast("long").alias("grp_rank"))
+                # explicit terminal ordering: identical rows either way
+                # (collapse_top_groups already emits this order), but the
+                # contract must not rest on Spark collapsing the
+                # projection into TakeOrderedAndProject (ADVICE r5 #3)
+                .orderBy(F.desc("score"), F.asc("doc_id")))
     q["ft_collapse"] = ft_collapse
 
     def ft_facets(s, d):

@@ -1655,7 +1655,17 @@ class SearchEngine:
         ``limit`` (doc_id, score) hits strictly after the cursor in
         (score desc, doc_id asc) order — the raw-score semantics; pass
         the cursor back exactly as returned, like a ScoreDoc. Tombstoned
-        docs are excluded like every scoring path."""
+        docs are excluded like every scoring path.
+
+        CURSOR CONTRACT (ADVICE r5 #2): the cursor comparison is float
+        equality on raw scores, and for multi-clause queries Spark's
+        per-doc float sum order is not guaranteed identical across jobs —
+        so cursors must come from the SAME score frame the page reads
+        (this method over the same engine/index generation), or from a
+        frame rounded consistently on both sides (the _ft entries round
+        @4 before the cut for exactly this reason). A cursor score
+        recomputed elsewhere can drift a ulp and drop/duplicate the
+        boundary row."""
         scored = self.score_all(query)
         return paginate_after(scored, after_score, after_doc_id, limit)
 

@@ -464,7 +464,13 @@ class OracleIndex:
         if group_limit < 1:
             raise ValueError("group_limit must be >= 1")
         hits = self.search(query, limit=1 << 30)
-        vals = self.docs[group_field].fillna("")
+        # group on the RAW value: the engine's Window.partitionBy keeps
+        # NULL as its own partition distinct from '' — fillna('') here
+        # would merge the two on corpora containing both (ADVICE r5 #1).
+        # Missing values normalize to the None singleton so the group
+        # dict keys behave (NaN is identity-hashed and != itself).
+        col = self.docs[group_field]
+        vals = col.astype(object).where(col.notna(), None)
         ranked: list[tuple] = []
         per_group: dict = {}
         rows = sorted(((round(h["score"], 4), h["doc_id"]) for h in hits),

@@ -178,6 +178,9 @@ def collect_terms(ast) -> list[tuple[str, str]]:
         out.append((ast.field, ast.exclude))
     elif isinstance(ast, PhraseQuery):
         out.extend((ast.field, t) for t, _ in ast.terms)
+    elif isinstance(ast, MultiPhraseQuery):
+        out.extend((ast.field, t) for t, _ in ast.terms)
+        out.extend((ast.field, t) for t in ast.expansions)
     elif isinstance(ast, ConstScoreTerms):
         out.extend((ast.field, t) for t in ast.terms)
     return out
