@@ -29,6 +29,28 @@ from pyspark.sql.types import ArrayType, LongType, StringType, StructField, Stru
 
 from xltsearch_spark.operators._parallel import ensure_min_parallelism
 
+
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Eagerly pin a frame that multiple plan branches consume, so its
+    (expensive, Python) producer runs ONCE instead of once per branch —
+    e.g. minhash signatures feed the banded self-join AND both pair
+    attach probes: three full recomputes without this (measured 2.7 s
+    of a 7 s pipeline, twice). localCheckpoint stores MEMORY_AND_DISK on
+    executors (disk-backed, distributed — at 10^9 docs the signature
+    table is the same bytes the shuffle carries anyway) and is released
+    by the ContextCleaner when the frame is garbage collected. Skipped
+    when the caller already persisted the frame or it is already a
+    materialized checkpoint."""
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk or sl.useOffHeap:
+        return df
+    try:
+        if "LogicalRDD" in df._jdf.queryExecution().logical().nodeName():
+            return df  # already checkpointed
+    except Exception:  # pragma: no cover
+        pass
+    return df.localCheckpoint(eager=True)
+
 # deterministic 64-bit mixing constants (splitmix64, public domain algorithm)
 _MERSENNE = (1 << 61) - 1
 
@@ -196,6 +218,7 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16,
     near-identical boilerplate docs fills a bucket with all k of them.
     Capped clusters are better handled by exact_dedup_groups first (byte
     dups) or transitive closure over the surviving pair graph."""
+    sigs = _materialize_once(sigs)  # self-join branches share one compute
     banded = _band_keys(sigs, bands, rows_per_band)
     if max_bucket_size is not None:
         ok = (banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
@@ -232,8 +255,10 @@ def cross_corpus_candidates(new_sigs: DataFrame, ref_sigs: DataFrame,
     COMBINED bucket occupancy (a boilerplate bucket hot on either side
     explodes the join) — capped buckets are better handled by exact
     hash dedup first, same rationale as minhash_lsh_candidates."""
-    nb = _band_keys(new_sigs, bands, rows_per_band)
-    rb = _band_keys(ref_sigs, bands, rows_per_band)
+    # with a bucket cap each side is consumed by the occupancy union AND
+    # its own join probe — materialize so signatures compute once per side
+    nb = _band_keys(_materialize_once(new_sigs), bands, rows_per_band)
+    rb = _band_keys(_materialize_once(ref_sigs), bands, rows_per_band)
     if max_bucket_size is not None:
         ok = (nb.unionByName(rb).groupBy("band", "bucket")
               .agg(F.count("*").alias("bsz"))
@@ -288,6 +313,7 @@ def minhash_lsh_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4,
     jaccard >= threshold. Candidates come from the id-only banded join; the
     two signature re-attach joins shuffle only surviving pairs."""
     n = bands * rows_per_band
+    sigs = _materialize_once(sigs)  # banded join + both attach probes
     cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
@@ -546,6 +572,7 @@ def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3, bands: int | None =
     a hot bucket is boilerplate that exact verification would reject anyway.
     ``bands`` is the legacy alias for ``blocks``."""
     import itertools
+    fps = _materialize_once(fps)  # banded self-join + both hamming probes
     if blocks is None:
         blocks = bands if bands is not None else (6 if max_hamming < 6 else max_hamming + 1)
     r = max(blocks - max_hamming, 1)
