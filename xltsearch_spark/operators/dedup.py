@@ -362,6 +362,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     (count, hash-sum) signature repeating, i.e. both stars are fixpoints;
     raises past max_iter rather than silently returning split components.
     Exposes ``connected_components.last_rounds`` for tests/telemetry."""
+    # the pair plan (typically a full LSH + exact-verify pipeline) feeds
+    # nodes' two branches and the edge seed — pin it once up front
+    pairs = _materialize_once(pairs)
     nodes = (pairs.select(F.col("a").alias("node"))
              .unionByName(pairs.select(F.col("b").alias("node"))).distinct())
     e = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -477,6 +480,9 @@ def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                 np.zeros(0, np.int64)
             yield pd.DataFrame({"doc_id": ids, "shingle": vals})
 
+    # the candidate-pair plan (often a full banded LSH join) is consumed
+    # by ids' two branches AND the intersection join — pin it once
+    pairs = _materialize_once(pairs)
     ids = (pairs.select(F.col("a").alias("doc_id"))
            .unionByName(pairs.select(F.col("b").alias("doc_id"))).distinct())
     # the semi-join is usually a broadcast (ids side is small), which keeps
