@@ -208,6 +208,36 @@ def test_search_many_matches_single(bm25_setup):
             assert g[2] == pytest.approx(e[2], rel=1e-6), qid
 
 
+def test_search_many_flat_path_breadth(bm25_setup):
+    """The r6 single-pass flat batch scorer must agree with one-at-a-time
+    search across occurs (MUST/SHOULD/NOT), boosts, predicates
+    (prefix/range), and mixed flat + non-flat (phrase/span-shaped)
+    batches — incl. queries with zero hits."""
+    engine, oracle, _ = bm25_setup
+    batch = {
+        "t": "graded",
+        "must_not": "graded NOT alpha",
+        "plus_minus": "+graded -beta",
+        "boost": "graded^2 OR alpha",
+        "pred": "need* OR graded",
+        "range": "[needle_10 TO needle_20]",
+        "phrase": '"alpha beta"',
+        "none": "zzznotaterm",
+        "mixed": "common_token AND graded",
+    }
+    rows = engine.search_many(batch, limit=15).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"]))
+    for qid, q in batch.items():
+        exp = [(h["rank"], h["doc_id"], h["score"]) for h in oracle.search(q, 15)]
+        got = sorted(by_q.get(qid, []))
+        assert [g[:2] for g in got] == [e[:2] for e in exp], (qid, got[:4], exp[:4])
+        for g, e in zip(got, exp):
+            assert g[2] == pytest.approx(e[2], rel=1e-6), qid
+
+
 def test_wildcard_and_keyword_field_queries(bm25_setup):
     engine, oracle, _ = bm25_setup
     assert_rank_identical(engine, oracle,
