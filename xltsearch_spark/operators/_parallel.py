@@ -21,16 +21,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Eagerly pin a frame that multiple plan branches consume, so its
+    (expensive) producer runs ONCE instead of once per branch.
+
+    Exchange/stage reuse would normally deduplicate identical subtrees,
+    but a CACHED (persisted) input defeats it: under AQE the
+    InMemoryRelation consumers do not canonicalize equal, so every branch
+    above the cache re-executes the whole subtree (measured: a shingle
+    emitter with 4 consumers over a persisted corpus ran its Python pass
+    8x; an identical pipeline over an unpersisted scan reused the
+    exchange). Pinning with localCheckpoint makes the producer a
+    LogicalRDD, above which reuse works again — and downstream consumers
+    keep the checkpointed frame's output partitioning, so keyed
+    aggregates/joins over the pinned exchange add no new shuffle.
+
+    localCheckpoint stores MEMORY_AND_DISK on executors (disk-backed,
+    distributed — the same bytes the shuffle already carries) and is
+    released by the ContextCleaner when the frame is garbage collected.
+    Skipped when the caller already persisted the frame or it is already
+    a materialized checkpoint."""
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk or sl.useOffHeap:
+        return df
+    try:
+        if "LogicalRDD" in df._jdf.queryExecution().logical().nodeName():
+            return df  # already checkpointed
+    except Exception:  # pragma: no cover
+        pass
+    return df.localCheckpoint(eager=True)
+
+
 # break-even for spreading map-side text work, by downstream cost class:
 # the Python passes (shingle hashing, signatures, 20-token window
 # emission) cost roughly 0.5 s per MB of text per core (measured:
 # shingle+minhash over the 0.6 MB sf0.1 documents table ~0.3 s), while the
 # repartition costs one small shuffle plus wider task dispatch
-# (~0.3-0.5 s of fixed overhead per downstream stage) — break-even a few
-# MB per partition. Codegen'd JVM projections (quality/language/gopher
-# regex structs) run ~20x cheaper per byte (measured: 15 MB single-task
-# in ~0.3 s), so their break-even is an order of magnitude higher.
-MIN_BYTES_PER_PARTITION = 4 << 20        # Python-rate map work
+# (~0.3-0.5 s of fixed overhead per downstream stage) — break-even about
+# 1 MB of PLAN-STAT bytes per partition: Catalyst sizeInBytes for a
+# parquet/persisted text scan underestimates the in-flight text ~2x
+# (measured 7.3 MB stats for 15.3 MB of text), so 1 MB stats ~ 2 MB text
+# ~ 1 s of serialized Python — well past the spread cost. A/B at the 10x
+# table (3.6 MB stats/partition, 2 partitions): signatures 2.92->0.58 s,
+# simhash 1.76->0.57 s with the 1 MB floor; the sf0.1 table (0.71 MB
+# stats) stays a no-op. Codegen'd JVM projections
+# (quality/language/gopher regex structs) run ~20x cheaper per byte
+# (measured: 15 MB single-task in ~0.3 s), so their break-even is an
+# order of magnitude higher.
+MIN_BYTES_PER_PARTITION = 1 << 20        # Python-rate map work
 JVM_MIN_BYTES_PER_PARTITION = 64 << 20   # codegen'd JVM map work
 
 _UNKNOWN_STATS = 1 << 60  # Catalyst returns defaultSizeInBytes when unknown

@@ -27,29 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
-from xltsearch_spark.operators._parallel import ensure_min_parallelism
-
-
-def _materialize_once(df: DataFrame) -> DataFrame:
-    """Eagerly pin a frame that multiple plan branches consume, so its
-    (expensive, Python) producer runs ONCE instead of once per branch —
-    e.g. minhash signatures feed the banded self-join AND both pair
-    attach probes: three full recomputes without this (measured 2.7 s
-    of a 7 s pipeline, twice). localCheckpoint stores MEMORY_AND_DISK on
-    executors (disk-backed, distributed — at 10^9 docs the signature
-    table is the same bytes the shuffle carries anyway) and is released
-    by the ContextCleaner when the frame is garbage collected. Skipped
-    when the caller already persisted the frame or it is already a
-    materialized checkpoint."""
-    sl = df.storageLevel
-    if sl.useMemory or sl.useDisk or sl.useOffHeap:
-        return df
-    try:
-        if "LogicalRDD" in df._jdf.queryExecution().logical().nodeName():
-            return df  # already checkpointed
-    except Exception:  # pragma: no cover
-        pass
-    return df.localCheckpoint(eager=True)
+from xltsearch_spark.operators._parallel import (
+    ensure_min_parallelism, materialize_once as _materialize_once)
 
 # deterministic 64-bit mixing constants (splitmix64, public domain algorithm)
 _MERSENNE = (1 << 61) - 1
@@ -492,14 +471,22 @@ def pair_exact_jaccard(df: DataFrame, pairs: DataFrame, text_col: str = "text",
     # size aggregate all consume the SAME exchange (ReusedExchange), so the
     # Python shingle emitter runs ONCE instead of once per consumer (the
     # substring operator's measured pattern). The parallelism floor uses a
-    # HIGH threshold here: the emitter already feeds a repartition, and
+    # RAISED threshold here: the emitter already feeds a repartition, and
     # measured small-input walls double when an extra upstream shuffle is
-    # added — only spread genuinely large single-split inputs.
-    ex = (ensure_min_parallelism(df.join(ids, "doc_id", "left_semi")
-                                 .select("doc_id", text_col), "doc_id",
-                                 min_bytes=8 << 20)
-          .mapInPandas(shingles, schema=schema)
-          .repartition("shingle"))
+    # added — only spread inputs whose serialized emitter cost clearly
+    # beats one extra stage (2 MB stats/partition ~ 4 MB text ~ 0.5 s of
+    # single-core shingling; alternating A/B at the 10x table favored the
+    # 2 MB floor in 4/4 pairs, and sf0.1 stays below it = no-op).
+    # pinned after the repartition: exchange reuse alone does NOT survive a
+    # persisted input (see materialize_once) — without the pin the Python
+    # emitter re-runs once per consumer (measured 3x here) whenever the
+    # caller passed a cached corpus, which bench/curation pipelines do
+    ex = _materialize_once(
+        ensure_min_parallelism(df.join(ids, "doc_id", "left_semi")
+                               .select("doc_id", text_col), "doc_id",
+                               min_bytes=2 << 20)
+        .mapInPandas(shingles, schema=schema)
+        .repartition("shingle"))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ex_a = ex.select(F.col("doc_id").alias("a"), "shingle")
     ex_b = ex.select(F.col("doc_id").alias("b"), "shingle")
@@ -643,14 +630,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
     # one exchange on the shingle key feeds the df-cap filter, both join
     # probes and the size aggregate — the emitter runs once (see
-    # pair_exact_jaccard / substring for the measured pattern). High floor
-    # threshold for the same reason as pair_exact_jaccard: the shingle
-    # repartition already spreads downstream work; an extra upstream
-    # shuffle measurably doubles small-input walls (2.0 s vs 0.97 s at
-    # sf0.1) and only pays on large single-split inputs.
-    ex = ensure_min_parallelism(df.select("doc_id", text_col), "doc_id",
-                                min_bytes=8 << 20) \
-        .mapInPandas(shingles, schema=schema).repartition("shingle")
+    # pair_exact_jaccard / substring for the measured pattern). Raised
+    # floor threshold for the same reason as pair_exact_jaccard: the
+    # shingle repartition already spreads downstream work; an extra
+    # upstream shuffle measurably doubles small-input walls (2.0 s vs
+    # 0.97 s at sf0.1) and only pays once the serialized emitter clearly
+    # beats one extra stage (2 MB stats/partition; sf0.1 stays a no-op,
+    # 10x A/B favored 2 MB in 4/4 alternating pairs).
+    # pinned after the repartition: exchange reuse alone does NOT survive a
+    # persisted input (see materialize_once) — without the pin the Python
+    # emitter re-ran up to 8x (4 consumers x 2 plan copies) over a cached
+    # corpus, the bench's exact shape
+    ex = _materialize_once(
+        ensure_min_parallelism(df.select("doc_id", text_col), "doc_id",
+                               min_bytes=2 << 20)
+        .mapInPandas(shingles, schema=schema).repartition("shingle"))
     if max_shingle_df is not None:
         keep = (ex.groupBy("shingle").agg(F.count("*").alias("sdf"))
                 .filter(F.col("sdf") <= max_shingle_df).drop("sdf"))

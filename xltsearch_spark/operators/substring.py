@@ -45,7 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from xltsearch_spark.operators._parallel import ensure_min_parallelism
+from xltsearch_spark.operators._parallel import (
+    ensure_min_parallelism, materialize_once)
 
 # window emission is the heaviest JVM map work in the repo (~n tokens
 # joined into a string PER POSITION): measured 2.2x from spreading a
@@ -105,12 +106,14 @@ def duplicated_spans(docs: DataFrame, min_len: int = 20,
     simply shrink to their normal-window extent. Default ``None`` reports
     everything and leaves the skew to AQE's skew-join split.
     """
-    # explicit repartition on the window key: the count aggregate AND the
-    # join-back both consume the SAME exchange (ReusedExchange), so the
-    # corpus scan + window emission run ONCE instead of once per consumer
-    # (measured 1.27x at sf0.1, and halves the scan IO at 100 TB)
-    hits = _window_hits(docs, min_len, text_col, id_col, hashed) \
-        .repartition("w")
+    # explicit repartition on the window key so the count aggregate AND the
+    # join-back consume the SAME partitioning, PINNED with an eager
+    # localCheckpoint: plain exchange reuse does not survive a persisted
+    # input (see materialize_once) — over a cached corpus the window
+    # emission re-ran once per consumer (measured 2x at the 10x table)
+    hits = materialize_once(
+        _window_hits(docs, min_len, text_col, id_col, hashed)
+        .repartition("w"))
     dup = (hits.groupBy("w").agg(F.count("*").alias("c"))
            .filter(F.col("c") >= 2))
     if max_window_df is not None:
@@ -157,9 +160,10 @@ def remove_duplicated_spans(docs: DataFrame, min_len: int = 20,
     higher-order filter over the token array — map-only, pure JVM.
     """
     n = min_len
-    # same exchange-reuse shape as duplicated_spans: one scan feeds both
+    # same pinned-exchange shape as duplicated_spans: one scan feeds both
     # the count+argmin aggregate and the join-back
-    hits = _window_hits(docs, n, text_col, id_col, hashed).repartition("w")
+    hits = materialize_once(
+        _window_hits(docs, n, text_col, id_col, hashed).repartition("w"))
     agg = (hits.groupBy("w")
            .agg(F.count("*").alias("c"),
                 F.min(F.struct("doc_id", "pos")).alias("first"))
