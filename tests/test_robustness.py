@@ -224,6 +224,34 @@ def test_regexp_review_regressions():
         P.parse("/a{2,1}/")
 
 
+def test_regexp_inner_class_open_is_literal():
+    """An unescaped '[' inside a character class means the LITERAL char
+    (Lucene RegExp semantics): the translated pattern escapes it so
+    Python re compiles warning-free (no 'Possible nested set'
+    FutureWarning — its planned semantic change would silently flip the
+    meaning) and Java rlike cannot read it as a nested class union. The
+    AST keeps the user's bytes; only the translation changes."""
+    import re as _re
+    import warnings
+    from xltsearch_spark.plans.parser import RegexpQuery, escape_class_opens
+    from xltsearch_spark.plans.rewrite import _anchored_regexp
+
+    assert escape_class_opens("a[[b]c") == r"a[\[b]c"
+    assert escape_class_opens(r"a[\[b]c") == r"a[\[b]c"  # already escaped
+    assert escape_class_opens("[a][b]") == "[a][b]"      # two classes, no-op
+    assert escape_class_opens(r"\[[a]") == r"\[[a]"      # outside-class [ kept
+    assert escape_class_opens("[a&&b]") == r"[a\&\&b]"   # Java intersection
+    assert escape_class_opens("[a||b]") == r"[a\|\|b]"   # set-union warning
+    assert escape_class_opens("a|b[~]") == r"a|b[\~]"    # outside-class | kept
+    assert escape_class_opens("[a-z]") == "[a-z]"        # ranges untouched
+    ast = P.parse("/x[[y]z/")
+    assert ast == RegexpQuery("content", "x[[y]z")       # AST round-trips raw
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")                   # any warning fails
+        rx = _re.compile(_anchored_regexp(ast.pattern))
+    assert rx.match("x[z") and rx.match("xyz") and not rx.match("xz")
+
+
 def test_msm_fuzz_engine_equals_pyoracle(spark):
     """Randomized minimum-should-match queries: engine == pyoracle over
     random clause mixes (+/-/plain, dup terms) and msm values — both

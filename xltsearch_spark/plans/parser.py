@@ -237,6 +237,52 @@ def _unescape(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s)
 
 
+# chars that are LITERAL inside a Lucene-RegExp character class but are
+# (or are scheduled to become) operators in some target dialect:
+#   [  — Python re FutureWarning "nested set"; Java nested class union
+#   &  — Python FutureWarning on '&&'; Java '&&' is class INTERSECTION
+#   |  — Python FutureWarning on '||' (set union); literal in Java
+#   ~  — Python FutureWarning on '~~' (symmetric difference)
+# '-' stays untouched: it is a real range operator in every dialect, so
+# escaping it would change [a-z]; the residual '--' FutureWarning can only
+# arise from a user pattern that is already a bad range in both dialects.
+_CLASS_LITERALS = frozenset("[&|~")
+
+
+def escape_class_opens(p: str) -> str:
+    """Escape unescaped ``[ & | ~`` INSIDE character classes before
+    handing a user regexp to a matcher. Lucene RegExp (and today's
+    Python re) treat them as literal characters there, but Python re
+    emits FutureWarnings (semantics scheduled to change) and Java regex
+    already parses ``[`` as a nested class and ``&&`` as an intersection
+    — the spots where the engine's ``rlike`` could diverge from the
+    Lucene semantics the pyoracle implements. Escaping pins the literal
+    meaning in every dialect. Applied at translation time only:
+    ``RegexpQuery.pattern`` keeps the user's bytes (the fuzzed
+    round-trip contract)."""
+    out = []
+    in_class = False
+    i = 0
+    while i < len(p):
+        c = p[i]
+        if c == "\\" and i + 1 < len(p):
+            out.append(p[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c in _CLASS_LITERALS:
+                out.append("\\" + c)
+                i += 1
+                continue
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class _Lexer:
     def __init__(self, text: str):
         self.text = text
@@ -436,9 +482,11 @@ class QueryParser:
             pat = rx if field in self.keyword_fields else self._lower_pattern(rx)
             # fail malformed patterns HERE as QueryParseError — not as a
             # re.error deep in rewrite (pyoracle) or an opaque Java
-            # PatternSyntaxException inside a Spark task (engine rlike)
+            # PatternSyntaxException inside a Spark task (engine rlike).
+            # Compile the TRANSLATED body (inner-class '[' escaped) — the
+            # exact pattern both matchers will run — warning-free.
             try:
-                re.compile("^(?:" + pat + ")$")
+                re.compile("^(?:" + escape_class_opens(pat) + ")$")
             except re.error as exc:
                 raise QueryParseError(f"bad regexp /{rx}/: {exc}") from exc
             boost = self._parse_boost(lex)

@@ -22,6 +22,7 @@ from xltsearch_spark.plans.parser import (
     PhraseQuery, PrefixQuery,
     SpanFirstQuery, SpanNearQuery, SpanNotQuery, SpanOrQuery,
     RangeQuery, RegexpQuery, SHOULD, TermQuery, WildcardQuery,
+    escape_class_opens,
 )
 
 FUZZY_TOP_TERMS = 50  # TopTermsScoringBooleanQueryRewrite size in FuzzyQuery 4.6
@@ -77,8 +78,11 @@ def _damerau_capped(a: str, b: str, cap: int) -> int:
 
 def _anchored_regexp(pattern: str) -> str:
     """Lucene RegexpQuery matches the WHOLE term — anchor the user pattern.
-    The non-capturing group keeps alternations like ``a|b`` whole-term."""
-    return "^(?:" + pattern + ")$"
+    The non-capturing group keeps alternations like ``a|b`` whole-term.
+    Inner-class ``[`` is escaped here (see ``escape_class_opens``) so the
+    engine's Java ``rlike`` and the pyoracle's Python ``re`` agree on the
+    Lucene literal-``[`` semantics, warning-free."""
+    return "^(?:" + escape_class_opens(pattern) + ")$"
 
 
 def _wildcard_regex(pattern: str) -> re.Pattern:
